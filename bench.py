@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers every operator family at its scale path: scan +
+predicate pushdown, snowflake broadcast joins, groupBy/window aggs, the
+profile pivot + pairwise distance family, minhash/LSH dedup, cosine ANN,
+sessionization. Each query is forced with a count()/collect() so the
+full plan executes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from bigsdb_spark.inventory import QUERIES
+from bigsdb_spark.session import get_spark
+
+HEADLINE = [
+    "s1_view_scan",
+    "p1_eq_case_insensitive",
+    "j2_derived_cache_join",
+    "j8_multihop_rollup",
+    "j10_interval_containment",
+    "a2_crosstab_pct",
+    "a5_profile_pivot_md5",
+    "a9_group_stats_n50",
+    "d1_profile_distance_pairs",
+    "d2_matching_profiles",
+    "d4_single_linkage_groups",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_brute_topk",
+    "sim_bucketed_ann",
+    "t_quality_score",
+    "stream_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bigsdb_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once so timings measure the queries
+    QUERIES["s1_view_scan"](spark, sf_dir).count()
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+"""Inventory registry: operator name -> (Spark callable, DuckDB oracle).
+
+Every SURVEY §2 operator gets an entry here, instantiated against the
+driver's deterministic tables (TESTDATA.md). The Spark callable and the
+oracle SQL must produce identical column NAMES and values — the driver
+sorts columns by name and hashes values (order-insensitive).
+
+Engine-independence rules used throughout:
+- float aggregates are ROUNDed (2dp for sums of 2dp money, 4dp for
+  means/ratios, 6dp for cosines) on BOTH sides;
+- integer aggregates are BIGINT on both sides (DuckDB sum(int) is
+  HUGEINT -> explicit CAST in oracles);
+- timestamps are exposed as epoch seconds or formatted strings, never
+  raw timestamps;
+- every LIMIT sits under a total order (explicit tiebreak columns).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Register an inventory query; ``oracle=None`` -> rows-only check
+    (genuinely non-SQL-expressible ops)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from bigsdb_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)

@@ -1,0 +1,79 @@
+"""Inventory: temporal bucketing, sessionization and the batch twins of
+the Structured Streaming operators (SURVEY §2.4 A11, §2.9) on events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigsdb_spark.inventory.registry import register, tbl
+from bigsdb_spark.operators.sessions import epoch_seconds, sessionize, tumbling_counts
+
+
+@register(
+    "a11_temporal_buckets",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a11_daily(spark, sf_dir):
+    """A11: date_trunc-style temporal stats
+    (OfflineJobManager.pm:648 get_job_temporal_data)."""
+    e = tbl(spark, sf_dir, "events")
+    day = F.from_unixtime(epoch_seconds(e, "ts"), "yyyy-MM-dd")
+    return e.groupBy(day.alias("day"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+    WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS sec, event_type, value
+               FROM events)
+    SELECT CAST(sec - (sec % 3600) AS BIGINT) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM e GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark, sf_dir):
+    """Tumbling-window counts — the batch twin of
+    streaming/events.py::streaming_tumbling_counts (same windows, same
+    aggregates; tests assert stream==batch with trigger=availableNow)."""
+    return tumbling_counts(tbl(spark, sf_dir, "events"), "ts", "event_type", 3600)
+
+
+@register(
+    "stream_sessionize",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t FROM events),
+    l AS (
+        SELECT user_id, t,
+               CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                         IS NULL
+                      OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                         > 1800
+                    THEN 1 ELSE 0 END AS b
+        FROM e),
+    s AS (
+        SELECT user_id, t,
+               sum(b) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM l),
+    per AS (
+        SELECT user_id, sid, count(*) AS n_events,
+               max(t) - min(t) AS dur
+        FROM s GROUP BY 1, 2)
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(max(n_events) AS BIGINT) AS max_session_events,
+           CAST(max(dur) AS BIGINT) AS max_session_sec
+    FROM per GROUP BY user_id
+    """,
+)
+def stream_sessions(spark, sf_dir):
+    """Gap-based sessionization (30 min) — lag + running-sum session ids;
+    the batch twin of a stateful streaming session window."""
+    return sessionize(tbl(spark, sf_dir, "events"), "ts", "user_id", 1800)

@@ -1,0 +1,177 @@
+"""Inventory: distance / clustering / typing analytics (SURVEY §2.5).
+
+lineitem is the long designation table (order = profile, linenumber =
+locus, returnflag = allele; 'N' is a real returnflag value and doubles
+as the reference's 'N' wildcard sentinel). Pairwise operators run on a
+deterministic subset (l_orderkey % 40 = 0) — the reference's
+matching_profiles is likewise always anchored to a query profile or an
+existing group, never all-pairs over the warehouse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigsdb_spark.inventory.registry import register, tbl
+from bigsdb_spark.operators.clustering import burst_slv_dlv, single_linkage
+from bigsdb_spark.operators.profiles import matching_profiles, profile_pair_distances
+
+# Shared CTE for the oracle side: the restricted long table and its
+# pairwise distances (reference matching_profiles self-join shape,
+# sql/seqdef.sql:1386-1392).
+_PAIR_CTE = """
+    li AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        WHERE l_orderkey % 40 = 0 AND l_orderkey < 20000),
+    pd AS (
+        SELECT a.l_orderkey AS id1, b.l_orderkey AS id2,
+               count(*) AS shared,
+               CAST(sum(CASE WHEN a.l_returnflag = b.l_returnflag
+                             THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+               CAST(count(*) - sum(CASE WHEN a.l_returnflag = b.l_returnflag
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        FROM li a JOIN li b
+          ON a.l_linenumber = b.l_linenumber AND a.l_orderkey < b.l_orderkey
+        GROUP BY 1, 2)
+"""
+
+
+def _subset(spark, sf_dir):
+    # SF-independent anchor set (~375 profiles): all-pairs distance work
+    # must not grow quadratically with the table — at scale, pairwise ops
+    # are always anchored (a query profile, a group, an LSH bucket).
+    return tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % 40 == 0) & (F.col("l_orderkey") < 20000)
+    )
+
+
+def _pairs(spark, sf_dir, wildcard=False):
+    return profile_pair_distances(
+        _subset(spark, sf_dir), "l_orderkey", "l_linenumber", "l_returnflag",
+        wildcard=wildcard,
+    )
+
+
+@register(
+    "d1_profile_distance_pairs",
+    oracle=f"WITH {_PAIR_CTE} SELECT id1, id2, shared, matched, hamming FROM pd",
+)
+def d1_pairs(spark, sf_dir):
+    """D1/D6/J4: pairwise profile distances via the long-form self-join —
+    the inverted-index shape; never a vector crossJoin
+    (profile_diff sql/seqdef.sql:1380-1384, GenomeComparator
+    distance matrix :1446)."""
+    return _pairs(spark, sf_dir)
+
+
+@register(
+    "d2_matching_profiles",
+    oracle=f"""
+    WITH {_PAIR_CTE}
+    SELECT id1, id2, shared, matched, hamming FROM pd WHERE matched >= 7 - 1
+    """,
+)
+def d2_matching(spark, sf_dir):
+    """D2: matching_profiles(scheme, p, k=1) — pairs within <= k
+    mismatches, HAVING count(matches) >= total - k
+    (sql/seqdef.sql:1386-1392)."""
+    return matching_profiles(_pairs(spark, sf_dir), total_loci=7, k=1)
+
+
+@register(
+    "d2w_wildcard_matching",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        WHERE l_orderkey % 40 = 0 AND l_orderkey < 20000),
+    pd AS (
+        SELECT a.l_orderkey AS id1, b.l_orderkey AS id2,
+               count(*) AS shared,
+               CAST(sum(CASE WHEN a.l_returnflag = b.l_returnflag
+                             OR a.l_returnflag = 'N' OR b.l_returnflag = 'N'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+               CAST(count(*) - sum(CASE WHEN a.l_returnflag = b.l_returnflag
+                             OR a.l_returnflag = 'N' OR b.l_returnflag = 'N'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        FROM li a JOIN li b
+          ON a.l_linenumber = b.l_linenumber AND a.l_orderkey < b.l_orderkey
+        GROUP BY 1, 2)
+    SELECT id1, id2, shared, matched, hamming FROM pd WHERE matched >= 7 - 1
+    """,
+)
+def d2w_wildcard(spark, sf_dir):
+    """D2 with the 'N' wildcard: 'N' on either side matches anything —
+    the arbitrary-allele sentinel semantics (sql/seqdef.sql:1380-1392;
+    profile wildcard join sql/isolatedb.sql:1529-1566)."""
+    return matching_profiles(_pairs(spark, sf_dir, wildcard=True), total_loci=7, k=1)
+
+
+@register(
+    "d3_relative_threshold",
+    oracle=f"""
+    WITH {_PAIR_CTE}
+    SELECT id1, id2, shared, matched, hamming FROM pd
+    WHERE matched >= round(shared * (7 - 2) / 7.0, 0)
+    """,
+)
+def d3_relative(spark, sf_dir):
+    """D3: relative threshold — cutoff scales with shared loci:
+    matched >= round(shared*(total-k)/total) (sql/seqdef.sql:1393-1410)."""
+    return matching_profiles(_pairs(spark, sf_dir), total_loci=7, k=2, relative=True)
+
+
+@register(
+    "d4_single_linkage_groups",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_CTE},
+    pairs AS (SELECT id1, id2 FROM pd WHERE matched >= 7 - 1),
+    edges AS (SELECT id1, id2 FROM pairs
+              UNION SELECT id2, id1 FROM pairs),
+    nodes AS (SELECT DISTINCT l_orderkey AS id FROM li),
+    reach (id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.id1, w.r FROM edges e JOIN reach w ON e.id2 = w.id)
+    SELECT id, min(r) AS group_id FROM reach GROUP BY id
+    """,
+)
+def d4_clusters(spark, sf_dir):
+    """D4: classification-group single-linkage clustering. The greedy
+    sequential merge (cluster.pl:107-171, merge-into-smallest-group-id)
+    converges to connected components labelled by smallest member —
+    computed here by iterative min-label propagation (driver loop over
+    join+groupBy rounds)."""
+    li = _subset(spark, sf_dir)
+    pairs = matching_profiles(_pairs(spark, sf_dir), total_loci=7, k=1)
+    nodes = li.select("l_orderkey").distinct()
+    return single_linkage(pairs.select("id1", "id2"), nodes).select(
+        "id", "group_id"
+    )
+
+
+@register(
+    "d7_burst_slv",
+    oracle=f"""
+    WITH {_PAIR_CTE},
+    dirs AS (
+        SELECT id1 AS id, hamming FROM pd
+        UNION ALL SELECT id2 AS id, hamming FROM pd),
+    counts AS (
+        SELECT id,
+               CAST(sum(CASE WHEN hamming = 1 THEN 1 ELSE 0 END) AS BIGINT) AS slv,
+               CAST(sum(CASE WHEN hamming = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dlv,
+               CAST(sum(CASE WHEN hamming = 3 THEN 1 ELSE 0 END) AS BIGINT) AS tlv
+        FROM dirs GROUP BY id)
+    SELECT id, slv, dlv, tlv,
+           CAST(row_number() OVER (ORDER BY slv DESC, dlv DESC, id) AS BIGINT)
+               AS founder_rank
+    FROM counts
+    """,
+)
+def d7_burst(spark, sf_dir):
+    """D7: BURST SLV/DLV counts + founder ranking (max SLVs, ties by
+    DLVs then id — BURST.pm:238,336,637-646)."""
+    out = burst_slv_dlv(_pairs(spark, sf_dir))
+    return out.select(
+        "id", "slv", "dlv", "tlv", F.col("founder_rank").cast("long").alias("founder_rank")
+    )

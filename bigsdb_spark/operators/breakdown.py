@@ -1,0 +1,76 @@
+"""Breakdown / crosstab / combination aggregations (SURVEY §2.4 A1-A4).
+
+The reference computes these with generated GROUP BY SQL
+(Plugins/FieldBreakdown.pm:851-1008, Plugins/TwoFieldBreakdown.pm:466,
+DataExplorerPage.pm:218, DashboardPage.pm) — all map-side-combinable
+group-bys in Spark: one shuffle on the grouping key, partial aggregation
+before the exchange, so they scale linearly with input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def field_frequency(df: DataFrame, field: str, label: str = "label") -> DataFrame:
+    """A1: value frequency breakdown — GROUP BY field, COUNT(*)."""
+    return df.groupBy(F.col(field).alias(label)).agg(F.count(F.lit(1)).alias("n"))
+
+
+def crosstab_pct(df: DataFrame, f1: str, f2: str) -> DataFrame:
+    """A2: two-field contingency table with row / dataset percentages
+    (TwoFieldBreakdown.pm:466 computes the same hash-of-hashes in Perl).
+
+    Long form (f1, f2, n, pct_row, pct_total) rather than a pivoted wide
+    table: at scale the wide pivot needs a distinct-values pass and makes
+    the schema data-dependent; the long form is one shuffle and feeds the
+    same UI. Percentages are windows over the counted result (tiny), not
+    over the input.
+    """
+    counts = df.groupBy(f1, f2).agg(F.count(F.lit(1)).alias("n"))
+    w_row = Window.partitionBy(f1)
+    w_all = Window.partitionBy()
+    return counts.select(
+        f1,
+        f2,
+        "n",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(w_row), 4).alias("pct_row"),
+        F.round(F.col("n") * 100.0 / F.sum("n").over(w_all), 4).alias("pct_total"),
+    )
+
+
+def combination_counts(
+    df: DataFrame, fields: list[str], rollup: bool = False, null_label: str = "<blank>"
+) -> DataFrame:
+    """A3: multi-field combination counts (Data Explorer), optionally with
+    the drill-down hierarchy as a ROLLUP. The reference COALESCEs NULLs to
+    a display label (DataExplorerPage.pm:286); we do the same so grouping
+    NULLs and rollup NULLs stay distinguishable."""
+    cols = [F.coalesce(F.col(f).cast("string"), F.lit(null_label)).alias(f) for f in fields]
+    base = df.select(*cols)
+    grouped = base.rollup(*fields) if rollup else base.groupBy(*fields)
+    out = grouped.agg(F.count(F.lit(1)).alias("n"))
+    if rollup:
+        # rollup super-aggregate rows have real NULLs; label them too
+        out = out.select(
+            *[F.coalesce(F.col(f), F.lit("<all>")).alias(f) for f in fields], "n"
+        )
+    return out
+
+
+def histogram(df: DataFrame, col: str, bin_width: float) -> DataFrame:
+    """A4: dashboard histogram — floor(col / width) bucketing
+    (DashboardPage.pm:1524 builds the same ranges in SQL CASEs)."""
+    bin_col = F.floor(F.col(col) / F.lit(bin_width)).cast("long").alias("bin")
+    return (
+        df.select(bin_col)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bin", (F.col("bin") * F.lit(bin_width)).alias("bin_start"), "n")
+    )
+
+
+def top_n(df: DataFrame, order: list[Column], n: int) -> DataFrame:
+    """W1: deterministic top-N (callers must pass a tiebreak column)."""
+    return df.orderBy(*order).limit(n)

@@ -1,0 +1,89 @@
+"""Single-linkage classification groups + BURST aggregates
+(SURVEY §2.5 D4/D7).
+
+D4 — the reference's classification-group clustering
+(scripts/automation/cluster.pl:107-171) is greedy single-linkage: each
+profile joins the group of any profile within the distance threshold,
+and a profile linking several groups MERGES them, keeping the smallest
+group id. The fixed point of that process is exactly the connected
+components of the threshold graph with each component labelled by its
+smallest member id — which is what the iterative min-label propagation
+below converges to, without the reference's sequential scan.
+
+Scale: label propagation is a few join+groupBy rounds (diameter of the
+largest cluster, typically < 10 for epidemiological data); each round is
+one shuffle on profile id. For 100 TB-scale graphs swap in GraphFrames'
+connectedComponents — same contract.
+
+D7 — BURST (Plugins/BURST.pm:238) needs per-profile counts of
+single/double-locus variants and the founder (max SLV, ties by DLV):
+plain aggregations over the pair-distance DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def single_linkage(pairs: DataFrame, nodes: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components by iterative smallest-id label propagation.
+
+    ``pairs``: (id1, id2) edges within threshold. ``nodes``: (id) all
+    profiles to cluster (singletons form their own group).
+    Returns (id, group_id) with group_id = smallest member id, matching
+    cluster.pl's merge-into-smallest-group semantics.
+    """
+    edges = (
+        pairs.select("id1", "id2")
+        .union(pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(nodes.columns[0]).alias("id")).withColumn(
+        "group_id", F.col("id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["id2"] == labels["id"])
+            .groupBy("id1")
+            .agg(F.min("group_id").alias("nbr_min"))
+            .withColumnRenamed("id1", "id")
+        )
+        updated = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
+                ).alias("group_id"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), on="id")
+            .filter(F.col("u.group_id") != F.col("l.group_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        if changed == 0:
+            break
+    return labels
+
+
+def burst_slv_dlv(pair_dist: DataFrame) -> DataFrame:
+    """D7: per-profile SLV/DLV/TLV counts from pair Hamming distances
+    (BURST.pm:336 builds the same dismat procedurally). Founder score =
+    most SLVs, tiebreak most DLVs then smallest id (BURST.pm:637-646)."""
+    both = pair_dist.select("id1", "id2", "hamming").union(
+        pair_dist.select(
+            F.col("id2").alias("id1"), F.col("id1").alias("id2"), "hamming"
+        )
+    )
+    counts = both.groupBy(F.col("id1").alias("id")).agg(
+        F.sum((F.col("hamming") == 1).cast("long")).alias("slv"),
+        F.sum((F.col("hamming") == 2).cast("long")).alias("dlv"),
+        F.sum((F.col("hamming") == 3).cast("long")).alias("tlv"),
+    )
+    w = Window.orderBy(F.desc("slv"), F.desc("dlv"), F.asc("id"))
+    return counts.withColumn("founder_rank", F.row_number().over(w))

@@ -1,0 +1,214 @@
+"""Document deduplication operators (training-data pipeline family).
+
+Beyond-reference extension (SURVEY §7 M8): the reference's closest
+analogue is GenomeComparator's "unique strains" grouping of identical
+allele vectors (Plugins/GenomeComparator.pm:1229) — generalized here to
+the standard large-corpus dedup toolbox:
+
+- exact dedup          : md5 of a normalized text (hash groupBy)
+- n-gram Jaccard       : pairwise shingle-set overlap
+- MinHash + LSH        : shingle -> md5-minhash signature -> banded
+                         bucket join; candidate pairs meet only inside a
+                         bucket, never via an O(n²) crossJoin
+- SimHash              : sign-aggregated token hash bits -> Hamming buckets
+
+Everything is expression-only (no Python UDFs): md5 is the shared,
+engine-independent hash so every step has a DuckDB-checkable oracle.
+
+Scale notes: shingle explode multiplies rows by ~doc length — keep
+shingles DISTINCT per doc before the minhash groupBy (map-side combine
+shrinks it back). The LSH band join shuffles on the band key; hot bands
+(boilerplate docs) are exactly the skew AQE's skew-join splitting
+handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+
+def normalized_text(col):
+    """Lowercase, strip punctuation-ish chars, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
+    c = F.trim(F.regexp_replace(c, _WS, " "))
+    return c
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprint = md5 of the normalized text."""
+    return df.select(
+        F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("fp")
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: fingerprint groups with > 1 member. Returns
+    (fp, n_docs, min_id) — min_id is the canonical survivor."""
+    return (
+        fingerprint(df, id_col, text_col)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document (UDTF-shaped: one doc ->
+    many rows). 1-based element_at keeps parity with SQL oracles."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    # guard: F.sequence(1, 0) would produce a DESCENDING [1, 0] sequence
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per doc: component s = min(md5(s || ':' || shingle)).
+
+    md5-as-hash-family keeps the signature reproducible in any engine;
+    lexicographic min over hex digests is a valid uniform minhash.
+    Single groupBy with map-side partial min aggregation.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(n_hashes)
+    ]
+    return shingles.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature and join docs sharing any band bucket.
+
+    bands of ``band_size`` rows: bucket key = md5(h_i || h_i+1 ...).
+    Returns distinct candidate (doc1, doc2) with doc1 < doc2.
+    """
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = (
+        signatures.select(F.col("doc"), F.explode(bands).alias("bb"))
+        .select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .cache()  # self-joined below; don't recompute the signature pipeline twice
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    shingles: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Pairwise Jaccard over shingle sets.
+
+    With ``pairs`` (e.g. LSH candidates) the plan is CANDIDATE-DRIVEN:
+    pairs join their two shingle sets and count matches — work is linear
+    in (candidates × shingles/doc), independent of corpus size. This is
+    the 100 TB path: LSH prunes, Jaccard verifies.
+
+    Without ``pairs``, docs meet through shared shingles (inverted
+    index) — fine for modest corpora, but hot shingles make it
+    quadratic; prefer the candidate path at scale.
+    Returns (doc1, doc2, n_common, n1, n2, jaccard).
+    """
+    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.select(F.col("doc").alias("doc1"), "shingle")
+    b = shingles.select(F.col("doc").alias("doc2"), "shingle")
+    if pairs is not None:
+        common = (
+            pairs.select("doc1", "doc2")
+            .join(a, on="doc1")
+            .join(b, on=["doc2", "shingle"])
+            .groupBy("doc1", "doc2")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        common = (
+            a.join(b, on="shingle")
+            .filter(F.col("doc1") < F.col("doc2"))
+            .groupBy("doc1", "doc2")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    out = (
+        common.join(sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("sz", "n1"), on="doc1")
+        .join(sizes.withColumnRenamed("doc", "doc2").withColumnRenamed("sz", "n2"), on="doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.round(
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash: per-token md5 bits, summed as +/-1 votes per bit position,
+    sign -> fingerprint bit. Expression-only via explode + conv().
+
+    Returns (doc, simhash long). Near-dup candidates = equal values on
+    rotated bit windows (not materialized here).
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.explode(toks).alias("tok")
+    ).filter(F.col("tok") != "")
+    # first `bits` bits of md5(tok): conv hex->dec of the first 4 hex chars
+    hashed = exploded.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, bits // 4), 16, 10).cast("long")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy("doc").agg(*votes)
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sim = bit if sim is None else (sim + bit)
+    return agg.select("doc", sim.cast("long").alias("simhash"))

@@ -1,0 +1,87 @@
+"""Multimodal columns: opaque binary payloads + typed metadata
+(training-data pipeline family; beyond-reference extension).
+
+Images/audio/video are ``binary`` columns with a mime string. The
+decode / feature-extract step runs as an Arrow-batched ``mapInPandas``
+over partitions — the Spark-side plumbing (schema, batch shape, UDF
+signature, partitioning) is real and tested; the actual codec call is a
+deterministic stub because the image/audio libraries are not in this
+container (clearly marked below — swap ``_decode_stub`` for PIL/ffmpeg
+in a real deployment).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def binary_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Cheap JVM-side metadata over the opaque payload (no decode):
+    byte length + content hash — enough for exact media dedup."""
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        F.md5(F.col(payload_col)).alias("content_md5"),
+    )
+
+
+_FEATURE_DIM = 8
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
+    """STUB decode: deterministic fake 'image decode + embed'.
+
+    A real deployment replaces this with PIL/torchvision/ffmpeg; the
+    signature (bytes in, dims + feature vector out) is the contract the
+    Spark plumbing is built against.
+    """
+    digest = hashlib.sha256(payload).digest()
+    width = 1 + digest[0]
+    height = 1 + digest[1]
+    feats = [b / 255.0 for b in digest[: _FEATURE_DIM]]
+    return width, height, feats
+
+
+def extract_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract over partitions.
+
+    mapInPandas keeps the per-batch Python overhead amortized (one
+    Arrow RecordBatch per ~10k rows) — this is the sanctioned pattern
+    for any per-payload Python work at 100 TB scale.
+    """
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                width, height, feats = _decode_stub(data)
+                rows.append((doc_id, len(data), width, height, feats))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "width", "height", "features"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_batches, _FEATURES_SCHEMA)

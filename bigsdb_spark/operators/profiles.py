@@ -1,0 +1,207 @@
+"""The scheme warehouse: profile pivot, md5 identity, wildcard matching,
+Hamming-distance joins (SURVEY §2.4 A5, §2.3 J3/J4, §2.5 D1-D3).
+
+Reference semantics being reproduced:
+
+- ``initiate_scheme_warehouse`` (sql/seqdef.sql:1199-1253) pivots the
+  long (profile_id, locus, allele_id) EAV into one row per profile with
+  an ordered allele vector: ``array_agg(allele_id ORDER BY locus)``.
+  Spark: groupBy + sort_array(collect_list(struct(locus, allele))).
+- Profile identity is md5 of the comma-joined vector
+  (sql/seqdef.sql:1151-1153, unique index :1192) → F.md5(concat_ws).
+- ``profile_diff`` (sql/seqdef.sql:1380-1384): Hamming distance ignoring
+  the ``'N'`` wildcard on either side.
+- ``matching_profiles(scheme, p, k)`` (sql/seqdef.sql:1386-1392): all
+  profiles within <= k mismatches, computed as a self-join of the long
+  form grouped per pair with HAVING count(matches) >= total - k. The
+  relative-threshold variant (:1393-1410) scales the cutoff by the
+  number of loci shared (non-N on both sides).
+
+Scale strategy: the exact-match path is an equi-join on the md5 column
+(hash-partitionable, broadcastable). The fuzzy paths join the LONG form
+on (locus, allele_id) so only genuinely-matching designation pairs meet
+— the classic inverted-index trick; no O(n²) vector crossJoin. Skewed
+(locus, allele) buckets are handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WILDCARD = "N"
+ABSENT = "0"
+
+
+def build_profiles(
+    long_df: DataFrame,
+    id_col: str,
+    locus_col: str,
+    allele_col: str,
+) -> DataFrame:
+    """Pivot long (id, locus, allele) into (id, profile array, md5).
+
+    The vector is ordered by (locus, allele) — deterministic even with
+    paralogous double designations. One shuffle on id.
+    """
+    pairs = F.sort_array(
+        F.collect_list(F.struct(F.col(locus_col), F.col(allele_col)))
+    )
+    return (
+        long_df.groupBy(F.col(id_col).alias("profile_key"))
+        .agg(pairs.alias("_pairs"))
+        .select(
+            "profile_key",
+            F.transform(F.col("_pairs"), lambda s: s[allele_col]).alias("profile"),
+            F.md5(
+                F.array_join(
+                    F.transform(F.col("_pairs"), lambda s: s[allele_col]), ","
+                )
+            ).alias("profile_md5"),
+        )
+    )
+
+
+def profile_pair_distances(
+    long_df: DataFrame,
+    id_col: str,
+    locus_col: str,
+    allele_col: str,
+    wildcard: bool = False,
+    restrict_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """J4/D1/D6: per-pair (shared, matched, hamming) over the long form.
+
+    Self-join on the locus key so each pair is compared only at loci both
+    sides possess (reference sql/seqdef.sql:1386-1392 joins
+    profile_members to itself the same way). Returns one row per
+    unordered pair (id1 < id2) that shares >= 1 locus.
+    """
+    a = long_df.select(
+        F.col(id_col).alias("id1"),
+        F.col(locus_col).alias("locus"),
+        F.col(allele_col).alias("a1"),
+    )
+    b = long_df.select(
+        F.col(id_col).alias("id2"),
+        F.col(locus_col).alias("locus"),
+        F.col(allele_col).alias("a2"),
+    )
+    joined = a.join(b, on="locus").filter(F.col("id1") < F.col("id2"))
+    if wildcard:
+        match = (F.col("a1") == F.col("a2")) | (F.col("a1") == WILDCARD) | (
+            F.col("a2") == WILDCARD
+        )
+    else:
+        match = F.col("a1") == F.col("a2")
+    return joined.groupBy("id1", "id2").agg(
+        F.count(F.lit(1)).cast("long").alias("shared"),
+        F.sum(match.cast("long")).cast("long").alias("matched"),
+        (F.count(F.lit(1)) - F.sum(match.cast("long"))).cast("long").alias("hamming"),
+    )
+
+
+def matching_profiles(
+    pair_dist: DataFrame,
+    total_loci: int,
+    k: int,
+    relative: bool = False,
+) -> DataFrame:
+    """D2/D3 threshold filter over pair distances.
+
+    Absolute (sql/seqdef.sql:1386): matched >= total - k.
+    Relative (:1393-1410):          matched >= round(shared*(total-k)/total)
+    — the cutoff scales with how many loci the pair actually shares.
+    """
+    if relative:
+        cutoff = F.round(F.col("shared") * (total_loci - k) / total_loci, 0)
+    else:
+        cutoff = F.lit(total_loci - k)
+    return pair_dist.filter(F.col("matched") >= cutoff)
+
+
+def hamming_zipwith(a, b):
+    """D1 on two aligned ArrayType columns: positional Hamming distance
+    ignoring 'N' on either side (sql/seqdef.sql:1380-1384) — stays in
+    codegen via zip_with + aggregate, no UDF."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (
+            (x != y) & (x != F.lit(WILDCARD)) & (y != F.lit(WILDCARD))
+        ).cast("int"),
+    )
+    return F.aggregate(diffs, F.lit(0), lambda acc, v: acc + v)
+
+
+def assign_scheme_fields(
+    isolate_profiles: DataFrame,
+    scheme_profiles: DataFrame,
+    allow_missing_loci: bool = False,
+    total_loci: int | None = None,
+) -> DataFrame:
+    """A5/J3: assign scheme fields (e.g. ST) to isolates by matching their
+    allele vector against the profile warehouse.
+
+    Reproduces ``create_isolate_scheme_cache`` (sql/isolatedb.sql:1439-1588)
+    with its two main code paths:
+
+    (a) complete & exact  → equi-join on md5(profile) — O(1) per row,
+        hash-shuffle or broadcast; this is the fast path the reference
+        gets from its ``md5(profile)`` unique index.
+    (b) allow_missing_loci → wildcard join where 'N' in the *definition*
+        matches any isolate allele: long-form join on
+        (locus, allele OR 'N') then HAVING count = total_loci.
+
+    ``isolate_profiles``: (profile_key, profile, profile_md5) from
+    ``build_profiles``. ``scheme_profiles``: (st, profile, profile_md5).
+    Returns (profile_key, st).
+    """
+    if not allow_missing_loci:
+        return isolate_profiles.join(
+            scheme_profiles.select("st", "profile_md5"), on="profile_md5"
+        ).select("profile_key", "st")
+
+    if total_loci is None:
+        raise ValueError("total_loci required for the wildcard path")
+    # Long-form inverted-index join: explode both sides with position;
+    # definition-side 'N' rows are exploded to match via a dedicated key.
+    iso = isolate_profiles.select(
+        "profile_key", F.posexplode("profile").alias("pos", "allele")
+    )
+    sch = scheme_profiles.select(
+        "st", F.posexplode("profile").alias("pos", "def_allele")
+    )
+    matched = iso.join(
+        sch,
+        (iso["pos"] == sch["pos"])
+        & ((sch["def_allele"] == iso["allele"]) | (sch["def_allele"] == WILDCARD)),
+    )
+    hits = (
+        matched.groupBy("profile_key", "st")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .filter(F.col("n_match") == total_loci)
+    )
+    return hits.select("profile_key", "st")
+
+
+def scheme_completeness(
+    designations: DataFrame,
+    scheme_loci: DataFrame,
+    id_col: str,
+    locus_col: str,
+    total_loci: int,
+) -> DataFrame:
+    """A6: per-isolate COUNT(DISTINCT locus) of designated scheme loci
+    (create_isolate_scheme_status_table, sql/isolatedb.sql:1590-1660).
+    DISTINCT because paralogous double designations must count once."""
+    return (
+        designations.join(F.broadcast(scheme_loci), on=locus_col, how="left_semi")
+        .groupBy(id_col)
+        .agg(F.countDistinct(locus_col).alias("n_loci"))
+        .select(
+            id_col,
+            "n_loci",
+            F.round(F.col("n_loci") / F.lit(total_loci), 4).alias("completeness"),
+        )
+    )

@@ -1,0 +1,121 @@
+"""Embedding similarity search (training-data pipeline family).
+
+Beyond-reference extension generalizing the profile-distance operators
+(SURVEY D2): cosine similarity over an ``array<float>`` column.
+
+- ``cosine_topk_pairs``  : brute-force all-pairs top-k — the baseline.
+- ``nearest_neighbor``   : per-query argmin/argmax via a window.
+- ``bucketed_ann``       : IVF/LSH-flavoured scale path — vectors are
+  assigned to sign-buckets (hyperplane = coordinate signs), and search
+  runs only inside the bucket: the crossJoin is pruned by the bucket
+  equi-key, so Catalyst plans a hash join on the bucket id instead of a
+  cartesian product.
+
+All arithmetic stays JVM-side (zip_with + aggregate fold in index order,
+cast to double first) so results are bit-reproducible against a DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> Column:
+    prods = F.zip_with(
+        a, b, lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_cosine(pairs: DataFrame, a: str = "e1", b: str = "e2") -> DataFrame:
+    """Cosine over a pair frame. If precomputed 'n1'/'n2' norm columns
+    are present (see _with_norm), the per-pair work is ONE fold instead
+    of three — same expression values bit-for-bit."""
+    cols = set(pairs.columns)
+    if "n1" in cols and "n2" in cols:
+        denom = F.col("n1") * F.col("n2")
+    else:
+        denom = _norm(F.col(a)) * _norm(F.col(b))
+    return pairs.withColumn(
+        "cosine", F.round(_dot(F.col(a), F.col(b)) / denom, 6)
+    )
+
+
+def _with_norm(emb: DataFrame, id_col: str, vec_col: str, ids: str, e: str, n: str):
+    """Project (id, vector, norm) once — O(corpus) instead of O(pairs)."""
+    return emb.select(
+        F.col(id_col).alias(ids),
+        F.col(vec_col).alias(e),
+        _norm(F.col(vec_col)).alias(n),
+    )
+
+
+def cosine_topk_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, k: int = 20
+) -> DataFrame:
+    """Global top-k most-similar pairs, brute force (id1 < id2).
+    Deterministic: ties broken by (id1, id2)."""
+    a = _with_norm(emb, id_col, vec_col, "id1", "e1", "n1")
+    b = _with_norm(emb, id_col, vec_col, "id2", "e2", "n2")
+    pairs = a.join(b, F.col("id1") < F.col("id2"))
+    scored = with_cosine(pairs).select("id1", "id2", "cosine")
+    return scored.orderBy(F.desc("cosine"), "id1", "id2").limit(k)
+
+
+def nearest_neighbor(
+    queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-query 1-NN by cosine (argmax window, ties -> smallest id) —
+    the same argmin-window shape as the LIN-code closest-profile search
+    (SURVEY W3)."""
+    q = _with_norm(queries, id_col, vec_col, "qid", "e1", "n1")
+    c = _with_norm(corpus, id_col, vec_col, "cid", "e2", "n2")
+    scored = with_cosine(q.join(c)).select("qid", "cid", "cosine")
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("cid").alias("nn_id"), "cosine")
+    )
+
+
+def sign_bucket(vec_col, dims: int = 3) -> Column:
+    """IVF-ish partition key: sign bits of the first ``dims`` coordinates.
+    Deterministic and engine-independent (no random hyperplanes)."""
+    bucket = F.lit(0)
+    for i in range(dims):
+        bit = (F.element_at(vec_col, i + 1) >= 0).cast("int")
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def bucketed_ann_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, dims: int = 3, min_cosine: float = 0.0
+) -> DataFrame:
+    """Scale path: all pairs above a similarity floor, searched only
+    within sign-buckets. The bucket id is an equi-join key -> hash join,
+    not a cartesian product; recall trades off against ``dims``."""
+    withb = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("e"),
+        _norm(F.col(vec_col)).alias("n"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    a = withb.select(
+        F.col("id").alias("id1"), F.col("e").alias("e1"), F.col("n").alias("n1"), "bucket"
+    )
+    b = withb.select(
+        F.col("id").alias("id2"), F.col("e").alias("e2"), F.col("n").alias("n2"), "bucket"
+    )
+    pairs = a.join(b, on="bucket").filter(F.col("id1") < F.col("id2"))
+    return (
+        with_cosine(pairs)
+        .filter(F.col("cosine") >= min_cosine)
+        .select("bucket", "id1", "id2", "cosine")
+    )

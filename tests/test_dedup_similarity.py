@@ -1,0 +1,94 @@
+"""Dedup family: exact, minhash/LSH (duplicate docs MUST collide),
+n-gram Jaccard, simhash vs a pure-python reference; similarity search
+brute-force vs bucketed recall."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigsdb_spark.operators.dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+    word_shingles,
+)
+from bigsdb_spark.operators.similarity import cosine_topk_pairs, nearest_neighbor
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "The quick brown fox jumps over the lazy dog near the river bank!"),  # ~dup of 1
+    (3, "completely different content about spark query engines and shuffles"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup
+    (5, "short doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates_normalized(spark, docs):
+    got = exact_duplicates(docs, "doc_id", "text").collect()
+    # 1 and 2 differ only by case/punctuation -> same fingerprint
+    assert len(got) == 1 and got[0].n_docs == 2 and got[0].min_id == 1
+
+
+def test_minhash_lsh_finds_neardups(spark, docs):
+    sh = word_shingles(docs, "doc_id", "text", k=3)
+    sig = minhash_signatures(sh, n_hashes=8)
+    cand = {(r.doc1, r.doc2) for r in lsh_candidate_pairs(sig).collect()}
+    assert (1, 2) in cand  # identical shingle sets -> all bands collide
+    assert (3, 5) not in cand
+
+
+def test_ngram_jaccard_values(spark, docs):
+    sh = word_shingles(docs, "doc_id", "text", k=3)
+    got = {(r.doc1, r.doc2): r.jaccard for r in ngram_jaccard(sh).collect()}
+    assert got[(1, 2)] == 1.0  # identical after normalization
+    assert 0 < got[(1, 4)] < 1.0
+
+
+def test_simhash_against_python_reference(spark, docs):
+    def py_simhash(text: str, bits: int = 16) -> int:
+        import re
+
+        norm = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9 ]", " ", text.lower())).strip()
+        votes = [0] * bits
+        for tok in [t for t in norm.split(" ") if t]:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[: bits // 4], 16)
+            for i in range(bits):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        return sum((1 << i) for i in range(bits) if votes[i] > 0)
+
+    got = {r.doc: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == py_simhash(text), doc_id
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # close to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(spark, vectors):
+    top = cosine_topk_pairs(vectors, "vec_id", "embedding", k=1).collect()
+    assert (top[0].id1, top[0].id2) == (1, 2)
+
+
+def test_nearest_neighbor(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 1)
+    c = vectors.filter(F.col("vec_id") != 1)
+    nn = nearest_neighbor(q, c, "vec_id", "embedding").collect()[0]
+    assert nn.nn_id == 2 and nn.cosine > 0.98

@@ -1,0 +1,87 @@
+"""P1-P5 semantics on a hand-built isolates fixture (FIXTURES.md):
+case-insensitive matching, the literal 'null', null-inclusive NOT, and
+array (multi-value field) operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigsdb_spark.predicates import build_predicate
+
+
+@pytest.fixture(scope="module")
+def isolates(spark):
+    rows = [
+        # id, country, year, serogroup
+        (1, "France", 2010, ["B", "C"]),
+        (2, "FRANCE", None, ["B"]),
+        (3, "UK [England]", 2020, []),
+        (4, None, 2015, None),
+        (5, "Germany", 2005, ["W", "Y"]),
+    ]
+    return spark.createDataFrame(
+        rows, "id int, country string, year int, serogroup array<string>"
+    )
+
+
+def ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_ci_equality(isolates):
+    got = isolates.filter(build_predicate(F.col("country"), "=", "france"))
+    assert ids(got) == [1, 2]
+
+
+def test_null_keyword(isolates):
+    got = isolates.filter(build_predicate(F.col("country"), "=", "null"))
+    assert ids(got) == [4]
+
+
+def test_null_inclusive_not(isolates):
+    """BIGSdb NOT keeps NULL rows (IsolateQueryPage.pm:2329-2332) —
+    SQL 3VL would drop id=4."""
+    got = isolates.filter(build_predicate(F.col("country"), "NOT", "france"))
+    assert ids(got) == [3, 4, 5]
+
+
+def test_not_contain_null_inclusive(isolates):
+    got = isolates.filter(build_predicate(F.col("country"), "NOT contain", "an"))
+    assert ids(got) == [4]  # France/FRANCE/England/Germany all contain 'an'
+
+
+def test_contains_case_insensitive(isolates):
+    got = isolates.filter(build_predicate(F.col("country"), "contains", "ENGLAND"))
+    assert ids(got) == [3]
+
+
+def test_starts_ends(isolates):
+    assert ids(isolates.filter(build_predicate(F.col("country"), "starts with", "uk"))) == [3]
+    assert ids(isolates.filter(build_predicate(F.col("country"), "ends with", "MANY"))) == [5]
+
+
+def test_ordered_compare(isolates):
+    got = isolates.filter(build_predicate(F.col("year"), ">=", 2015))
+    assert ids(got) == [3, 4]
+
+
+def test_array_equals_any(isolates):
+    got = isolates.filter(build_predicate(F.col("serogroup"), "=", "b", is_array=True))
+    assert ids(got) == [1, 2]
+
+
+def test_array_not_null_inclusive(isolates):
+    got = isolates.filter(build_predicate(F.col("serogroup"), "NOT", "B", is_array=True))
+    # ids 3 (empty array -> no match), 4 (NULL array kept), 5
+    assert ids(got) == [3, 4, 5]
+
+
+def test_array_ordered_any(isolates):
+    got = isolates.filter(build_predicate(F.col("serogroup"), ">", "V", is_array=True))
+    assert ids(got) == [5]
+
+
+def test_invalid_operator_rejected(isolates):
+    with pytest.raises(ValueError):
+        build_predicate(F.col("country"), "LIKE", "x")

@@ -1,0 +1,121 @@
+"""Scheme warehouse semantics on FIXTURES.md-style domain data:
+profile pivot, md5 identity, the A5 exact + wildcard assignment paths,
+completeness, and the D1-D3 distance family with 'N' sentinels."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigsdb_spark.operators.profiles import (
+    assign_scheme_fields,
+    build_profiles,
+    hamming_zipwith,
+    matching_profiles,
+    profile_pair_distances,
+    scheme_completeness,
+)
+
+LOCI = ["abcZ", "adk", "aroE", "fumC", "gdh", "pdhC", "pgm"]
+
+
+@pytest.fixture(scope="module")
+def designations(spark):
+    def rows_for(iso, alleles):
+        return [(iso, loc, a) for loc, a in zip(LOCI, alleles)]
+
+    rows = (
+        rows_for(1, ["1", "3", "4", "1", "1", "1", "14"])    # == ST-1
+        + rows_for(2, ["1", "3", "4", "1", "1", "1", "14"])  # == ST-1 (dup)
+        + rows_for(3, ["1", "3", "4", "1", "1", "1", "15"])  # SLV of 1
+        + rows_for(4, ["2", "3", "4", "1", "1", "1", "14"])  # matches ST-9 only via N
+        + [(5, "abcZ", "1"), (5, "adk", "3")]                # incomplete
+        + rows_for(6, ["1", "3", "4", "1", "1", "1", "14"])
+        + [(6, "pgm", "15")]                                 # paralog: 2nd pgm designation
+    )
+    return spark.createDataFrame(rows, "isolate_id int, locus string, allele_id string")
+
+
+@pytest.fixture(scope="module")
+def scheme(spark):
+    # mv_scheme rows: st + ordered allele vector (locus-name order)
+    defs = [
+        ("1", ["1", "3", "4", "1", "1", "1", "14"]),
+        ("2", ["1", "3", "4", "1", "1", "1", "15"]),
+        ("9", ["N", "3", "4", "1", "1", "1", "14"]),  # wildcard at abcZ
+    ]
+    return spark.createDataFrame(defs, "st string, profile array<string>").withColumn(
+        "profile_md5", F.md5(F.array_join("profile", ","))
+    )
+
+
+def test_pivot_orders_by_locus(spark, designations):
+    prof = build_profiles(
+        designations.filter(F.col("isolate_id") == 1), "isolate_id", "locus", "allele_id"
+    ).collect()[0]
+    # locus alphabetical order: abcZ, adk, aroE, fumC, gdh, pdhC, pgm
+    assert prof.profile == ["1", "3", "4", "1", "1", "1", "14"]
+
+
+def test_exact_md5_assignment(spark, designations, scheme):
+    """A5 path (a): complete & unique -> md5 equi-join
+    (sql/isolatedb.sql:1529-1540)."""
+    complete = designations.filter(F.col("isolate_id").isin(1, 2, 3))
+    prof = build_profiles(complete, "isolate_id", "locus", "allele_id")
+    got = {
+        r.profile_key: r.st
+        for r in assign_scheme_fields(prof, scheme, allow_missing_loci=False).collect()
+    }
+    assert got == {1: "1", 2: "1", 3: "2"}
+
+
+def test_wildcard_assignment(spark, designations, scheme):
+    """A5 path (c): definition-side 'N' matches any isolate allele
+    (sql/isolatedb.sql:1555-1566)."""
+    iso4 = designations.filter(F.col("isolate_id") == 4)
+    prof = build_profiles(iso4, "isolate_id", "locus", "allele_id")
+    got = assign_scheme_fields(
+        prof, scheme, allow_missing_loci=True, total_loci=7
+    ).collect()
+    assert {(r.profile_key, r.st) for r in got} == {(4, "9")}
+
+
+def test_completeness_distinct_counting(spark, designations):
+    """A6: paralogous double designations count once
+    (CombinationQueryPage.pm:448-452 forces DISTINCT)."""
+    loci_df = spark.createDataFrame([(x,) for x in LOCI], "locus string")
+    got = {
+        r.isolate_id: (r.n_loci, r.completeness)
+        for r in scheme_completeness(
+            designations, loci_df, "isolate_id", "locus", 7
+        ).collect()
+    }
+    assert got[5] == (2, round(2 / 7, 4))
+    assert got[6] == (7, 1.0)  # 8 designations but 7 distinct loci
+
+
+def test_pair_distances_and_matching(spark, designations):
+    pd = profile_pair_distances(
+        designations.filter(F.col("isolate_id").isin(1, 3)),
+        "isolate_id",
+        "locus",
+        "allele_id",
+    ).collect()
+    assert len(pd) == 1 and pd[0].hamming == 1 and pd[0].shared == 7
+    pairs = profile_pair_distances(
+        designations.filter(F.col("isolate_id").isin(1, 3, 4)),
+        "isolate_id",
+        "locus",
+        "allele_id",
+    )
+    slv = matching_profiles(pairs, total_loci=7, k=1)
+    got = {(r.id1, r.id2) for r in slv.collect()}
+    assert got == {(1, 3), (1, 4), (3, 4)} - {(3, 4)}  # 3 vs 4 differ at 2 loci
+
+
+def test_hamming_zipwith_ignores_N(spark):
+    df = spark.createDataFrame(
+        [(["1", "N", "3"], ["1", "2", "4"])], "a array<string>, b array<string>"
+    )
+    got = df.select(hamming_zipwith(F.col("a"), F.col("b")).alias("d")).collect()[0].d
+    assert got == 1  # position 2 ignored ('N'), position 3 differs

@@ -1,0 +1,55 @@
+"""QuerySpec composer: predicate composition, list semi-join, and the
+metamorphic pagination property (union of all pages == unpaged result;
+SURVEY §5 test plan #4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigsdb_spark.plans.queryspec import FormRow, QuerySpec, run_query
+
+
+@pytest.fixture(scope="module")
+def view(spark):
+    rows = [(i, f"iso-{i}", "France" if i % 3 == 0 else "Spain", 2000 + i % 10)
+            for i in range(1, 101)]
+    return spark.createDataFrame(rows, "id int, isolate string, country string, year int")
+
+
+def test_composed_filters(view):
+    spec = QuerySpec(
+        rows=[FormRow("country", "=", "france"), FormRow("year", ">=", 2005)],
+        combinator="AND",
+    )
+    got = run_query(view, spec).collect()
+    assert all(r.country == "France" and r.year >= 2005 for r in got)
+    assert len(got) > 0
+
+
+def test_or_combinator(view):
+    spec = QuerySpec(
+        rows=[FormRow("year", "=", "2001"), FormRow("year", "=", "2002")],
+        combinator="OR",
+    )
+    assert {r.year for r in run_query(view, spec).collect()} == {2001, 2002}
+
+
+def test_id_list_semijoin(view):
+    spec = QuerySpec(id_list=[5, 10, 15], id_col="id")
+    assert sorted(r.id for r in run_query(view, spec).collect()) == [5, 10, 15]
+
+
+def test_pagination_metamorphic(view):
+    """Union of all pages == unpaged result, no dup/loss — holds only
+    under the deterministic tiebreak (reference X5)."""
+    base = QuerySpec(order_by=[("year", True)], tiebreak=["id"])
+    unpaged = [r.id for r in run_query(view, base).collect()]
+    paged = []
+    page_size = 17
+    for off in range(0, 120, page_size):
+        spec = QuerySpec(
+            order_by=[("year", True)], tiebreak=["id"], offset=off, limit=page_size
+        )
+        paged.extend(r.id for r in run_query(view, spec).collect())
+    assert paged == unpaged

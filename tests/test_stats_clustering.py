@@ -1,0 +1,90 @@
+"""N50 hand-computed fixture (FIXTURES.md edge case: N50 != mean !=
+median), single-linkage merge semantics, BURST founder ranking, and
+LIN-code assignment order/prefix rules."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigsdb_spark.operators.clustering import burst_slv_dlv, single_linkage
+from bigsdb_spark.operators.lincodes import assign_lincodes
+from bigsdb_spark.operators.stats import group_stats, n_stats
+
+
+def test_n50_hand_computed(spark):
+    # contigs for one isolate: lengths 100, 200, 300, 400
+    # desc: 400 (cum 400), 300 (cum 700 >= 500 -> N50=300, L50=2)
+    df = spark.createDataFrame(
+        [(1, 100), (1, 200), (1, 300), (1, 400), (2, 10), (2, 10)],
+        "isolate_id int, length int",
+    )
+    got = {r.isolate_id: r for r in n_stats(df, "isolate_id", "length").collect()}
+    assert got[1].n50 == 300 and got[1].l50 == 2
+    assert got[2].n50 == 10 and got[2].l50 == 1
+
+
+def test_n90(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (1, 200), (1, 300), (1, 400)], "isolate_id int, length int"
+    )
+    got = n_stats(df, "isolate_id", "length", fractions=(0.9,)).collect()[0]
+    # cum: 400, 700, 900 >= 900 -> N90=200, L90=3
+    assert got.n90 == 200 and got.l90 == 3
+
+
+def test_group_stats(spark):
+    df = spark.createDataFrame([(1, 2.0), (1, 4.0)], "k int, v double")
+    r = group_stats(df, "k", "v").collect()[0]
+    assert (r.n, r.total, r.min_v, r.max_v, r.mean_v) == (2, 6.0, 2.0, 4.0, 3.0)
+
+
+def test_single_linkage_merge_smallest_id(spark):
+    """cluster.pl semantics: a profile linking two groups merges them
+    into the smallest group id (cluster.pl:186 merge_groups)."""
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 9]], "id int")
+    # 1-2 and 4-5 are separate groups; 3 links 2 and 4 -> all merge to 1
+    pairs = spark.createDataFrame(
+        [(1, 2), (4, 5), (2, 3), (3, 4)], "id1 int, id2 int"
+    )
+    got = {r.id: r.group_id for r in single_linkage(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 9: 9}
+
+
+def test_burst_founder(spark):
+    # star around 1: three SLVs; node 5 has one SLV
+    pd = spark.createDataFrame(
+        [
+            (1, 2, 7, 6, 1),
+            (1, 3, 7, 6, 1),
+            (1, 4, 7, 6, 1),
+            (4, 5, 7, 6, 1),
+            (2, 3, 7, 5, 2),
+        ],
+        "id1 int, id2 int, shared long, matched long, hamming long",
+    )
+    got = {r.id: r for r in burst_slv_dlv(pd).collect()}
+    assert got[1].slv == 3 and got[1].founder_rank == 1
+    assert got[2].slv == 1 and got[2].dlv == 1  # (1,2) is an SLV, (2,3) a DLV
+
+
+def test_lincode_semantics(spark):
+    """FIXTURES.md lincode oracle: identical profiles share a code;
+    a near profile inherits the prefix; an outlier opens a new
+    top-level lineage (lincodes.pl:236-330)."""
+    profs = spark.createDataFrame(
+        [
+            ("01", ["1", "1", "1", "1", "1", "1", "1"]),
+            ("02", ["1", "1", "1", "1", "1", "1", "1"]),  # identical to 01
+            ("03", ["1", "1", "1", "1", "1", "2", "2"]),  # d=2 from 01
+            ("04", ["9", "9", "9", "9", "9", "9", "9"]),  # outlier d=7
+        ],
+        "profile_key string, profile array<string>",
+    )
+    got = {
+        r.profile_key: r.lincode
+        for r in assign_lincodes(spark, profs, thresholds=[4, 2, 1]).collect()
+    }
+    assert got["01"] == [1, 0, 0]
+    assert got["02"] == [1, 0, 0]  # distance 0 -> identical code
+    assert got["03"][0] == 1 and got["03"] != got["01"]  # inherits top-level
+    assert got["04"][0] == 2  # new top-level lineage
