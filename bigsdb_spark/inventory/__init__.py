@@ -3,6 +3,7 @@ QUERIES / ORACLES registries from every inventory module."""
 
 from bigsdb_spark.inventory import (  # noqa: F401  (import for side effects)
     analytics,
+    extended,
     llm,
     relational,
     sequenceq,

@@ -1,0 +1,224 @@
+"""Inventory: remaining SURVEY §2 surface — dropdown filter stacks,
+geo-point predicates, set-op composition, composite fields, per-position
+polymorphism / codon usage, and the sequential LIN-code assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigsdb_spark.inventory.registry import register, tbl
+from bigsdb_spark.operators.lincodes import assign_lincodes
+from bigsdb_spark.operators.profiles import build_profiles
+
+
+@register(
+    "p11_filter_stack",
+    oracle="""
+    SELECT o_orderkey FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE upper(c_mktsegment) = 'BUILDING'
+      AND o_orderstatus = 'O'
+      AND c_custkey NOT IN (11, 77, 200)
+    """,
+)
+def p11_filters(spark, sf_dir):
+    """P11: dropdown filter stack — membership semi-join (project
+    filter) + status filter + embargo/private anti-join, ANDed together
+    (IsolateQueryPage.pm:2639-2846)."""
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    members = tbl(spark, sf_dir, "customer").filter(
+        F.upper(F.col("c_mktsegment")) == "BUILDING"
+    )
+    embargo = spark.createDataFrame([(v,) for v in [11, 77, 200]], ["c_custkey"])
+    allowed = members.join(F.broadcast(embargo), on="c_custkey", how="left_anti")
+    return o.join(
+        allowed.select(F.col("c_custkey").alias("o_custkey")),
+        on="o_custkey",
+        how="left_semi",
+    ).select("o_orderkey")
+
+
+@register(
+    "p12_geo_point",
+    oracle="""
+    SELECT event_id, value AS lat, CAST(json_extract_string(props, '$.k')
+           AS DOUBLE) AS long
+    FROM events
+    WHERE value > 5.0 AND CAST(json_extract_string(props, '$.k') AS DOUBLE) <= 50.0
+    """,
+)
+def p12_geo(spark, sf_dir):
+    """P12: geography-point predicates — the point is a StructType
+    {lat, long} and comparisons address its fields, the Spark analogue
+    of ST_Y(f::geometry)/ST_X (IsolateQueryPage.pm:2520-2523)."""
+    e = tbl(spark, sf_dir, "events")
+    pt = F.struct(
+        F.col("value").alias("lat"),
+        F.get_json_object("props", "$.k").cast("double").alias("long"),
+    )
+    withpt = e.select("event_id", pt.alias("pt"))
+    return withpt.filter(
+        (F.col("pt.lat") > 5.0) & (F.col("pt.long") <= 50.0)
+    ).select("event_id", F.col("pt.lat").alias("lat"), F.col("pt.long").alias("long"))
+
+
+@register(
+    "o4_set_composition",
+    oracle="""
+    (SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+     JOIN region ON n_regionkey = r_regionkey WHERE upper(r_name) = 'EUROPE'
+     INTERSECT
+     SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 10)
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE upper(c_mktsegment) = 'MACHINERY'
+    """,
+)
+def o4_setops(spark, sf_dir):
+    """O4: set-operator composition of result sets (the reference only
+    composes via AND/OR of membership subqueries — INTERSECT/EXCEPT come
+    free in Spark)."""
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region").filter(F.upper(F.col("r_name")) == "EUROPE")
+    euro = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey")
+    )
+    busy = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    machinery = c.filter(F.upper(F.col("c_mktsegment")) == "MACHINERY").select(
+        "c_custkey"
+    )
+    return euro.intersect(busy).exceptAll(machinery).distinct()
+
+
+@register(
+    "c1_composite_field",
+    oracle="""
+    SELECT c_custkey,
+           concat(regexp_replace(c_name, '^Customer#0*', ''), ' [',
+                  regexp_replace(upper(c_mktsegment), 'URE$|ERY$', '.'), ']')
+               AS composite
+    FROM customer
+    """,
+)
+def c1_composite(spark, sf_dir):
+    """Composite fields: virtual columns concatenating fields with regex
+    transforms (composite_fields, sql/isolatedb.sql:1175; evaluated
+    row-at-a-time in Datastore.pm:261-361 — here one vectorized
+    expression)."""
+    c = tbl(spark, sf_dir, "customer")
+    composite = F.concat(
+        F.regexp_replace("c_name", "^Customer#0*", ""),
+        F.lit(" ["),
+        F.regexp_replace(F.upper(F.col("c_mktsegment")), "URE$|ERY$", "."),
+        F.lit("]"),
+    )
+    return c.select("c_custkey", composite.alias("composite"))
+
+
+_DNA_SQL = "upper(regexp_replace(text, '[^acgt]', '', 'g'))"
+
+
+@register(
+    "d9_polymorphic_sites",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DNA_SQL} AS seq FROM documents),
+    long AS (
+        SELECT i AS pos, substr(seq, i, 1) AS residue
+        FROM d, UNNEST(range(1, 21)) AS u(i)
+        WHERE length(seq) >= 20),
+    freq AS (SELECT pos, residue, count(*) AS n FROM long GROUP BY 1, 2)
+    SELECT pos, residue, n,
+           round(n * 100.0 / sum(n) OVER (PARTITION BY pos), 4) AS pct
+    FROM freq
+    """,
+)
+def d9_polymorphisms(spark, sf_dir):
+    """D9: per-position residue frequency over a locus's alleles
+    (LocusExplorer.pm:334 _snp / :811 get_freq_table) — posexplode to
+    long (pos, residue) then groupBy; percentage over a per-position
+    window."""
+    docs = tbl(spark, sf_dir, "documents")
+    d = docs.select(
+        F.upper(F.regexp_replace("text", "[^acgt]", "")).alias("seq")
+    ).filter(F.length("seq") >= 20)
+    long = d.select(
+        F.explode(F.sequence(F.lit(1), F.lit(20))).alias("pos"), "seq"
+    ).select("pos", F.substring(F.col("seq"), F.col("pos"), F.lit(1)).alias("residue"))
+    freq = long.groupBy("pos", "residue").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pos")
+    return freq.select(
+        "pos", "residue", "n",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(w), 4).alias("pct"),
+    )
+
+
+@register(
+    "d10_codon_usage",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DNA_SQL} AS seq FROM documents),
+    codons AS (
+        SELECT substr(seq, i * 3 + 1, 3) AS codon
+        FROM d, UNNEST(range(0, 10)) AS u(i)
+        WHERE length(seq) >= 30)
+    SELECT codon, count(*) AS n FROM codons GROUP BY codon
+    """,
+)
+def d10_codons(spark, sf_dir):
+    """D10: codon usage frequency (Plugins/CodonUsage.pm) — explode
+    non-overlapping 3-mers, groupBy codon."""
+    docs = tbl(spark, sf_dir, "documents")
+    d = docs.select(
+        F.upper(F.regexp_replace("text", "[^acgt]", "")).alias("seq")
+    ).filter(F.length("seq") >= 30)
+    codons = d.select(
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("i"), "seq"
+    ).select(F.substring(F.col("seq"), F.col("i") * 3 + 1, F.lit(3)).alias("codon"))
+    return codons.groupBy("codon").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "w5_next_id_assignment",
+    oracle="""
+    SELECT CAST(max(o_orderkey) + 1 AS BIGINT) AS next_id,
+           count(*) AS n_existing
+    FROM orders
+    """,
+)
+def w5_next_id(spark, sf_dir):
+    """W5: next-allele-id assignment — max+1 over existing ids
+    (Datastore.pm:2940 get_next_allele_id; retired-id skip is a filter
+    on the same aggregation)."""
+    o = tbl(spark, sf_dir, "orders")
+    return o.agg(
+        (F.max("o_orderkey") + 1).cast("long").alias("next_id"),
+        F.count(F.lit(1)).alias("n_existing"),
+    )
+
+
+@register("d5_lincode_assignment")  # sequential, order-dependent -> rows-only
+def d5_lincodes(spark, sf_dir):
+    """D5: LIN-code assignment over the anchored profile subset.
+    Sequential by construction (each code depends on all previously
+    assigned ones, lincodes.pl:177-330) — driver-orchestrated; the
+    distance scan is the vectorizable part. Verified against hand
+    fixtures in tests/test_stats_clustering.py."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % 40 == 0) & (F.col("l_orderkey") < 4000)
+    )
+    prof = build_profiles(
+        li, "l_orderkey", "l_linenumber", "l_returnflag"
+    ).select(
+        F.lpad(F.col("profile_key").cast("string"), 20, "0").alias("profile_key"),
+        "profile",
+    )
+    return assign_lincodes(spark, prof, thresholds=[2, 1])

@@ -1,0 +1,149 @@
+"""Schema registry validation, REST search parsing, job-queue
+semantics, and materialization refresh modes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigsdb_spark.cache import Materialization, should_use_cache
+from bigsdb_spark.jobs import DuplicateJobError, JobService, QuotaExceededError
+from bigsdb_spark.plans.rest import BadRequest, paging_links, parse_search
+from bigsdb_spark.registry import (
+    FieldDef,
+    TableDef,
+    load_table_def,
+    optlist_expansion,
+    optlist_predicate,
+    validation_errors,
+)
+
+TABLE = TableDef(
+    "isolates",
+    [
+        FieldDef("id", "int", required=True),
+        FieldDef("country", optlist=["France", "UK [England]", "UK [Scotland]"]),
+        FieldDef("year", "int", min=1900, max=2030),
+        FieldDef("isolate", regex="^iso-"),
+        FieldDef("serogroup", multiple=True),
+    ],
+)
+
+
+def test_struct_type_roundtrip():
+    st = TABLE.struct_type()
+    assert st["id"].nullable is False
+    assert st["serogroup"].dataType.simpleString() == "array<string>"
+    spec = {"name": "t", "fields": [{"name": "x", "type": "float"}]}
+    assert load_table_def(spec).struct_type()["x"].dataType.simpleString() == "double"
+
+
+def test_validation_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "France", 2010, "iso-1"),
+            (None, "Mars", 1850, "bad"),
+        ],
+        "id int, country string, year int, isolate string",
+    )
+    errs = validation_errors(df, TABLE).collect()
+    assert len(errs) == 1
+    assert set(errs[0].errors) == {
+        "id: required",
+        "country: not in optlist",
+        "year: below min",
+        "isolate: regex",
+    }
+
+
+def test_optlist_subvalue_expansion(spark):
+    assert optlist_expansion(TABLE.field("country"), "UK") == [
+        "UK",
+        "UK [England]",
+        "UK [Scotland]",
+    ]
+    df = spark.createDataFrame(
+        [("UK [England]",), ("France",), ("uk",)], "country string"
+    )
+    got = df.filter(optlist_predicate(TABLE.field("country"), "uk")).collect()
+    assert sorted(r.country for r in got) == ["UK [England]", "uk"]
+
+
+def test_rest_parse_roundtrip():
+    rq = parse_search(
+        {
+            "field.country": "France",
+            "field.year": {"operator": ">", "value": 2015},
+            "scheme.1.ST": 5,
+            "locus.abcZ": "7",
+            "page": 2,
+            "page_size": 50,
+        },
+        TABLE,
+    )
+    assert len(rq.spec.rows) == 2
+    assert rq.spec.offset == 50 and rq.spec.limit == 50
+    assert rq.scheme_filters[0][0] == 1
+    assert rq.locus_filters[0].field == "abcZ"
+
+
+def test_rest_typed_errors():
+    with pytest.raises(BadRequest, match="unknown field"):
+        parse_search({"field.nope": 1}, TABLE)
+    with pytest.raises(BadRequest, match="invalid operator"):
+        parse_search({"field.year": {"operator": "LIKE", "value": 1}}, TABLE)
+    with pytest.raises(BadRequest, match="unknown search category"):
+        parse_search({"bogus.key": 1}, TABLE)
+
+
+def test_paging_links():
+    assert paging_links(2, 10, 35) == {
+        "records": 35, "page": 2, "pages": 4, "previous": 1, "next": 3,
+    }
+
+
+def test_job_queue_priority_fifo_dedup_quota():
+    svc = JobService(user_quota=2)
+    a = svc.add_job("Breakdown", {"field": "country"}, user="u1", priority=5)
+    b = svc.add_job("Export", {"fmt": "tsv"}, user="u1", priority=1)
+    with pytest.raises(DuplicateJobError):
+        svc.add_job("Breakdown", {"field": "country"}, user="u2")
+    with pytest.raises(QuotaExceededError):
+        svc.add_job("Other", {"x": 1}, user="u1")
+    # priority first
+    assert svc.next_job().job_id == b.job_id
+    assert svc.next_job().job_id == a.job_id
+    svc.finish(a.job_id)
+    svc.finish(b.job_id)
+    # same-fingerprint resubmission allowed once finished
+    c = svc.add_job("Breakdown", {"field": "country"}, user="u2")
+    done = svc.run_next({"Breakdown": lambda field: f"ran:{field}"})
+    assert done.job_id == c.job_id and done.result == "ran:country"
+    assert svc.status(c.job_id)["status"] == "finished"
+
+
+def test_job_failure_is_status():
+    svc = JobService()
+    svc.add_job("Boom", {}, user="u1")
+    done = svc.run_next({"Boom": lambda: 1 / 0})
+    assert done.status == "failed" and "ZeroDivisionError" in done.result
+
+
+def test_materialization_swap_and_incremental(spark, tmp_path):
+    mat = Materialization(spark, str(tmp_path), "scheme_fields_1")
+    df1 = spark.createDataFrame([(1, "ST1"), (2, "ST2")], "id int, st string")
+    v0 = mat.refresh_full(df1)
+    assert mat.read().count() == 2 and v0 == "v_000000"
+    # incremental: isolate 2 changed, isolate 3 added
+    changed = spark.createDataFrame([(2,), (3,)], "id int")
+    recomputed = spark.createDataFrame([(2, "ST9"), (3, "ST3")], "id int, st string")
+    mat.refresh_incremental(recomputed, changed, "id")
+    got = {r.id: r.st for r in mat.read().collect()}
+    assert got == {1: "ST1", 2: "ST9", 3: "ST3"}
+    # old version still intact on disk until vacuumed (atomic swap)
+    assert mat.current_version() == "v_000001"
+
+
+def test_cache_policy_thresholds():
+    assert not should_use_cache(7)
+    assert should_use_cache(1000)
