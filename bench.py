@@ -19,6 +19,7 @@ import sys
 import time
 
 from bigsdb_spark.inventory import QUERIES
+from bigsdb_spark.inventory.typing import _pairs_memo
 from bigsdb_spark.session import get_spark
 
 HEADLINE = [
@@ -57,6 +58,13 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # each query is timed cold: drop caches the previous query pinned
+        # and force a JVM GC — pending broadcast/shuffle cleanup otherwise
+        # thrashes allocation-heavy later queries (measured 5x on the
+        # nested-loop cosine join)
+        spark.catalog.clearCache()
+        _pairs_memo.clear()
+        spark.sparkContext._jvm.System.gc()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

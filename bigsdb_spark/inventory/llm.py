@@ -122,9 +122,11 @@ def dedup_jaccard(spark, sf_dir):
     """N-gram Jaccard verification of the LSH candidates — the two-stage
     scale path: LSH prunes the pair space, candidate-driven intersection
     joins verify. Work is linear in candidates, not corpus²."""
-    # cache the shingle set: it feeds the signature pipeline AND both
-    # sides of the candidate intersection join (3 consumers)
+    # cache + materialize the shingle set: it feeds the signature
+    # pipeline AND both sides of the candidate intersection join
+    # (3 consumers in one job would race a cold cache)
     sh = word_shingles(tbl(spark, sf_dir, "documents"), "doc_id", "text", k=3).cache()
+    sh.count()
     sig = minhash_signatures(sh, n_hashes=8)
     cand = lsh_candidate_pairs(sig, n_hashes=8, band_size=2)
     return ngram_jaccard(sh, pairs=cand)

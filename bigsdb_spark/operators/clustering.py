@@ -38,7 +38,13 @@ def single_linkage(pairs: DataFrame, nodes: DataFrame, max_iter: int = 50) -> Da
         pairs.select("id1", "id2")
         .union(pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
         .distinct()
+        .localCheckpoint(eager=True)  # joined every round: don't re-run the
+        # upstream pair-distance self-join once per iteration
     )
+    # right-size the iteration: a small graph on 32 shuffle partitions
+    # pays ~32x task overhead per round for nothing
+    if edges.count() < 1_000_000:
+        edges = edges.repartition(8, "id2").localCheckpoint(eager=True)
     labels = nodes.select(F.col(nodes.columns[0]).alias("id")).withColumn(
         "group_id", F.col("id")
     )
@@ -49,12 +55,22 @@ def single_linkage(pairs: DataFrame, nodes: DataFrame, max_iter: int = 50) -> Da
             .agg(F.min("group_id").alias("nbr_min"))
             .withColumnRenamed("id1", "id")
         )
+        # pointer-halving: also chase one hop through the label table
+        # (label(label(id))) so convergence is ~log(diameter) rounds —
+        # each Spark round costs a fixed scheduling overhead, so fewer,
+        # fatter rounds win at any scale
+        parent = labels.select(
+            F.col("id").alias("group_id"), F.col("group_id").alias("grandparent")
+        )
         updated = (
             labels.join(neighbor_min, on="id", how="left")
+            .join(parent, on="group_id", how="left")
             .select(
                 "id",
                 F.least(
-                    F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
+                    F.col("group_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("group_id")),
+                    F.coalesce(F.col("grandparent"), F.col("group_id")),
                 ).alias("group_id"),
             )
         )

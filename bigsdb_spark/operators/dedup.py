@@ -58,22 +58,29 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Distinct k-word shingles per document (UDTF-shaped: one doc ->
-    many rows). 1-based element_at keeps parity with SQL oracles."""
-    toks = F.split(normalized_text(F.col(text_col)), " ")
-    # guard: F.sequence(1, 0) would produce a DESCENDING [1, 0] sequence
-    idx = F.when(
-        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    shingle = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]
+    many rows).
+
+    Built as posexplode + lead() windows rather than a transform()
+    lambda over the token array: Catalyst collapses projections, so an
+    array-lambda that indexes the tokenization re-evaluates the full
+    split+regex per element access — quadratic per document. The window
+    shuffles on doc once (the same partitioning the downstream
+    signature groupBy needs) and does linear work.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "pos", "tok"
         ),
     )
-    return (
-        df.select(F.col(id_col).alias("doc"), F.explode(shingle).alias("shingle"))
-        .distinct()
-    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    shingled = toks.select(
+        "doc", F.concat_ws(" ", *leads).alias("shingle"), leads[-1].alias("_last")
+    ).filter(F.col("_last").isNotNull())
+    return shingled.select("doc", "shingle").distinct()
 
 
 def minhash_signatures(
@@ -119,6 +126,8 @@ def lsh_candidate_pairs(
         .select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
         .cache()  # self-joined below; don't recompute the signature pipeline twice
     )
+    banded.count()  # materialize BEFORE the self-join: both join subtrees
+    # of one job would otherwise race a cold cache and compute it twice
     a = banded.alias("a")
     b = banded.alias("b")
     return (
