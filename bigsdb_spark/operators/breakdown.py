@@ -40,6 +40,14 @@ def crosstab_pct(df: DataFrame, f1: str, f2: str) -> DataFrame:
     )
 
 
+def crosstab_wide(df: DataFrame, f1: str, f2: str, values: list | None = None) -> DataFrame:
+    """A2 wide form: one row per f1 value, one column per f2 value
+    (df.groupBy(f1).pivot(f2)). Pass ``values`` at scale to skip the
+    distinct-values discovery pass and keep the schema stable."""
+    piv = df.groupBy(f1).pivot(f2, values) if values else df.groupBy(f1).pivot(f2)
+    return piv.count().na.fill(0)
+
+
 def combination_counts(
     df: DataFrame, fields: list[str], rollup: bool = False, null_label: str = "<blank>"
 ) -> DataFrame:

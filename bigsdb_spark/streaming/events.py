@@ -48,6 +48,56 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful exact dedup on a stream: first occurrence of each key
+    wins; state for keys older than the watermark is dropped — bounded
+    state, the streaming twin of the batch hash-dedup
+    (operators/dedup.py::exact_duplicates)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def streaming_running_counts(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator shape: per-key running aggregates kept in
+    GroupState via applyInPandasWithState — the pattern for incremental
+    scheme-cache maintenance on a designation stream (SURVEY §2.9).
+    Emits (key, n, total_value) updates per batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, n long, total_value double"
+    state_schema = "n long, total_value double"
+
+    def _update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total_value": [round(total, 2)]})
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, out_path: str) -> None:
     """Drain the stream with trigger=availableNow into parquet — the
     batch-equivalence harness used by the tests."""
@@ -60,3 +110,18 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, out_path: str) -> N
         .start()
     )
     q.awaitTermination()
+
+
+def run_available_now_memory(stream_df: DataFrame, name: str, mode: str = "update"):
+    """Drain into an in-memory table (update-mode sinks — e.g.
+    applyInPandasWithState — can't write parquet). Returns the result
+    DataFrame registered under ``name``."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

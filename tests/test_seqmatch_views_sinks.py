@@ -1,0 +1,110 @@
+"""Exact sequence-match paths (allele lookup, contig scan, mutation
+flags, external pipe), access-control views, and export sinks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigsdb_spark.operators.seqmatch import (
+    ExternalTool,
+    exact_allele_lookup,
+    mutation_scan,
+    scan_contigs_exact,
+)
+from bigsdb_spark.sources.sinks import write_fasta, write_tsv
+from bigsdb_spark.views import UserContext, make_view
+
+ALLELES = [
+    ("abcZ", "1", "ACGTACGT"),
+    ("abcZ", "2", "ACGTACGA"),
+    ("adk", "1", "TTTTCCCC"),
+    ("short", "1", "ACG"),
+]
+
+
+def test_exact_allele_lookup(spark):
+    alleles = spark.createDataFrame(ALLELES, "locus string, allele_id string, sequence string")
+    queries = spark.createDataFrame(
+        [(1, "acgtacga"), (2, "GGGGGGGG")], "query_id int, sequence string"
+    )
+    got = exact_allele_lookup(queries, alleles).collect()
+    assert [(r.query_id, r.locus, r.allele_id) for r in got] == [(1, "abcZ", "2")]
+
+
+def test_scan_contigs_exact_tags(spark):
+    alleles = spark.createDataFrame(ALLELES, "locus string, allele_id string, sequence string")
+    # contig contains abcZ-1 at pos 3 and adk-1 at pos 11, 'short'-1 at 1
+    contig = "ACACGTACGTTTTTCCCCAA"
+    contigs = spark.createDataFrame([(10, contig)], "id long, sequence string")
+    got = {
+        (r.locus, r.allele_id): (r.start_pos, r.end_pos)
+        for r in scan_contigs_exact(contigs, alleles).collect()
+    }
+    assert got[("abcZ", "1")] == (3, 10)
+    assert got[("adk", "1")] == (11, 18)
+    assert ("short", "1") in got  # ACG occurs (first match at 1? pos 2?)
+
+
+def test_mutation_scan_flags(spark):
+    alleles = spark.createDataFrame(
+        [("penA", "1", "ACGT"), ("penA", "2", "AGGT")],
+        "locus string, allele_id string, sequence string",
+    )
+    muts = spark.createDataFrame(
+        [("penA", 2, "C", "G")], "locus string, position int, wild_type string, variant string"
+    )
+    got = {r.allele_id: (r.observed, r.is_variant, r.is_wild_type)
+           for r in mutation_scan(alleles, muts).collect()}
+    assert got["1"] == ("C", False, True)
+    assert got["2"] == ("G", True, False)
+
+
+def test_external_tool_pipe(spark):
+    tool = ExternalTool(["sort"])
+    assert tool.available()
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], "line string")
+    got = [r.line for r in tool.pipe_lines(df.coalesce(1), "line").collect()]
+    assert got == ["a", "b", "c"]
+    assert not ExternalTool(["definitely-not-a-binary"]).available()
+
+
+def test_view_factory_roles(spark):
+    isolates = spark.createDataFrame(
+        [(1, None), (2, None), (3, 4), (4, None), (5, None)],
+        "id int, new_version int",
+    )
+    private = spark.createDataFrame(
+        [(2, 7, None), (4, 8, "2020-01-01"), (5, 9, "2030-01-01")],
+        "isolate_id int, owner_id int, embargo_date string",
+    )
+    members = spark.createDataFrame([(100, 5)], "project_id int, isolate_id int")
+
+    anon = make_view(isolates, UserContext(), private, members, today="2026-08-13")
+    # 1 public; 2 private; 3 superseded version; 4 embargo passed; 5 embargoed
+    assert sorted(r.id for r in anon.collect()) == [1, 4]
+
+    owner = make_view(
+        isolates, UserContext(user_id=7), private, members, today="2026-08-13"
+    )
+    assert sorted(r.id for r in owner.collect()) == [1, 2, 4]
+
+    project_user = make_view(
+        isolates, UserContext(user_id=99, project_ids=[100]), private, members,
+        today="2026-08-13",
+    )
+    assert sorted(r.id for r in project_user.collect()) == [1, 4, 5]
+
+    admin = make_view(isolates, UserContext(admin=True), private, members)
+    assert sorted(r.id for r in admin.collect()) == [1, 2, 4, 5]
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "ACGT"), (2, "TTTT")], "id int, seq string")
+    tsv = str(tmp_path / "out_tsv")
+    write_tsv(df, tsv, single_file=True)
+    back = spark.read.option("sep", "\t").option("header", True).csv(tsv)
+    assert back.count() == 2 and back.columns == ["id", "seq"]
+    fa = str(tmp_path / "out_fa")
+    write_fasta(df, "id", "seq", fa)
+    text = "\n".join(r.value for r in spark.read.text(fa).collect())
+    assert ">1" in text and "ACGT" in text

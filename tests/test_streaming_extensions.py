@@ -1,0 +1,64 @@
+"""Streaming dedup + stateful running counts (availableNow harness)
+and the wide crosstab pivot."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigsdb_spark.operators.breakdown import crosstab_wide
+from bigsdb_spark.streaming.events import (
+    read_event_stream,
+    run_available_now,
+    run_available_now_memory,
+    streaming_dedup,
+    streaming_running_counts,
+)
+
+
+def _write_events(spark, path):
+    rows = [
+        (1, "2024-01-01 00:00:01", "click", 1.0),
+        (1, "2024-01-01 00:10:00", "click", 2.0),  # duplicate event_id
+        (2, "2024-01-01 00:20:00", "view", 3.0),
+        (3, "2024-01-01 00:30:00", "click", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    df.coalesce(1).write.parquet(path)
+    return df
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events(spark, src)
+    stream = read_event_stream(spark, src, max_files=16)
+    dedup = streaming_dedup(stream, ["event_id"])
+    out = str(tmp_path / "out")
+    run_available_now(dedup, str(tmp_path / "ckpt"), out)
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # one duplicate dropped
+    assert got.filter(F.col("event_id") == 1).count() == 1
+
+
+def test_streaming_stateful_counts(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    _write_events(spark, src)
+    stream = read_event_stream(spark, src, max_files=16)
+    counts = streaming_running_counts(stream, "event_type")
+    result = run_available_now_memory(counts, "running_counts")
+    got = {r.event_type: (r.n, r.total_value) for r in result.collect()}
+    assert got["click"] == (3, 7.0)
+    assert got["view"] == (1, 3.0)
+
+
+def test_crosstab_wide(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("a", "x")], "f1 string, f2 string"
+    )
+    got = {r.f1: r.asDict() for r in crosstab_wide(df, "f1", "f2").collect()}
+    assert got["a"]["x"] == 2 and got["a"]["y"] == 1
+    assert got["b"]["x"] == 1 and got["b"]["y"] == 0
+    # stable schema with explicit values
+    wide = crosstab_wide(df, "f1", "f2", values=["x", "y", "z"])
+    assert wide.columns == ["f1", "x", "y", "z"]
