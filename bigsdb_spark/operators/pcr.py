@@ -1,0 +1,92 @@
+"""In-silico PCR (SURVEY §2.8 F12).
+
+The reference shells out to ipcress (Plugins/PCR.pm; pcr/probes tables
+sql/isolatedb.sql:786-860) to find regions amplified by primer pairs.
+The exact-match (0-mismatch) tier is pure Spark: locate every forward
+primer occurrence and every reverse-complement-of-reverse-primer
+occurrence on a contig, join occurrences per contig, keep pairs whose
+product length falls within bounds. Occurrence discovery is the same
+windowed-substring explode as the exact autotagger; the pairing is a
+range-predicate join on the contig key.
+
+Mismatch-tolerant matching belongs to the ExternalTool pipe tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigsdb_spark.functions.sequence import reverse_complement
+
+
+def _occurrences(contigs: DataFrame, primer_col: str, primers: DataFrame,
+                 contig_id: str, contig_seq: str, out: str) -> DataFrame:
+    """All (contig, primer, position) exact occurrences; one explode per
+    distinct primer length (bounded — primers are short)."""
+    lengths = [r.L for r in primers.select(F.length(primer_col).alias("L")).distinct().collect()]
+    p = primers.select(
+        F.col("primer_id"), F.upper(F.col(primer_col)).alias("_p"),
+        F.length(primer_col).alias("_len"),
+    )
+    result = None
+    for L in lengths:
+        windows = (
+            contigs.select(F.col(contig_id).alias("_cid"), F.upper(F.col(contig_seq)).alias("_seq"))
+            .filter(F.length("_seq") >= L)
+            .select(
+                "_cid",
+                F.posexplode(
+                    F.expr(
+                        f"transform(sequence(1, length(_seq) - {L} + 1),"
+                        f" i -> substring(_seq, i, {L}))"
+                    )
+                ).alias("_pos0", "_win"),
+            )
+            .select("_cid", (F.col("_pos0") + 1).alias(out), F.col("_win"))
+        )
+        hits = windows.join(
+            F.broadcast(p.filter(F.col("_len") == L)), windows["_win"] == p["_p"]
+        ).select("_cid", "primer_id", out)
+        result = hits if result is None else result.unionByName(hits)
+    return result
+
+
+def insilico_pcr(
+    contigs: DataFrame,
+    primer_pairs: DataFrame,
+    contig_id: str = "id",
+    contig_seq: str = "sequence",
+    max_product: int = 5000,
+) -> DataFrame:
+    """``primer_pairs``: (pair_id, forward, reverse). Returns
+    (contig id, pair_id, start_pos, end_pos, product_len) for every
+    amplicon: forward primer match followed, within ``max_product``
+    bases, by the reverse complement of the reverse primer."""
+    fwd = primer_pairs.select(
+        F.col("pair_id").alias("primer_id"), F.col("forward").alias("p")
+    )
+    rev = primer_pairs.select(
+        F.col("pair_id").alias("primer_id"),
+        reverse_complement(F.col("reverse")).alias("p"),
+    )
+    f_occ = _occurrences(contigs, "p", fwd, contig_id, contig_seq, "f_pos")
+    r_occ = _occurrences(contigs, "p", rev, contig_id, contig_seq, "r_pos")
+    rev_len = primer_pairs.select(
+        F.col("pair_id").alias("primer_id"), F.length("reverse").alias("_rlen")
+    )
+    joined = (
+        f_occ.join(r_occ, on=["_cid", "primer_id"])
+        .join(F.broadcast(rev_len), on="primer_id")
+        .filter(
+            (F.col("r_pos") > F.col("f_pos"))
+            & (F.col("r_pos") + F.col("_rlen") - F.col("f_pos") <= max_product)
+        )
+    )
+    return joined.select(
+        F.col("_cid").alias(contig_id),
+        F.col("primer_id").alias("pair_id"),
+        F.col("f_pos").alias("start_pos"),
+        (F.col("r_pos") + F.col("_rlen") - 1).alias("end_pos"),
+        (F.col("r_pos") + F.col("_rlen") - F.col("f_pos")).alias("product_len"),
+    )

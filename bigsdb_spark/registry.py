@@ -93,10 +93,10 @@ def load_table_def(spec: dict) -> TableDef:
 
 # ------------------------------------------------------------ validation
 
-def validation_errors(df: DataFrame, table: TableDef) -> DataFrame:
+def with_validation(df: DataFrame, table: TableDef) -> DataFrame:
     """Row-level validation — one pass, one expression per rule, all
-    rules evaluated vectorized; returns (row plus an `errors` array
-    column, keeping only invalid rows). The reference validates
+    rules evaluated vectorized; returns every row plus an ``errors``
+    array column (empty when valid). The reference validates
     row-at-a-time in Perl during batch upload (CurateBatchAddPage.pm,
     check_format QueryPage.pm:293-350)."""
     checks: list[Column] = []
@@ -131,11 +131,13 @@ def validation_errors(df: DataFrame, table: TableDef) -> DataFrame:
                 ).otherwise(F.lit(None))
             )
     if not checks:
-        return df.withColumn("errors", F.array().cast("array<string>")).filter(
-            F.lit(False)
-        )
-    errors = F.array_compact(F.array(*checks))
-    return df.withColumn("errors", errors).filter(F.size("errors") > 0)
+        return df.withColumn("errors", F.array().cast("array<string>"))
+    return df.withColumn("errors", F.array_compact(F.array(*checks)))
+
+
+def validation_errors(df: DataFrame, table: TableDef) -> DataFrame:
+    """Only the invalid rows, with their error list."""
+    return with_validation(df, table).filter(F.size("errors") > 0)
 
 
 def optlist_expansion(field_def: FieldDef, value: str) -> list[str]:

@@ -1,0 +1,46 @@
+"""CSV/TSV batch loader with validation (SURVEY §2.1 S3).
+
+The reference's curator batch-add (CurateBatchAddPage.pm, 2185 LoC of
+row-at-a-time Perl validation) becomes: spark.read.csv with the
+registry schema, one vectorized validation pass, and a (valid, invalid)
+split — invalid rows carry their error list for the curation UI.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigsdb_spark.registry import TableDef, with_validation
+
+
+def batch_load_csv(
+    spark: SparkSession,
+    path: str,
+    table: TableDef,
+    sep: str = "\t",
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (valid_rows, invalid_rows_with_errors). Header names must
+    match the registry field names; extra columns are rejected the way
+    the reference's header check does (SubmissionHandler)."""
+    raw = spark.read.option("header", True).option("sep", sep).csv(path)
+    known = {f.name for f in table.fields}
+    extra = [c for c in raw.columns if c not in known]
+    if extra:
+        raise ValueError(f"unknown columns in upload: {extra}")
+    # try_cast to registry types: malformed values become NULL and trip
+    # the 'required' rule rather than crashing the load (ANSI-mode cast
+    # would throw on the first bad cell)
+    typed = raw.select(
+        *[
+            F.col(f.name).try_cast(f.spark_type()).alias(f.name)
+            for f in table.fields
+            if f.name in raw.columns and not f.multiple
+        ]
+    )
+    # single flagged pass, then split on the error list — an anti-join
+    # split would lose rows whose key is NULL (null-unsafe equality)
+    flagged = with_validation(typed, table)
+    valid = flagged.filter(F.size("errors") == 0).drop("errors")
+    invalid = flagged.filter(F.size("errors") > 0)
+    return valid, invalid

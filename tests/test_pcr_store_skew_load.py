@@ -1,0 +1,115 @@
+"""In-silico PCR, query store round-trip, skew utilities, batch loader,
+and the wide profile export (GrapeTree shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigsdb_spark.operators.pcr import insilico_pcr
+from bigsdb_spark.operators.profiles import build_profiles
+from bigsdb_spark.operators.skew import salted_aggregate, salted_join
+from bigsdb_spark.plans.querystore import QueryStore
+from bigsdb_spark.plans.queryspec import FormRow, QuerySpec
+from bigsdb_spark.registry import FieldDef, TableDef
+from bigsdb_spark.sources.batchload import batch_load_csv
+
+
+def test_insilico_pcr(spark):
+    #          1         2         3
+    # 123456789012345678901234567890123456
+    # forward GGAATT at 4; reverse primer CCTTGG -> revcomp CCAAGG at 16
+    contig = "AAAGGAATTCCCCCCCCAAGGTTT"
+    contigs = spark.createDataFrame([(1, contig)], "id long, sequence string")
+    pairs = spark.createDataFrame(
+        [("p1", "GGAATT", "CCTTGG")], "pair_id string, forward string, reverse string"
+    )
+    got = insilico_pcr(contigs, pairs).collect()
+    assert len(got) == 1
+    amp = got[0]
+    assert amp.start_pos == 4
+    assert contig[amp.start_pos - 1 : amp.end_pos] == "GGAATTCCCCCCCCAAGG"
+    assert amp.product_len == 18
+    # product cap excludes the pair
+    assert insilico_pcr(contigs, pairs, max_product=10).count() == 0
+
+
+def test_query_store_roundtrip(spark, tmp_path):
+    store = QueryStore(str(tmp_path / "queries"))
+    spec = QuerySpec(
+        rows=[FormRow("country", "=", "France")],
+        order_by=[("id", True)],
+        limit=2,
+    )
+    qid = store.save(spec)
+    assert store.save(spec) == qid  # content-addressed: same spec, same id
+    view = spark.createDataFrame(
+        [(1, "France"), (2, "france"), (3, "Spain")], "id int, country string"
+    )
+    got = [r.id for r in store.run(qid, view).collect()]
+    assert got == [1, 2]
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(100)] + [("cold", 1.0)],
+        "k string, v double",
+    )
+    got = {
+        r.k: (r.count_k, r.sum_v)
+        for r in salted_aggregate(df, "k", {"k": "count", "v": "sum"}).collect()
+    }
+    assert got["hot"] == (100, sum(range(100)))
+    assert got["cold"] == (1, 1.0)
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.createDataFrame([("a", i) for i in range(50)], "k string, v int")
+    small = spark.createDataFrame([("a", "dim")], "k string, label string")
+    plain = big.join(small, on="k").count()
+    assert salted_join(big, small, "k").count() == plain
+
+
+def test_batch_load_validation_split(spark, tmp_path):
+    table = TableDef(
+        "isolates",
+        [
+            FieldDef("id", "int", required=True),
+            FieldDef("country", optlist=["France", "Spain"]),
+            FieldDef("year", "int", min=1900, max=2030),
+        ],
+    )
+    p = tmp_path / "upload.tsv"
+    p.write_text(
+        "id\tcountry\tyear\n"
+        "1\tFrance\t2010\n"
+        "2\tMars\t2011\n"       # bad optlist
+        "notanint\tSpain\t1800\n"  # id cast fails -> required; year below min
+    )
+    valid, invalid = batch_load_csv(spark, str(p), table)
+    assert [r.id for r in valid.collect()] == [1]
+    errs = {tuple(r.errors) for r in invalid.collect()}
+    assert ("country: not in optlist",) in errs
+    assert ("id: required", "year: below min") in errs
+    # unknown column rejected like the reference's header check
+    p2 = tmp_path / "bad.tsv"
+    p2.write_text("id\tbogus\n1\tx\n")
+    try:
+        batch_load_csv(spark, str(p2), table)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "bogus" in str(e)
+
+
+def test_wide_profile_export_shape(spark):
+    """D8: the GrapeTree/PhyloViz input is the wide profile table —
+    id + one column per locus (Plugins/GrapeTree.pm)."""
+    rows = [(1, "a", "1"), (1, "b", "2"), (2, "a", "3"), (2, "b", "4")]
+    long_df = spark.createDataFrame(rows, "iso int, locus string, allele string")
+    prof = build_profiles(long_df, "iso", "locus", "allele")
+    loci = ["a", "b"]
+    wide = prof.select(
+        "profile_key",
+        *[F.col("profile")[i].alias(loci[i]) for i in range(len(loci))],
+    )
+    got = {r.profile_key: (r.a, r.b) for r in wide.collect()}
+    assert got == {1: ("1", "2"), 2: ("3", "4")}
