@@ -59,6 +59,51 @@ def a2_crosstab(spark, sf_dir):
 
 
 @register(
+    "a2_crosstab_wide",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(sum(CASE WHEN r_name = 'AFRICA' THEN 1 ELSE 0 END) AS BIGINT) AS africa,
+           CAST(sum(CASE WHEN r_name = 'AMERICA' THEN 1 ELSE 0 END) AS BIGINT) AS america,
+           CAST(sum(CASE WHEN r_name = 'ASIA' THEN 1 ELSE 0 END) AS BIGINT) AS asia,
+           CAST(sum(CASE WHEN r_name = 'EUROPE' THEN 1 ELSE 0 END) AS BIGINT) AS europe,
+           CAST(sum(CASE WHEN r_name = 'MIDDLE EAST' THEN 1 ELSE 0 END) AS BIGINT)
+               AS middle_east
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY c_mktsegment
+    """,
+)
+def a2_wide(spark, sf_dir):
+    """A2 wide form: groupBy().pivot() with explicit values — the
+    stable-schema scale path (no distinct-discovery pass)."""
+    from bigsdb_spark.operators.breakdown import crosstab_wide
+
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    j = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    wide = crosstab_wide(
+        j, "c_mktsegment", "r_name",
+        values=["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+    )
+    renames = {
+        "AFRICA": "africa", "AMERICA": "america", "ASIA": "asia",
+        "EUROPE": "europe", "MIDDLE EAST": "middle_east",
+    }
+    out = wide
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select(
+        "c_mktsegment",
+        *[F.col(v).cast("long").alias(v) for v in renames.values()],
+    )
+
+
+@register(
     "a3_rollup_combinations",
     oracle="""
     SELECT coalesce(o_orderpriority, '<all>') AS o_orderpriority,

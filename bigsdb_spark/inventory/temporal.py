@@ -47,6 +47,37 @@ def stream_tumbling(spark, sf_dir):
 
 
 @register(
+    "stream_dedup_events",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, event_id, epoch_ns(ts) AS tns
+               FROM events),
+    ranked AS (
+        SELECT user_id, event_type, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY tns, event_id) AS rn
+        FROM e)
+    SELECT user_id, event_type, event_id AS first_event_id
+    FROM ranked WHERE rn = 1
+    """,
+)
+def stream_dedup_batch(spark, sf_dir):
+    """Batch twin of the streaming stateful dedup
+    (streaming/events.py::streaming_dedup): first event per
+    (user, type) key wins — deterministic argmin window with id
+    tiebreak."""
+    from pyspark.sql import Window
+
+    e = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+@register(
     "stream_sessionize",
     oracle="""
     WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t FROM events),

@@ -36,6 +36,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Spark only reads as a long (nanos since epoch) via this conf;
     # downstream operators treat a bigint ts as epoch-nanos.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp rendering (date_format / cast-from-string) must match the
+    # DuckDB oracles, which treat timestamps as naive values — pin UTC
+    # even when the caller's session was built with another timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
