@@ -301,6 +301,19 @@ def mm_binary(spark, sf_dir):
     return binary_metadata(payloads, "doc_id", "payload")
 
 
+@register("sim_ivf_kmeans")  # MLlib k-means seeds aren't reproducible in SQL
+def sim_ivf(spark, sf_dir):
+    """True IVF ANN: k-means|| coarse quantizer partitions the corpus,
+    search runs per-cell (equi-join on centroid id). Recall measured
+    against the brute-force baseline in tests/test_dedup_similarity.py."""
+    from bigsdb_spark.operators.similarity import ivf_kmeans_ann
+
+    return ivf_kmeans_ann(
+        tbl(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        n_centroids=8, top_k=5,
+    )
+
+
 @register("mm_feature_extract")  # stubbed decode -> rows-only check
 def mm_features(spark, sf_dir):
     """Multimodal decode/feature-extract via Arrow-batched mapInPandas.

@@ -164,21 +164,28 @@ def assign_scheme_fields(
 
     if total_loci is None:
         raise ValueError("total_loci required for the wildcard path")
-    # Long-form inverted-index join: explode both sides with position;
-    # definition-side 'N' rows are exploded to match via a dedicated key.
+    # Long-form inverted-index join, split so the BIG join is a clean
+    # equi-join: an OR condition (def==allele OR def=='N') would force a
+    # hash join on `pos` alone — with ~total_loci distinct positions
+    # that is a near-cross-join per position. Instead:
+    #   exact rows    -> equi-join on (pos, allele)   [the big path]
+    #   wildcard rows -> join on pos only             [few rows by design]
     iso = isolate_profiles.select(
         "profile_key", F.posexplode("profile").alias("pos", "allele")
     )
     sch = scheme_profiles.select(
         "st", F.posexplode("profile").alias("pos", "def_allele")
     )
-    matched = iso.join(
-        sch,
-        (iso["pos"] == sch["pos"])
-        & ((sch["def_allele"] == iso["allele"]) | (sch["def_allele"] == WILDCARD)),
-    )
+    exact = iso.join(
+        sch.filter(F.col("def_allele") != WILDCARD),
+        (iso["pos"] == sch["pos"]) & (iso["allele"] == sch["def_allele"]),
+    ).select("profile_key", "st")
+    wild = iso.join(
+        sch.filter(F.col("def_allele") == WILDCARD), on=iso["pos"] == sch["pos"]
+    ).select("profile_key", "st")
     hits = (
-        matched.groupBy("profile_key", "st")
+        exact.unionByName(wild)
+        .groupBy("profile_key", "st")
         .agg(F.count(F.lit(1)).alias("n_match"))
         .filter(F.col("n_match") == total_loci)
     )

@@ -95,6 +95,53 @@ def sign_bucket(vec_col, dims: int = 3) -> Column:
     return bucket
 
 
+def ivf_kmeans_ann(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    top_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """True IVF: k-means|| coarse centroids (Spark MLlib) partition the
+    corpus; per-query search runs only inside the query's own cell.
+
+    Returns per-vector top-k neighbours within its cell:
+    (qid, nn_id, cosine, centroid). Recall/cost trades with
+    ``n_centroids`` — the standard IVF knob. The centroid assignment is
+    one MLlib transform; the search is a self-equi-join on the centroid
+    id (hash join), never a cross join.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("e"),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feat)
+    assigned = model.transform(feat).select(
+        "id", "e", F.col("prediction").alias("centroid"), _norm(F.col("e")).alias("n")
+    )
+    a = assigned.select(
+        F.col("id").alias("qid"), F.col("e").alias("e1"),
+        F.col("n").alias("n1"), "centroid",
+    )
+    b = assigned.select(
+        F.col("id").alias("nn_id"), F.col("e").alias("e2"),
+        F.col("n").alias("n2"), "centroid",
+    )
+    pairs = a.join(b, on="centroid").filter(F.col("qid") != F.col("nn_id"))
+    scored = with_cosine(pairs).select("qid", "nn_id", "cosine", "centroid")
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= top_k
+    ).drop("rn")
+
+
 def bucketed_ann_pairs(
     emb: DataFrame, id_col: str, vec_col: str, dims: int = 3, min_cosine: float = 0.0
 ) -> DataFrame:

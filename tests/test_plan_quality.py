@@ -1,0 +1,63 @@
+"""Physical-plan regression guards: the scale properties the engine
+promises must be visible in the plans Catalyst actually produces —
+pushdown reaching the scan, pruned read schemas, broadcast dimension
+joins, and equi- (not nested-loop) joins on the split wildcard path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigsdb_spark.inventory import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(QUERIES["s1_view_scan"](spark, SF))
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+
+
+def test_column_pruning(spark):
+    plan = plan_of(QUERIES["s1_view_scan"](spark, SF))
+    assert "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>" in plan
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(QUERIES["j8_multihop_rollup"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_join_is_hash_join(spark):
+    plan = plan_of(QUERIES["dedup_minhash_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wildcard_scheme_join_is_equi(spark):
+    """The A5 wildcard path must plan the big (exact) side as an
+    equi-join on (pos, allele) — an OR condition would degrade to a
+    nested-loop/position-only join."""
+    from bigsdb_spark.operators.profiles import assign_scheme_fields, build_profiles
+
+    long_df = spark.createDataFrame(
+        [(1, "a", "1"), (1, "b", "2")], "iso int, locus string, allele string"
+    )
+    prof = build_profiles(long_df, "iso", "locus", "allele")
+    scheme = spark.createDataFrame(
+        [("9", ["N", "2"])], "st string, profile array<string>"
+    ).withColumn("profile_md5", F.md5(F.array_join("profile", ",")))
+    out = assign_scheme_fields(prof, scheme, allow_missing_loci=True, total_loci=2)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_no_cartesian(spark):
+    plan = plan_of(QUERIES["j10_interval_containment"](spark, SF))
+    assert "CartesianProduct" not in plan

