@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "sim_brute_topk",
+    "sim_brute_topk_np",
     "sim_bucketed_ann",
     "t_quality_score",
     "stream_sessionize",
@@ -50,8 +51,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    # warm the JVM + parquet footers once so timings measure the queries
+    # warm the JVM, parquet footers, broadcast machinery and the python
+    # UDF workers once so timings measure the queries, not cold-start
     QUERIES["s1_view_scan"](spark, sf_dir).count()
+    QUERIES["j8_multihop_rollup"](spark, sf_dir).count()
+    spark.range(1000).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     for name in HEADLINE:
         t0 = time.time()
         df = QUERIES[name](spark, sf_dir)

@@ -301,6 +301,18 @@ def mm_binary(spark, sf_dir):
     return binary_metadata(payloads, "doc_id", "payload")
 
 
+@register("sim_brute_topk_np")  # numpy BLAS path; equality vs the
+# expression version is asserted in tests — rows-only here
+def sim_topk_np(spark, sf_dir):
+    """Vectorized brute-force top-k (Arrow + numpy block matmul) — the
+    fast path for the same computation as sim_brute_topk."""
+    from bigsdb_spark.operators.similarity import cosine_topk_pairs_np
+
+    return cosine_topk_pairs_np(
+        tbl(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=20
+    )
+
+
 @register("sim_ivf_kmeans")  # MLlib k-means seeds aren't reproducible in SQL
 def sim_ivf(spark, sf_dir):
     """True IVF ANN: k-means|| coarse quantizer partitions the corpus,

@@ -95,6 +95,62 @@ def sign_bucket(vec_col, dims: int = 3) -> Column:
     return bucket
 
 
+def cosine_topk_pairs_np(
+    emb: DataFrame, id_col: str, vec_col: str, k: int = 20
+) -> DataFrame:
+    """Brute-force top-k pairs via Arrow-batched numpy block matmul —
+    the vectorized fast path (~10-100x the expression fold, same
+    result; equality asserted in tests/test_ivf.py).
+
+    Pattern: the corpus matrix is closed over (broadcast) and each
+    partition computes its row-block × corpusᵀ with BLAS; per-row top-k
+    candidate lists provably contain every global top-k pair (a global
+    top-k pair ranks within top-k for both endpoints), so the final
+    exact answer is a cheap global sort of the candidates.
+
+    At 100 TB scale the corpus side would be chunked (block-nested
+    matmul) or replaced by the IVF path; the per-block BLAS pattern is
+    identical.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    spark = emb.sparkSession
+
+    def block(batches):
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            sims = (q @ mat.T) / (np.linalg.norm(q, axis=1)[:, None] * norms[None, :])
+            out1, out2, outs = [], [], []
+            for i, qid in enumerate(q_ids):
+                row = sims[i]
+                take = min(k + 1, len(row))
+                top = np.argpartition(-row, take - 1)[:take]
+                for j in top:
+                    cid = int(ids[j])
+                    if cid == int(qid):
+                        continue
+                    a, b = (int(qid), cid) if qid < cid else (cid, int(qid))
+                    out1.append(a)
+                    out2.append(b)
+                    outs.append(round(float(row[j]), 6))
+            yield pd.DataFrame({"id1": out1, "id2": out2, "cosine": outs})
+
+    cand = emb.select(id_col, vec_col).mapInPandas(
+        block, "id1 long, id2 long, cosine double"
+    )
+    return (
+        cand.dropDuplicates(["id1", "id2"])
+        .orderBy(F.desc("cosine"), "id1", "id2")
+        .limit(k)
+    )
+
+
 def ivf_kmeans_ann(
     emb: DataFrame,
     id_col: str,

@@ -23,6 +23,18 @@ def clustered_vectors(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+def test_numpy_topk_equals_expression(spark, clustered_vectors):
+    """The BLAS fast path must return exactly the expression fold's
+    result (same rounding, same tiebreaks)."""
+    from bigsdb_spark.operators.similarity import cosine_topk_pairs_np
+
+    expr = cosine_topk_pairs(clustered_vectors, "vec_id", "embedding", k=10).collect()
+    fast = cosine_topk_pairs_np(clustered_vectors, "vec_id", "embedding", k=10).collect()
+    assert [(r.id1, r.id2, r.cosine) for r in expr] == [
+        (r.id1, r.id2, r.cosine) for r in fast
+    ]
+
+
 def test_ivf_structure_and_recall(spark, clustered_vectors):
     ann = ivf_kmeans_ann(
         clustered_vectors, "vec_id", "embedding", n_centroids=3, top_k=3
