@@ -205,6 +205,25 @@ def w5_next_id(spark, sf_dir):
     )
 
 
+@register(
+    "p13_json_flatten",
+    oracle="""
+    SELECT event_id, k AS json_path,
+           CAST(json_extract_string(props, '$.' || k) AS INTEGER) AS val_int
+    FROM events, UNNEST(json_keys(props)) AS u(k)
+    """,
+)
+def p13_flatten(spark, sf_dir):
+    """The analysis-results flatten: JSONB documents -> long
+    (entity, json_path, value) cache rows (analysis_results_cache,
+    sql/isolatedb.sql:2161) — from_json to a map, explode to rows."""
+    e = tbl(spark, sf_dir, "events")
+    kv = F.explode(F.from_json("props", "map<string,int>")).alias(
+        "json_path", "val_int"
+    )
+    return e.select("event_id", kv)
+
+
 @register("d5_lincode_assignment")  # sequential, order-dependent -> rows-only
 def d5_lincodes(spark, sf_dir):
     """D5: LIN-code assignment over the anchored profile subset.

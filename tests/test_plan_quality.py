@@ -61,3 +61,21 @@ def test_wildcard_scheme_join_is_equi(spark):
 def test_interval_join_no_cartesian(spark):
     plan = plan_of(QUERIES["j10_interval_containment"](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """X4 analogue: a designation store partitioned by locus must let a
+    locus-filtered scan prune partitions (PartitionFilters in the scan,
+    not a full read)."""
+    from bigsdb_spark.sources.sinks import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, f"L{i % 5}", str(i)) for i in range(100)],
+        "isolate_id int, locus string, allele string",
+    )
+    path = str(tmp_path / "desig")
+    write_partitioned(df, path, ["locus"])
+    scan = spark.read.parquet(path).filter(F.col("locus") == "L3")
+    plan = plan_of(scan)
+    assert "PartitionFilters: [isnotnull(locus" in plan
+    assert scan.count() == 20
