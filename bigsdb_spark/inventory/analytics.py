@@ -241,6 +241,27 @@ def a8_lt(spark, sf_dir):
 
 
 @register(
+    "a8_per_locus_count",
+    oracle="""
+    SELECT DISTINCT l_suppkey FROM lineitem
+    GROUP BY l_suppkey, l_partkey HAVING count(*) >= 5
+    """,
+)
+def a8_per_locus(spark, sf_dir):
+    """A8 'any locus' variant: entities having >= k fact rows at the
+    SAME locus — GROUP BY (entity, locus) HAVING count >= k then
+    distinct entities (IsolateQueryPage.pm:3771 'any locus' branch)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("l_suppkey")
+        .distinct()
+    )
+
+
+@register(
     "a9_group_stats_n50",
     oracle="""
     WITH stats AS (

@@ -127,3 +127,29 @@ class JobService:
             "percent_complete": j.percent_complete,
             "stage": j.stage,
         }
+
+    # -- persistence: survive a driver restart (the reference's jobs DB) --
+
+    def save(self, path: str) -> None:
+        state = [
+            {k: v for k, v in vars(j).items() if k != "result"}
+            for j in self._jobs.values()
+        ]
+        with open(path, "w") as fh:
+            json.dump(state, fh)
+
+    @classmethod
+    def load(cls, path: str, user_quota: int = 2) -> "JobService":
+        svc = cls(user_quota=user_quota)
+        with open(path) as fh:
+            state = json.load(fh)
+        for row in state:
+            job = Job(**row)
+            # a job that was mid-flight when the driver died goes back to
+            # the queue (the reference's crashed-job requeue behaviour)
+            if job.status == "started":
+                job.status = "submitted"
+            svc._jobs[job.job_id] = job
+        if state:
+            svc._seq = itertools.count(max(j["job_id"] for j in state) + 1)
+        return svc

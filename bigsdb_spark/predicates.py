@@ -110,6 +110,27 @@ def grouped_field_query(cols: list[Column], value: str) -> Column:
     return pred
 
 
+def match_with_aliases(df, aliases, name_col: str, id_col: str, term: str):
+    """P1 labelfield semantics: the isolate-name search also matches the
+    aliases table (IsolateQueryPage.pm:2471-2532 ORs an aliases
+    subquery into the '=' branch). ``aliases``: (isolate_id, alias).
+    Returns rows of ``df`` whose name OR any alias equals the term,
+    case-insensitively."""
+    from pyspark.sql import functions as F
+
+    direct = df.filter(ci_equals(F.col(name_col), term))
+    via_alias = df.join(
+        F.broadcast(
+            aliases.filter(ci_equals(F.col("alias"), term)).select(
+                F.col("isolate_id").alias(id_col)
+            )
+        ).distinct(),
+        on=id_col,
+        how="left_semi",
+    )
+    return direct.unionByName(via_alias).distinct()
+
+
 def build_predicate(col: Column, op: str, value, is_array: bool = False) -> Column:
     """Dispatch one (field, operator, value) form row to its Column
     predicate — the Spark analogue of the reference's

@@ -1,0 +1,54 @@
+"""The sequence-query entry point (SURVEY §3, 4th path):
+POST a sequence -> exact allele match -> designation/scheme lookup.
+
+Reference flow: SequenceQueryPage.pm:376 _run_query -> Offline/Blast.pm
+exact path -> matching allele -> which isolates carry it and which
+profiles/STs contain it. The exact tier is two md5 joins; the inexact
+tier would go through seqmatch.ExternalTool.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigsdb_spark.operators.seqmatch import exact_allele_lookup
+
+
+def sequence_query(
+    spark: SparkSession,
+    sequences: list[tuple[str, str]],
+    alleles: DataFrame,
+    designations: DataFrame | None = None,
+    scheme_profiles: DataFrame | None = None,
+    scheme_loci: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """``sequences``: [(query_id, sequence)]. Returns a dict of result
+    frames: 'matches' (query -> locus/allele), plus 'isolates' (which
+    isolates carry the matched allele) and 'profiles' (which STs contain
+    it) when the respective tables are provided."""
+    q = spark.createDataFrame(sequences, "query_id string, sequence string")
+    matches = exact_allele_lookup(q, alleles).cache()
+    out = {"matches": matches}
+    if designations is not None:
+        out["isolates"] = (
+            matches.join(
+                designations,
+                on=["locus", "allele_id"],
+            )
+            .select("query_id", "locus", "allele_id", "isolate_id")
+        )
+    if scheme_profiles is not None:
+        if not scheme_loci:
+            raise ValueError("scheme_loci required to address profile positions")
+        # profile vectors are ordered by locus name (build_profiles);
+        # map each position back to its locus before the join so allele
+        # ids — which are only unique per locus — join on (locus, allele)
+        locus_map = F.array(*[F.lit(x) for x in sorted(scheme_loci)])
+        long_defs = scheme_profiles.select(
+            "st", F.posexplode("profile").alias("pos", "allele_id")
+        ).withColumn("locus", F.element_at(locus_map, F.col("pos") + 1)).drop("pos")
+        out["profiles"] = matches.join(
+            long_defs, on=["locus", "allele_id"]
+        ).select("query_id", "locus", "allele_id", "st")
+    return out
