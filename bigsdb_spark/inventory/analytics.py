@@ -136,6 +136,43 @@ def a4_hist(spark, sf_dir):
 
 
 @register(
+    "a4_top_n_with_others",
+    oracle="""
+    WITH counts AS (
+        SELECT coalesce(event_type, 'No value') AS label, count(*) AS n
+        FROM events GROUP BY 1),
+    ranked AS (
+        SELECT label, n, row_number() OVER (ORDER BY n DESC, label) AS rnk
+        FROM counts)
+    SELECT label, CAST(n AS BIGINT) AS n FROM ranked WHERE rnk <= 3
+    UNION ALL
+    SELECT 'Others' AS label, CAST(sum(n) AS BIGINT) AS n
+    FROM ranked WHERE rnk > 3 HAVING sum(n) IS NOT NULL
+    """,
+)
+def a4_top_others(spark, sf_dir):
+    """A4/W1: dashboard chart shape — top-N labels (NULL coalesced to
+    'No value', DashboardPage.pm:2196) plus an 'Others' bucket rolling
+    up the tail (:2242 caps value lists the same way)."""
+    from pyspark.sql import Window
+
+    e = tbl(spark, sf_dir, "events")
+    counts = e.groupBy(
+        F.coalesce(F.col("event_type"), F.lit("No value")).alias("label")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("label"))
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    top = ranked.filter(F.col("rnk") <= 3).select("label", "n")
+    others = (
+        ranked.filter(F.col("rnk") > 3)
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n").isNotNull())
+        .select(F.lit("Others").alias("label"), F.col("n").cast("long").alias("n"))
+    )
+    return top.unionByName(others)
+
+
+@register(
     "a5_profile_pivot_md5",
     oracle="""
     WITH prof AS (

@@ -60,27 +60,29 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     """Distinct k-word shingles per document (UDTF-shaped: one doc ->
     many rows).
 
-    Built as posexplode + lead() windows rather than a transform()
-    lambda over the token array: Catalyst collapses projections, so an
-    array-lambda that indexes the tokenization re-evaluates the full
-    split+regex per element access — quadratic per document. The window
-    shuffles on doc once (the same partitioning the downstream
-    signature groupBy needs) and does linear work.
+    The token arrays are materialized with an eager localCheckpoint
+    before the shingle lambda runs: Catalyst collapses projections, so
+    without the barrier an array-lambda that indexes the tokenization
+    re-evaluates the full split+regex per element access — quadratic
+    per document. With the checkpoint the lambda reads a materialized
+    array (cheap indexing), and the only shuffle left is the distinct.
+    (A posexplode + lead() window is the barrier-free alternative, but
+    it shuffles every token row; the checkpoint frame is one small row
+    per document.)
     """
-    from pyspark.sql import Window
-
     toks = df.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
-            "pos", "tok"
-        ),
+        F.split(normalized_text(F.col(text_col)), " ").alias("t"),
+    ).localCheckpoint(eager=True)
+    # guard: F.sequence(1, 0) would produce a DESCENDING [1, 0] sequence
+    idx = F.when(
+        F.size("t") >= k, F.sequence(F.lit(1), F.size("t") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at("t", i + j) for j in range(k)]),
     )
-    w = Window.partitionBy("doc").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
-    shingled = toks.select(
-        "doc", F.concat_ws(" ", *leads).alias("shingle"), leads[-1].alias("_last")
-    ).filter(F.col("_last").isNotNull())
-    return shingled.select("doc", "shingle").distinct()
+    return toks.select("doc", F.explode(shingle).alias("shingle")).distinct()
 
 
 def minhash_signatures(
