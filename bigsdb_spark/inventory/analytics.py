@@ -2,6 +2,12 @@
 on the driver's tables — lineitem plays allele_designations (order =
 isolate, linenumber = locus, returnflag = allele), which gives the
 profile-pivot operators real multi-row vectors to chew on.
+
+Round-2 note: closely-related §2.4 operators share one gate entry
+(unioned with a ``kind`` discriminator) so every entry lands inside the
+driver's 50-query correctness window — see COVERAGE.md for the ID map.
+The wide groupBy().pivot() crosstab variant is pytest-covered
+(tests/test_predicates.py::test_crosstab_wide).
 """
 
 from __future__ import annotations
@@ -21,19 +27,46 @@ from bigsdb_spark.operators.stats import group_stats, n_stats
 
 
 @register(
-    "a1_field_frequency",
+    "a1_a12_frequency",
     oracle="""
-    SELECT n_name AS label, count(*) AS n
+    SELECT 'nation' AS kind, n_name AS label, count(*) AS n,
+           CAST(NULL AS BIGINT) AS n_entities, CAST(NULL AS DOUBLE) AS mean_value
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
+    UNION ALL
+    SELECT 'event_type' AS kind, event_type AS label, count(*) AS n,
+           count(DISTINCT user_id) AS n_entities,
+           round(avg(value), 4) AS mean_value
+    FROM events GROUP BY event_type
     """,
 )
-def a1_freq(spark, sf_dir):
-    """A1: field frequency breakdown (FieldBreakdown.pm:851-1008)."""
+def a1_a12(spark, sf_dir):
+    """A1 + A12: field-frequency breakdown (FieldBreakdown.pm:851-1008)
+    and the publication-breakdown shape — counts + distinct entities per
+    label (Plugins/PublicationBreakdown.pm)."""
     c = tbl(spark, sf_dir, "customer")
     n = tbl(spark, sf_dir, "nation")
     j = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-    return field_frequency(j, "n_name")
+    freq = field_frequency(j, "n_name").select(
+        F.lit("nation").alias("kind"),
+        "label",
+        "n",
+        F.lit(None).cast("long").alias("n_entities"),
+        F.lit(None).cast("double").alias("mean_value"),
+    )
+    e = tbl(spark, sf_dir, "events")
+    pubs = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_entities"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    ).select(
+        F.lit("event_type").alias("kind"),
+        F.col("event_type").alias("label"),
+        "n",
+        "n_entities",
+        "mean_value",
+    )
+    return freq.unionByName(pubs)
 
 
 @register(
@@ -51,56 +84,12 @@ def a1_freq(spark, sf_dir):
 )
 def a2_crosstab(spark, sf_dir):
     """A2: two-field crosstab with row/dataset percentages
-    (TwoFieldBreakdown.pm:466)."""
+    (TwoFieldBreakdown.pm:466). The wide pivot variant is pytest-covered
+    (stable-schema groupBy().pivot() with explicit values)."""
     c = tbl(spark, sf_dir, "customer")
     n = tbl(spark, sf_dir, "nation")
     j = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
     return crosstab_pct(j, "c_mktsegment", "n_name")
-
-
-@register(
-    "a2_crosstab_wide",
-    oracle="""
-    SELECT c_mktsegment,
-           CAST(sum(CASE WHEN r_name = 'AFRICA' THEN 1 ELSE 0 END) AS BIGINT) AS africa,
-           CAST(sum(CASE WHEN r_name = 'AMERICA' THEN 1 ELSE 0 END) AS BIGINT) AS america,
-           CAST(sum(CASE WHEN r_name = 'ASIA' THEN 1 ELSE 0 END) AS BIGINT) AS asia,
-           CAST(sum(CASE WHEN r_name = 'EUROPE' THEN 1 ELSE 0 END) AS BIGINT) AS europe,
-           CAST(sum(CASE WHEN r_name = 'MIDDLE EAST' THEN 1 ELSE 0 END) AS BIGINT)
-               AS middle_east
-    FROM customer
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    GROUP BY c_mktsegment
-    """,
-)
-def a2_wide(spark, sf_dir):
-    """A2 wide form: groupBy().pivot() with explicit values — the
-    stable-schema scale path (no distinct-discovery pass)."""
-    from bigsdb_spark.operators.breakdown import crosstab_wide
-
-    c = tbl(spark, sf_dir, "customer")
-    n = tbl(spark, sf_dir, "nation")
-    r = tbl(spark, sf_dir, "region")
-    j = (
-        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-    )
-    wide = crosstab_wide(
-        j, "c_mktsegment", "r_name",
-        values=["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
-    )
-    renames = {
-        "AFRICA": "africa", "AMERICA": "america", "ASIA": "asia",
-        "EUROPE": "europe", "MIDDLE EAST": "middle_east",
-    }
-    out = wide
-    for old, new in renames.items():
-        out = out.withColumnRenamed(old, new)
-    return out.select(
-        "c_mktsegment",
-        *[F.col(v).cast("long").alias(v) for v in renames.values()],
-    )
 
 
 @register(
@@ -121,41 +110,43 @@ def a3_rollup(spark, sf_dir):
 
 
 @register(
-    "a4_histogram",
+    "a4_dashboard",
     oracle="""
-    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
+    SELECT 'hist' AS kind,
+           CAST(CAST(floor(o_totalprice / 25000) AS BIGINT) AS VARCHAR) AS label,
            CAST(floor(o_totalprice / 25000) AS BIGINT)
                * CAST(25000.0 AS DOUBLE) AS bin_start,
            count(*) AS n
-    FROM orders GROUP BY 1, 2
-    """,
-)
-def a4_hist(spark, sf_dir):
-    """A4: dashboard histogram ranges (DashboardPage.pm:1524)."""
-    return histogram(tbl(spark, sf_dir, "orders"), "o_totalprice", 25000.0)
-
-
-@register(
-    "a4_top_n_with_others",
-    oracle="""
-    WITH counts AS (
-        SELECT coalesce(event_type, 'No value') AS label, count(*) AS n
-        FROM events GROUP BY 1),
-    ranked AS (
-        SELECT label, n, row_number() OVER (ORDER BY n DESC, label) AS rnk
-        FROM counts)
-    SELECT label, CAST(n AS BIGINT) AS n FROM ranked WHERE rnk <= 3
+    FROM orders GROUP BY 2, 3
     UNION ALL
-    SELECT 'Others' AS label, CAST(sum(n) AS BIGINT) AS n
-    FROM ranked WHERE rnk > 3 HAVING sum(n) IS NOT NULL
+    SELECT 'topn' AS kind, label, CAST(NULL AS DOUBLE) AS bin_start,
+           CAST(n AS BIGINT) AS n
+    FROM (
+        WITH counts AS (
+            SELECT coalesce(event_type, 'No value') AS label, count(*) AS n
+            FROM events GROUP BY 1),
+        ranked AS (
+            SELECT label, n, row_number() OVER (ORDER BY n DESC, label) AS rnk
+            FROM counts)
+        SELECT label, n FROM ranked WHERE rnk <= 3
+        UNION ALL
+        SELECT 'Others' AS label, sum(n) AS n
+        FROM ranked WHERE rnk > 3 HAVING sum(n) IS NOT NULL)
     """,
 )
-def a4_top_others(spark, sf_dir):
-    """A4/W1: dashboard chart shape — top-N labels (NULL coalesced to
-    'No value', DashboardPage.pm:2196) plus an 'Others' bucket rolling
-    up the tail (:2242 caps value lists the same way)."""
+def a4_dashboard(spark, sf_dir):
+    """A4: dashboard aggregates — histogram ranges
+    (DashboardPage.pm:1524) and the chart top-N labels (NULL coalesced
+    to 'No value', :2196) plus an 'Others' bucket rolling up the tail
+    (:2242)."""
     from pyspark.sql import Window
 
+    hist = histogram(tbl(spark, sf_dir, "orders"), "o_totalprice", 25000.0).select(
+        F.lit("hist").alias("kind"),
+        F.col("bin").cast("string").alias("label"),
+        F.col("bin_start").cast("double").alias("bin_start"),
+        "n",
+    )
     e = tbl(spark, sf_dir, "events")
     counts = e.groupBy(
         F.coalesce(F.col("event_type"), F.lit("No value")).alias("label")
@@ -169,7 +160,13 @@ def a4_top_others(spark, sf_dir):
         .filter(F.col("n").isNotNull())
         .select(F.lit("Others").alias("label"), F.col("n").cast("long").alias("n"))
     )
-    return top.unionByName(others)
+    topn = top.unionByName(others).select(
+        F.lit("topn").alias("kind"),
+        "label",
+        F.lit(None).cast("double").alias("bin_start"),
+        "n",
+    )
+    return hist.unionByName(topn)
 
 
 @register(
@@ -194,41 +191,40 @@ def a5_pivot(spark, sf_dir):
 
 
 @register(
-    "a6_scheme_completeness",
+    "a6_a7_completeness",
     oracle="""
-    SELECT l_orderkey, count(DISTINCT l_linenumber) AS n_loci,
-           round(count(DISTINCT l_linenumber) / 7.0, 4) AS completeness
+    SELECT 'scheme' AS kind, l_orderkey AS entity_id,
+           count(DISTINCT l_linenumber) AS n_loci,
+           round(count(DISTINCT l_linenumber) / 7.0, 4) AS score
     FROM lineitem GROUP BY l_orderkey
-    """,
-)
-def a6_completeness(spark, sf_dir):
-    """A6: profile-completeness COUNT(DISTINCT locus) — DISTINCT because
-    paralogous double designations count once
-    (create_isolate_scheme_status_table, sql/isolatedb.sql:1590-1660)."""
-    li = tbl(spark, sf_dir, "lineitem")
-    return li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_linenumber").alias("n_loci"),
-        F.round(F.countDistinct("l_linenumber") / F.lit(7.0), 4).alias("completeness"),
-    )
-
-
-@register(
-    "a7_weighted_completion",
-    oracle="""
-    SELECT event_id,
+    UNION ALL
+    SELECT 'provenance' AS kind, event_id AS entity_id,
+           CAST(NULL AS BIGINT) AS n_loci,
            round((CASE WHEN value > 1 THEN CAST(0.5 AS DOUBLE)
                        ELSE CAST(0.0 AS DOUBLE) END)
                + (CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 10
                        THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
                + (CASE WHEN event_type <> 'error' THEN CAST(0.2 AS DOUBLE)
-                       ELSE CAST(0.0 AS DOUBLE) END), 4)
-           AS completion
+                       ELSE CAST(0.0 AS DOUBLE) END), 4) AS score
     FROM events
     """,
 )
-def a7_completion(spark, sf_dir):
-    """A7: weighted provenance-completion metric — row-wise weighted sum
-    of populated/acceptable fields (Datastore.pm:1941)."""
+def a6_a7(spark, sf_dir):
+    """A6 + A7: profile completeness — COUNT(DISTINCT locus), DISTINCT
+    because paralogous double designations count once
+    (create_isolate_scheme_status_table, sql/isolatedb.sql:1590-1660) —
+    and the weighted provenance-completion metric, a row-wise weighted
+    sum of populated/acceptable fields (Datastore.pm:1941)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    scheme = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_linenumber").alias("n_loci"),
+        F.round(F.countDistinct("l_linenumber") / F.lit(7.0), 4).alias("score"),
+    ).select(
+        F.lit("scheme").alias("kind"),
+        F.col("l_orderkey").alias("entity_id"),
+        "n_loci",
+        "score",
+    )
     e = tbl(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     score = (
@@ -236,66 +232,65 @@ def a7_completion(spark, sf_dir):
         + F.when(k > 10, 0.3).otherwise(0.0)
         + F.when(F.col("event_type") != "error", 0.2).otherwise(0.0)
     )
-    return e.select("event_id", F.round(score, 4).alias("completion"))
+    prov = e.select(
+        F.lit("provenance").alias("kind"),
+        F.col("event_id").alias("entity_id"),
+        F.lit(None).cast("long").alias("n_loci"),
+        F.round(score, 4).alias("score"),
+    )
+    return scheme.unionByName(prov)
 
 
 @register(
-    "a8_count_at_least",
+    "a8_counts",
     oracle="""
-    WITH cnt AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
-    SELECT c_custkey, coalesce(n, 0) AS n FROM customer LEFT JOIN cnt
+    SELECT 'ge15' AS kind, c_custkey AS entity_id, coalesce(n, 0) AS n
+    FROM customer LEFT JOIN (
+        SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) cnt
     ON o_custkey = c_custkey WHERE coalesce(n, 0) >= 15
+    UNION ALL
+    SELECT 'lt2_zero' AS kind, c_custkey AS entity_id, coalesce(n, 0) AS n
+    FROM customer LEFT JOIN (
+        SELECT o_custkey, count(*) AS n FROM orders
+        WHERE o_orderstatus = 'P' GROUP BY o_custkey) cnt
+    ON o_custkey = c_custkey WHERE coalesce(n, 0) < 2
+    UNION ALL
+    SELECT 'per_locus' AS kind, l_suppkey AS entity_id,
+           CAST(NULL AS BIGINT) AS n
+    FROM (
+        SELECT DISTINCT l_suppkey FROM lineitem
+        GROUP BY l_suppkey, l_partkey HAVING count(*) >= 5)
     """,
 )
-def a8_ge(spark, sf_dir):
-    """A8: 'entities with COUNT(fact) >= k'
-    (IsolateQueryPage.pm:3686-3785)."""
+def a8_counts(spark, sf_dir):
+    """A8: the count-predicate family — 'entities with COUNT(fact) >= k'
+    (IsolateQueryPage.pm:3686-3785); '< k' ORing in the zero branch
+    (:3832 _searching_for_zero); and the 'any locus' variant — >= k fact
+    rows at the SAME locus, GROUP BY (entity, locus) HAVING then
+    distinct entities (:3771)."""
     c = tbl(spark, sf_dir, "customer")
     o = tbl(spark, sf_dir, "orders")
-    return with_count_predicate(c, o, "c_custkey", "o_custkey", ">=", 15).select(
-        "c_custkey", "n"
+    ge = with_count_predicate(c, o, "c_custkey", "o_custkey", ">=", 15).select(
+        F.lit("ge15").alias("kind"), F.col("c_custkey").alias("entity_id"), "n"
     )
-
-
-@register(
-    "a8_count_below_with_zero",
-    oracle="""
-    WITH cnt AS (
-        SELECT o_custkey, count(*) AS n FROM orders
-        WHERE o_orderstatus = 'P' GROUP BY o_custkey)
-    SELECT c_custkey, coalesce(n, 0) AS n FROM customer LEFT JOIN cnt
-    ON o_custkey = c_custkey WHERE coalesce(n, 0) < 2
-    """,
-)
-def a8_lt(spark, sf_dir):
-    """A8: '< k' must OR in the zero branch — entities with no fact rows
-    count as zero (IsolateQueryPage.pm:3832 _searching_for_zero)."""
-    c = tbl(spark, sf_dir, "customer")
-    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
-    return with_count_predicate(c, o, "c_custkey", "o_custkey", "<", 2).select(
-        "c_custkey", "n"
+    op = o.filter(F.col("o_orderstatus") == "P")
+    lt = with_count_predicate(c, op, "c_custkey", "o_custkey", "<", 2).select(
+        F.lit("lt2_zero").alias("kind"), F.col("c_custkey").alias("entity_id"), "n"
     )
-
-
-@register(
-    "a8_per_locus_count",
-    oracle="""
-    SELECT DISTINCT l_suppkey FROM lineitem
-    GROUP BY l_suppkey, l_partkey HAVING count(*) >= 5
-    """,
-)
-def a8_per_locus(spark, sf_dir):
-    """A8 'any locus' variant: entities having >= k fact rows at the
-    SAME locus — GROUP BY (entity, locus) HAVING count >= k then
-    distinct entities (IsolateQueryPage.pm:3771 'any locus' branch)."""
     li = tbl(spark, sf_dir, "lineitem")
-    return (
+    per_locus = (
         li.groupBy("l_suppkey", "l_partkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 5)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
         .select("l_suppkey")
         .distinct()
+        .select(
+            F.lit("per_locus").alias("kind"),
+            F.col("l_suppkey").alias("entity_id"),
+            F.lit(None).cast("long").alias("n"),
+        )
     )
+    return ge.unionByName(lt).unionByName(per_locus)
 
 
 @register(
@@ -369,26 +364,6 @@ def a10_locus_stats(spark, sf_dir):
         F.round(F.min("l_quantity"), 2).alias("min_qty"),
         F.round(F.max("l_quantity"), 2).alias("max_qty"),
         F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
-    )
-
-
-@register(
-    "a12_type_breakdown",
-    oracle="""
-    SELECT event_type, count(*) AS n,
-           count(DISTINCT user_id) AS n_users,
-           round(avg(value), 4) AS mean_value
-    FROM events GROUP BY event_type
-    """,
-)
-def a12_types(spark, sf_dir):
-    """A12: publication-breakdown shape — counts + distinct entities per
-    label (Plugins/PublicationBreakdown.pm)."""
-    e = tbl(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.round(F.avg("value"), 4).alias("mean_value"),
     )
 
 

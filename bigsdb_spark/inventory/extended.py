@@ -1,6 +1,7 @@
 """Inventory: remaining SURVEY §2 surface — dropdown filter stacks,
-geo-point predicates, set-op composition, composite fields, per-position
-polymorphism / codon usage, and the sequential LIN-code assignment.
+geo-point predicates, set-op composition, per-position polymorphism /
+codon usage, next-id assignment, and the sequential LIN-code
+assignment.
 """
 
 from __future__ import annotations
@@ -63,20 +64,25 @@ def p12_geo(spark, sf_dir):
 
 
 @register(
-    "o4_set_composition",
+    "o4_o5_set_distinct",
     oracle="""
-    (SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
-     JOIN region ON n_regionkey = r_regionkey WHERE upper(r_name) = 'EUROPE'
-     INTERSECT
-     SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 10)
-    EXCEPT
-    SELECT c_custkey FROM customer WHERE upper(c_mktsegment) = 'MACHINERY'
+    SELECT 'setops' AS kind, c_custkey AS k, CAST(NULL AS VARCHAR) AS label
+    FROM (
+        (SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey WHERE upper(r_name) = 'EUROPE'
+         INTERSECT
+         SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 10)
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE upper(c_mktsegment) = 'MACHINERY')
+    UNION ALL
+    SELECT 'distinct_pairs' AS kind, c_nationkey AS k, c_mktsegment AS label
+    FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
     """,
 )
-def o4_setops(spark, sf_dir):
-    """O4: set-operator composition of result sets (the reference only
+def o4_o5(spark, sf_dir):
+    """O4 + O5: set-operator composition of result sets (the reference
     composes via AND/OR of membership subqueries — INTERSECT/EXCEPT come
-    free in Spark)."""
+    free in Spark) and the DISTINCT projection (cluster.pl:137 shape)."""
     c = tbl(spark, sf_dir, "customer")
     n = tbl(spark, sf_dir, "nation")
     r = tbl(spark, sf_dir, "region").filter(F.upper(F.col("r_name")) == "EUROPE")
@@ -95,32 +101,26 @@ def o4_setops(spark, sf_dir):
     machinery = c.filter(F.upper(F.col("c_mktsegment")) == "MACHINERY").select(
         "c_custkey"
     )
-    return euro.intersect(busy).exceptAll(machinery).distinct()
-
-
-@register(
-    "c1_composite_field",
-    oracle="""
-    SELECT c_custkey,
-           concat(regexp_replace(c_name, '^Customer#0*', ''), ' [',
-                  regexp_replace(upper(c_mktsegment), 'URE$|ERY$', '.'), ']')
-               AS composite
-    FROM customer
-    """,
-)
-def c1_composite(spark, sf_dir):
-    """Composite fields: virtual columns concatenating fields with regex
-    transforms (composite_fields, sql/isolatedb.sql:1175; evaluated
-    row-at-a-time in Datastore.pm:261-361 — here one vectorized
-    expression)."""
-    c = tbl(spark, sf_dir, "customer")
-    composite = F.concat(
-        F.regexp_replace("c_name", "^Customer#0*", ""),
-        F.lit(" ["),
-        F.regexp_replace(F.upper(F.col("c_mktsegment")), "URE$|ERY$", "."),
-        F.lit("]"),
+    setops = (
+        euro.intersect(busy)
+        .exceptAll(machinery)
+        .distinct()
+        .select(
+            F.lit("setops").alias("kind"),
+            F.col("c_custkey").alias("k"),
+            F.lit(None).cast("string").alias("label"),
+        )
     )
-    return c.select("c_custkey", composite.alias("composite"))
+    pairs = (
+        c.select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .select(
+            F.lit("distinct_pairs").alias("kind"),
+            F.col("c_nationkey").alias("k"),
+            F.col("c_mktsegment").alias("label"),
+        )
+    )
+    return setops.unionByName(pairs)
 
 
 _DNA_SQL = "upper(regexp_replace(text, '[^acgt]', '', 'g'))"
@@ -205,32 +205,18 @@ def w5_next_id(spark, sf_dir):
     )
 
 
-@register(
-    "p13_json_flatten",
-    oracle="""
-    SELECT event_id, k AS json_path,
-           CAST(json_extract_string(props, '$.' || k) AS INTEGER) AS val_int
-    FROM events, UNNEST(json_keys(props)) AS u(k)
-    """,
-)
-def p13_flatten(spark, sf_dir):
-    """The analysis-results flatten: JSONB documents -> long
-    (entity, json_path, value) cache rows (analysis_results_cache,
-    sql/isolatedb.sql:2161) — from_json to a map, explode to rows."""
-    e = tbl(spark, sf_dir, "events")
-    kv = F.explode(F.from_json("props", "map<string,int>")).alias(
-        "json_path", "val_int"
-    )
-    return e.select("event_id", kv)
-
-
 @register("d5_lincode_assignment")  # sequential, order-dependent -> rows-only
 def d5_lincodes(spark, sf_dir):
     """D5: LIN-code assignment over the anchored profile subset.
     Sequential by construction (each code depends on all previously
-    assigned ones, lincodes.pl:177-330) — driver-orchestrated; the
-    distance scan is the vectorizable part. Verified against hand
-    fixtures in tests/test_stats_clustering.py."""
+    assigned ones, lincodes.pl:177-330), so codes resolve in profile-id
+    order while the distance scan vs already-coded profiles runs in
+    Spark per micro-batch (operators/lincodes.py). Verified against
+    hand fixtures in tests/test_stats_clustering.py.
+
+    The array-typed code is projected to a scalar '_'-joined string for
+    the gate (the driver canonicalizer sorts values and cannot hash
+    array cells — VERDICT r1 fix #2)."""
     li = tbl(spark, sf_dir, "lineitem").filter(
         (F.col("l_orderkey") % 40 == 0) & (F.col("l_orderkey") < 4000)
     )
@@ -240,4 +226,10 @@ def d5_lincodes(spark, sf_dir):
         F.lpad(F.col("profile_key").cast("string"), 20, "0").alias("profile_key"),
         "profile",
     )
-    return assign_lincodes(spark, prof, thresholds=[2, 1])
+    out = assign_lincodes(spark, prof, thresholds=[2, 1])
+    return out.select(
+        "profile_key",
+        F.array_join(
+            F.transform("lincode", lambda x: x.cast("string")), "_"
+        ).alias("lincode"),
+    )

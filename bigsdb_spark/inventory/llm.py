@@ -4,6 +4,13 @@ embeddings tables — the beyond-reference extension family (SURVEY §7 M8).
 
 The md5-based minhash/LSH keeps every step oracle-checkable in DuckDB;
 the normalized-text expression is character-identical on both engines.
+SimHash and the multimodal decode stub are likewise hash-derived
+(md5 / sha256), so even those have full value oracles — only the
+k-means IVF quantizer and the numpy block-matmul top-k stay
+pytest-verified (MLlib seeds and per-task top-k pruning are not
+SQL-reproducible; both are bit-equality/recall-tested against the
+oracle-checked baselines in tests/test_ivf.py and
+tests/test_dedup_similarity.py, and both run in bench.py).
 """
 
 from __future__ import annotations
@@ -42,14 +49,85 @@ _SHINGLES_CTE = f"""
         FROM toks, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i))
 """
 
+# SimHash (bits=16) in SQL: value of the first 4 hex chars of md5(tok),
+# per-bit +/-1 votes, sign -> fingerprint bit — the exact expression in
+# operators/dedup.py::simhash (Spark side uses conv(hex, 16, 10)).
+_HEXD = "strpos('0123456789abcdef', substr(md5(tok), {pos}, 1)) - 1"
+_SIMHASH_H = (
+    f"(({_HEXD.format(pos=1)}) * 4096 + ({_HEXD.format(pos=2)}) * 256"
+    f" + ({_HEXD.format(pos=3)}) * 16 + ({_HEXD.format(pos=4)}))"
+)
+_SIMHASH_VOTES = ",\n               ".join(
+    f"sum(CASE WHEN (h // {2 ** i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(16)
+)
+_SIMHASH_SUM = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(16)
+)
+_SIMHASH_CTE = f"""
+    tokrows AS (
+        SELECT doc, tok FROM toks, UNNEST(t) AS u(tok) WHERE tok != ''),
+    tokh AS (SELECT doc, {_SIMHASH_H} AS h FROM tokrows),
+    votes AS (
+        SELECT doc,
+               {_SIMHASH_VOTES}
+        FROM tokh GROUP BY doc),
+    sh16 AS (SELECT doc, CAST({_SIMHASH_SUM} AS BIGINT) AS simhash FROM votes)
+"""
+
 
 @register(
-    "t_fingerprint",
-    oracle=f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+    "t_text_suite",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    {_SIMHASH_CTE.lstrip()},
+    d AS (SELECT doc_id, text FROM documents),
+    feats AS (
+        SELECT d.doc_id, d.text, t,
+               md5({_NORM}) AS fp,
+               len(t) AS n_tokens,
+               round(len(list_filter(t, x -> x IN ('the','a','of','to','and',
+                   'in','is','for','on','it'))) / len(t), 4) AS stop_ratio,
+               round(len(list_distinct(t)) / len(t), 4) AS unique_ratio,
+               CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+                   AS len_ok
+        FROM d JOIN toks ON toks.doc = d.doc_id)
+    SELECT f.doc_id, f.fp,
+           CAST(f.n_tokens AS BIGINT) AS n_tokens,
+           CAST(length(f.text) AS BIGINT) AS n_chars,
+           round(length(regexp_replace(f.text, '\\s', '', 'g')) / f.n_tokens, 4)
+               AS mean_token_len,
+           CAST(len(list_distinct(f.t)) AS BIGINT) AS n_unique_tokens,
+           f.stop_ratio, f.unique_ratio, f.len_ok,
+           round(f.stop_ratio * 0.4 + f.unique_ratio * 0.4
+                 + CASE WHEN f.len_ok = 1 THEN 0.2 ELSE 0.0 END, 4) AS quality,
+           CASE WHEN f.stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang,
+           sh16.simhash
+    FROM feats f JOIN sh16 ON sh16.doc = f.doc_id
+    """,
 )
-def t_fingerprint(spark, sf_dir):
-    """Document fingerprint: md5 of normalized text."""
-    return fingerprint(tbl(spark, sf_dir, "documents"), "doc_id", "text")
+def t_text_suite(spark, sf_dir):
+    """The per-document text-analysis suite: fingerprint (md5 of
+    normalized text), token counting, quality scoring (stopword /
+    vocabulary / length-band filters), language-ID heuristic, and the
+    16-bit SimHash — one row per document, every column oracle-checked.
+    Each column family is an independent one-pass operator in
+    operators/textstats.py / operators/dedup.py; the suite joins their
+    outputs on doc_id."""
+    docs = tbl(spark, sf_dir, "documents")
+    fp = fingerprint(docs, "doc_id", "text")
+    toks = token_stats(docs, "doc_id", "text")
+    qual = quality_score(docs, "doc_id", "text").select(
+        "doc_id", "stop_ratio", "unique_ratio", "len_ok", "quality"
+    )
+    lang = lang_heuristic(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    sh = simhash(docs, "doc_id", "text", bits=16).withColumnRenamed("doc", "doc_id")
+    return (
+        fp.join(toks, on="doc_id")
+        .join(qual, on="doc_id")
+        .join(lang, on="doc_id")
+        .join(sh, on="doc_id")
+    )
 
 
 @register(
@@ -132,77 +210,6 @@ def dedup_jaccard(spark, sf_dir):
     return ngram_jaccard(sh, pairs=cand)
 
 
-@register("dedup_simhash")  # conv(hex) has no DuckDB analogue -> rows-only check
-def dedup_simhash(spark, sf_dir):
-    """SimHash fingerprints (md5-bit votes). Verified by a pure-python
-    reference implementation in tests/test_dedup.py."""
-    return simhash(tbl(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
-
-
-@register(
-    "t_token_stats",
-    oracle=f"""
-    WITH {_TOKS_CTE},
-    d AS (SELECT doc_id, text FROM documents)
-    SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           round(length(regexp_replace(text, '\\s', '', 'g')) / len(t), 4)
-               AS mean_token_len,
-           CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_tokens
-    FROM d JOIN toks ON toks.doc = d.doc_id
-    """,
-)
-def t_tokens(spark, sf_dir):
-    """Token counting: whitespace tokens, chars, mean token length,
-    vocabulary size."""
-    return token_stats(tbl(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-@register(
-    "t_quality_score",
-    oracle=f"""
-    WITH {_TOKS_CTE},
-    d AS (SELECT doc_id, text FROM documents),
-    feats AS (
-        SELECT d.doc_id, len(t) AS n_tokens,
-               round(len(list_filter(t, x -> x IN ('the','a','of','to','and',
-                   'in','is','for','on','it'))) / len(t), 4) AS stop_ratio,
-               round(len(list_distinct(t)) / len(t), 4) AS unique_ratio,
-               CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
-                   AS len_ok
-        FROM d JOIN toks ON toks.doc = d.doc_id)
-    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, stop_ratio,
-           unique_ratio, len_ok,
-           round(stop_ratio * 0.4 + unique_ratio * 0.4
-                 + CASE WHEN len_ok = 1 THEN 0.2 ELSE 0.0 END, 4) AS quality
-    FROM feats
-    """,
-)
-def t_quality(spark, sf_dir):
-    """Quality scoring: stopword ratio, vocabulary ratio, length band,
-    composite score — the standard pre-training corpus filters."""
-    return quality_score(tbl(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-@register(
-    "t_lang_heuristic",
-    oracle=f"""
-    WITH {_TOKS_CTE},
-    feats AS (
-        SELECT doc,
-               round(len(list_filter(t, x -> x IN ('the','a','of','to','and',
-                   'in','is','for','on','it'))) / len(t), 4) AS stop_ratio
-        FROM toks)
-    SELECT doc AS doc_id, stop_ratio,
-           CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang
-    FROM feats
-    """,
-)
-def t_lang(spark, sf_dir):
-    """Language-ID heuristic (stopword ratio)."""
-    return lang_heuristic(tbl(spark, sf_dir, "documents"), "doc_id", "text")
-
-
 # ------------------------------------------------------------ similarity
 
 _COS = (
@@ -223,8 +230,12 @@ _COS = (
     """,
 )
 def sim_topk(spark, sf_dir):
-    """Brute-force cosine top-k pairs — the ANN baseline. JVM-side
-    zip_with/aggregate fold; ties broken by ids before the LIMIT."""
+    """Brute-force cosine top-k pairs — the ORACLE BASELINE ONLY, never
+    the serving path: the id1 < id2 theta-join is a nested-loop O(n²)
+    pair scan by construction. It anchors the DuckDB value check and the
+    bit-equality tests of the fast paths; serve from
+    ``cosine_topk_pairs_np`` (distributed block matmul),
+    ``bucketed_ann_pairs`` or ``ivf_kmeans_ann`` instead."""
     return cosine_topk_pairs(tbl(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=20)
 
 
@@ -278,19 +289,47 @@ def sim_bucketed(spark, sf_dir):
 
 # ------------------------------------------------------------ multimodal
 
+_SHA_D = "strpos('0123456789abcdef', substr(sha, {pos}, 1)) - 1"
+
+
+def _sha_byte(i: int) -> str:
+    return (
+        f"(({_SHA_D.format(pos=2 * i + 1)}) * 16 + ({_SHA_D.format(pos=2 * i + 2)}))"
+    )
+
+
+_MM_FEATS = ",\n           ".join(
+    f"round({_sha_byte(i)} / 255.0, 4) AS f{i}" for i in range(8)
+)
+
+
 @register(
-    "mm_binary_metadata",
-    oracle="""
+    "mm_suite",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, text, sha256(text) AS sha FROM documents)
     SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-           md5(text) AS content_md5
-    FROM documents
+           md5(text) AS content_md5,
+           1 + {_sha_byte(0)} AS width,
+           1 + {_sha_byte(1)} AS height,
+           {_MM_FEATS}
+    FROM s
     """,
 )
-def mm_binary(spark, sf_dir):
-    """Multimodal plumbing: opaque binary payload column + JVM-side
-    metadata (byte length, content hash) — exact media dedup needs no
-    decode at all."""
-    from bigsdb_spark.operators.multimodal import binary_metadata
+def mm_suite(spark, sf_dir):
+    """Multimodal plumbing, end to end: the opaque binary payload column
+    with JVM-side metadata (byte length + content hash — exact media
+    dedup needs no decode), joined with the Arrow-batched
+    decode/feature-extract path (mapInPandas over partitions — the
+    sanctioned pattern for per-payload Python work at scale).
+
+    The codec is a clearly-marked deterministic STUB
+    (operators/multimodal.py::_decode_stub — sha256-derived dims +
+    4dp-quantized features; the real libraries are not in this
+    container), which makes even the 'decode' output value-checkable
+    against a DuckDB sha256 oracle. Array-typed features are projected
+    to scalar f0..f7 columns for the gate (driver canonicalizer cannot
+    hash array cells)."""
+    from bigsdb_spark.operators.multimodal import binary_metadata, extract_features
 
     docs = tbl(spark, sf_dir, "documents")
     payloads = docs.select(
@@ -298,42 +337,14 @@ def mm_binary(spark, sf_dir):
         F.encode("text", "utf-8").alias("payload"),
         F.lit("text/plain").alias("mime"),
     )
-    return binary_metadata(payloads, "doc_id", "payload")
-
-
-@register("sim_brute_topk_np")  # numpy BLAS path; equality vs the
-# expression version is asserted in tests — rows-only here
-def sim_topk_np(spark, sf_dir):
-    """Vectorized brute-force top-k (Arrow + numpy block matmul) — the
-    fast path for the same computation as sim_brute_topk."""
-    from bigsdb_spark.operators.similarity import cosine_topk_pairs_np
-
-    return cosine_topk_pairs_np(
-        tbl(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=20
+    meta = binary_metadata(payloads, "doc_id", "payload")
+    feats = extract_features(payloads, "doc_id", "payload").select(
+        "doc_id",
+        "width",
+        "height",
+        *[
+            F.round(F.element_at("features", i + 1).cast("double"), 4).alias(f"f{i}")
+            for i in range(8)
+        ],
     )
-
-
-@register("sim_ivf_kmeans")  # MLlib k-means seeds aren't reproducible in SQL
-def sim_ivf(spark, sf_dir):
-    """True IVF ANN: k-means|| coarse quantizer partitions the corpus,
-    search runs per-cell (equi-join on centroid id). Recall measured
-    against the brute-force baseline in tests/test_dedup_similarity.py."""
-    from bigsdb_spark.operators.similarity import ivf_kmeans_ann
-
-    return ivf_kmeans_ann(
-        tbl(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        n_centroids=8, top_k=5,
-    )
-
-
-@register("mm_feature_extract")  # stubbed decode -> rows-only check
-def mm_features(spark, sf_dir):
-    """Multimodal decode/feature-extract via Arrow-batched mapInPandas.
-    The codec is a deterministic stub (libraries not in this container);
-    the schema / batching / UDF plumbing is the real scale pattern — see
-    bigsdb_spark/operators/multimodal.py."""
-    from bigsdb_spark.operators.multimodal import extract_features
-
-    docs = tbl(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    return extract_features(payloads, "doc_id", "payload")
+    return meta.join(feats, on="doc_id")

@@ -4,6 +4,11 @@
 Each entry cites the reference behaviour it reproduces; the Spark side
 composes the library's predicate algebra / operators so the driver gate
 exercises the same code paths the domain API uses.
+
+Round-2 note: the driver's correctness gate checks the FIRST 50
+registered queries, so closely-related §2 operators share one entry
+(unioned with a ``case`` discriminator column, or composed in one
+pipeline). COVERAGE.md maps every §2 ID to its entry.
 """
 
 from __future__ import annotations
@@ -37,239 +42,279 @@ def s1_view_scan(spark, sf_dir):
 @register(
     "s8_list_semijoin",
     oracle="""
-    SELECT c_custkey, c_name
-    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    SELECT 'name_list' AS list_kind, c_custkey FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
     WHERE upper(n_name) IN ('NATION_1', 'NATION_2', 'NATION_3')
+    UNION ALL
+    SELECT 'typed_list' AS list_kind, c_custkey FROM customer
+    WHERE c_custkey IN (1, 5, 42, 999, 1400)
     """,
 )
 def s8_list_semijoin(spark, sf_dir):
-    """S8/P10: paste-list -> broadcast semi-join, case-insensitive
-    (Datastore.pm:2333 create_temp_list_table)."""
-    pasted = ["nation_1", "NATION_2", "Nation_3"]  # mixed case on purpose
+    """S8 + P10: paste-list -> broadcast semi-join, both the
+    case-insensitive text path (Datastore.pm:2333
+    create_temp_list_table) and the typed/int path
+    (IsolateQueryPage.pm:1035)."""
+    cust = tbl(spark, sf_dir, "customer")
+    # text list, mixed case on purpose
+    pasted = ["nation_1", "NATION_2", "Nation_3"]
     nations = tbl(spark, sf_dir, "nation")
     lst = spark.createDataFrame([(v.upper(),) for v in pasted], ["n_key"])
     nat = nations.join(
         F.broadcast(lst), F.upper(nations["n_name"]) == lst["n_key"], "left_semi"
     )
-    cust = tbl(spark, sf_dir, "customer")
-    return cust.join(
+    by_name = cust.join(
         nat.select("n_nationkey"),
         cust["c_nationkey"] == F.col("n_nationkey"),
         "left_semi",
-    ).select("c_custkey", "c_name")
+    ).select(F.lit("name_list").alias("list_kind"), "c_custkey")
+    # typed list
+    typed = spark.createDataFrame(
+        [(v,) for v in [1, 5, 42, 999, 1400]], ["c_custkey"]
+    )
+    by_id = cust.join(F.broadcast(typed), on="c_custkey", how="left_semi").select(
+        F.lit("typed_list").alias("list_kind"), "c_custkey"
+    )
+    return by_name.unionByName(by_id)
 
 
 # ----------------------------------------------------------- predicates
 
 @register(
-    "p1_eq_case_insensitive",
-    oracle="SELECT c_custkey FROM customer WHERE upper(c_mktsegment) = upper('building')",
-)
-def p1_eq(spark, sf_dir):
-    """P1: '=' is UPPER(f)=UPPER(v) (IsolateQueryPage.pm:2471-2532)."""
-    c = tbl(spark, sf_dir, "customer")
-    return c.filter(build_predicate(F.col("c_mktsegment"), "=", "building")).select(
-        "c_custkey"
-    )
-
-
-@register(
-    "p2_not_null_inclusive",
+    "p1_p2_null_semantics",
     oracle="""
-    SELECT p_partkey FROM part
+    SELECT 'eq_ci' AS kind, c_custkey AS entity_id FROM customer
+    WHERE upper(c_mktsegment) = upper('building')
+    UNION ALL
+    SELECT 'not_null_inclusive' AS kind, p_partkey AS entity_id FROM part
     WHERE NOT (upper(p_brand) = upper('brand#33')) OR p_brand IS NULL
     """,
 )
-def p2_not(spark, sf_dir):
-    """P2: NOT keeps NULL rows — deliberately not SQL 3VL
+def p1_p2(spark, sf_dir):
+    """P1 + P2: '=' is UPPER(f)=UPPER(v) (IsolateQueryPage.pm:2471-2532)
+    and NOT keeps NULL rows — deliberately not SQL 3VL
     (IsolateQueryPage.pm:2329-2332)."""
+    c = tbl(spark, sf_dir, "customer")
     p = tbl(spark, sf_dir, "part")
-    return p.filter(build_predicate(F.col("p_brand"), "NOT", "brand#33")).select(
-        "p_partkey"
+    eq = c.filter(build_predicate(F.col("c_mktsegment"), "=", "building")).select(
+        F.lit("eq_ci").alias("kind"), F.col("c_custkey").alias("entity_id")
     )
+    nn = p.filter(build_predicate(F.col("p_brand"), "NOT", "brand#33")).select(
+        F.lit("not_null_inclusive").alias("kind"),
+        F.col("p_partkey").alias("entity_id"),
+    )
+    return eq.unionByName(nn)
 
 
 @register(
-    "p3_contains_ci",
-    oracle="SELECT p_partkey, p_name FROM part WHERE contains(upper(p_name), 'RED')",
-)
-def p3_contains(spark, sf_dir):
-    """P3: contains == ILIKE '%v%' (IsolateQueryPage.pm:2545-2593)."""
-    p = tbl(spark, sf_dir, "part")
-    return p.filter(build_predicate(F.col("p_name"), "contains", "RED")).select(
-        "p_partkey", "p_name"
-    )
-
-
-@register(
-    "p4_starts_ends_with",
+    "p3_p4_substring",
     oracle="""
-    SELECT p_partkey FROM part
+    SELECT 'contains' AS kind, p_partkey FROM part
+    WHERE contains(upper(p_name), 'RED')
+    UNION ALL
+    SELECT 'starts_ends' AS kind, p_partkey FROM part
     WHERE starts_with(upper(p_name), 'SMALL') AND ends_with(upper(p_type), 'OMY')
     """,
 )
-def p4_starts_ends(spark, sf_dir):
-    """P4: 'starts with'/'ends with' (IsolateQueryPage.pm:2337-2344)."""
+def p3_p4(spark, sf_dir):
+    """P3 + P4: contains == ILIKE '%v%' (IsolateQueryPage.pm:2545-2593);
+    'starts with'/'ends with' (:2337-2344)."""
     p = tbl(spark, sf_dir, "part")
-    return p.filter(
+    c3 = p.filter(build_predicate(F.col("p_name"), "contains", "RED")).select(
+        F.lit("contains").alias("kind"), "p_partkey"
+    )
+    c4 = p.filter(
         build_predicate(F.col("p_name"), "starts with", "small")
         & build_predicate(F.col("p_type"), "ends with", "omy")
-    ).select("p_partkey")
+    ).select(F.lit("starts_ends").alias("kind"), "p_partkey")
+    return c3.unionByName(c4)
 
 
 @register(
-    "p5_typed_range",
+    "p5_p6_compare_or",
     oracle="""
-    SELECT o_orderkey FROM orders
+    SELECT 'typed_range' AS kind, o_orderkey AS entity_id FROM orders
     WHERE o_totalprice >= 100000 AND o_orderdate < TIMESTAMP '1997-01-01'
-    """,
-)
-def p5_range(spark, sf_dir):
-    """P5: typed >,>=,<,<= comparison (IsolateQueryPage.pm:2595-2637)."""
-    o = tbl(spark, sf_dir, "orders")
-    return o.filter(
-        build_predicate(F.col("o_totalprice"), ">=", 100000)
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    ).select("o_orderkey")
-
-
-@register(
-    "p6_grouped_field_or",
-    oracle="""
-    SELECT p_partkey FROM part
+    UNION ALL
+    SELECT 'grouped_or' AS kind, p_partkey AS entity_id FROM part
     WHERE contains(upper(p_name), 'SM') OR contains(upper(p_type), 'SM')
        OR contains(upper(p_brand), 'SM')
     """,
 )
-def p6_grouped(spark, sf_dir):
-    """P6: one term ORed over a field group (IsolateQueryPage.pm:2374)."""
+def p5_p6(spark, sf_dir):
+    """P5 + P6: typed >,>=,<,<= comparison
+    (IsolateQueryPage.pm:2595-2637) and one term ORed over a field group
+    (:2374)."""
+    o = tbl(spark, sf_dir, "orders")
     p = tbl(spark, sf_dir, "part")
-    return p.filter(
+    rng = o.filter(
+        build_predicate(F.col("o_totalprice"), ">=", 100000)
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select(F.lit("typed_range").alias("kind"), F.col("o_orderkey").alias("entity_id"))
+    grp = p.filter(
         grouped_field_query([F.col("p_name"), F.col("p_type"), F.col("p_brand")], "sm")
-    ).select("p_partkey")
+    ).select(F.lit("grouped_or").alias("kind"), F.col("p_partkey").alias("entity_id"))
+    return rng.unionByName(grp)
 
 
 @register(
-    "p7_extended_attribute",
+    "p7_p8_p9_lookup",
     oracle="""
-    SELECT c_custkey FROM customer WHERE c_nationkey IN (
+    SELECT 'ext_attr' AS kind, c_custkey AS entity_id,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS label
+    FROM customer WHERE c_nationkey IN (
         SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
         WHERE upper(r_name) = 'EUROPE')
+    UNION ALL
+    SELECT 'eav' AS kind, user_id AS entity_id, count(*) AS n,
+           CAST(NULL AS VARCHAR) AS label
+    FROM events
+    WHERE user_id IN (
+        SELECT user_id FROM events WHERE event_type = 'click' AND value >= 10)
+    GROUP BY user_id
+    UNION ALL
+    SELECT 'user_dim' AS kind, o_orderkey AS entity_id,
+           CAST(NULL AS BIGINT) AS n, c_name AS label
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE ends_with(c_name, '5') AND o_orderstatus = 'O'
     """,
 )
-def p7_ext_attr(spark, sf_dir):
-    """P7: extended-attribute predicate rewritten to a dimension
-    semi-join (IsolateQueryPage.pm:2481-2492: country -> continent)."""
+def p7_p8_p9(spark, sf_dir):
+    """P7 + P8 + P9: the three auxiliary-table predicate rewrites —
+    extended-attribute dimension semi-join
+    (IsolateQueryPage.pm:2481-2492, country -> continent), EAV long-table
+    filter + semi-join back (:2848-2955), and sender/curator sub-field
+    search through the users dimension (QueryPage.pm:243-291)."""
     nat = tbl(spark, sf_dir, "nation")
     reg = tbl(spark, sf_dir, "region").filter(F.upper(F.col("r_name")) == "EUROPE")
     euro_nations = nat.join(
         F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"]
     ).select("n_nationkey")
     c = tbl(spark, sf_dir, "customer")
-    return c.join(
+    null_n = F.lit(None).cast("long")
+    null_label = F.lit(None).cast("string")
+    ext = c.join(
         F.broadcast(euro_nations),
         c["c_nationkey"] == F.col("n_nationkey"),
         "left_semi",
-    ).select("c_custkey")
-
-
-@register(
-    "p8_eav_predicate",
-    oracle="""
-    SELECT user_id, count(*) AS n_events FROM events
-    WHERE user_id IN (
-        SELECT user_id FROM events WHERE event_type = 'click' AND value >= 10)
-    GROUP BY user_id
-    """,
-)
-def p8_eav(spark, sf_dir):
-    """P8: EAV predicate -> filter the long table, semi-join back on the
-    entity id (IsolateQueryPage.pm:2848-2955). events is the EAV long
-    table here (entity=user_id, field=event_type, value=value)."""
+    ).select(
+        F.lit("ext_attr").alias("kind"),
+        F.col("c_custkey").alias("entity_id"),
+        null_n.alias("n"),
+        null_label.alias("label"),
+    )
     e = tbl(spark, sf_dir, "events")
     hits = (
         e.filter((F.col("event_type") == "click") & (F.col("value") >= 10))
         .select("user_id")
         .distinct()
     )
-    return (
+    eav = (
         e.join(hits, on="user_id", how="left_semi")
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("eav").alias("kind"),
+            F.col("user_id").alias("entity_id"),
+            "n",
+            null_label.alias("label"),
+        )
     )
-
-
-@register(
-    "p9_user_dim_fields",
-    oracle="""
-    SELECT o_orderkey, c_name
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    WHERE ends_with(c_name, '5') AND o_orderstatus = 'O'
-    """,
-)
-def p9_user_dim(spark, sf_dir):
-    """P9: sender/curator sub-field search through the users dimension
-    (QueryPage.pm:243-291 search_users)."""
     o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    c = tbl(spark, sf_dir, "customer").filter(
+    cu = tbl(spark, sf_dir, "customer").filter(
         build_predicate(F.col("c_name"), "ends with", "5")
     )
-    return o.join(c, o["o_custkey"] == c["c_custkey"]).select("o_orderkey", "c_name")
-
-
-@register(
-    "p10_list_typed",
-    oracle="""
-    SELECT c_custkey, c_acctbal FROM customer
-    WHERE c_custkey IN (1, 5, 42, 999, 1400)
-    """,
-)
-def p10_list(spark, sf_dir):
-    """P10: typed paste-list semi-join (IsolateQueryPage.pm:1035)."""
-    c = tbl(spark, sf_dir, "customer")
-    lst = spark.createDataFrame([(v,) for v in [1, 5, 42, 999, 1400]], ["c_custkey"])
-    return c.join(F.broadcast(lst), on="c_custkey", how="left_semi").select(
-        "c_custkey", "c_acctbal"
+    udim = o.join(cu, o["o_custkey"] == cu["c_custkey"]).select(
+        F.lit("user_dim").alias("kind"),
+        F.col("o_orderkey").alias("entity_id"),
+        null_n.alias("n"),
+        F.col("c_name").alias("label"),
     )
+    return ext.unionByName(eav).unionByName(udim)
 
 
 @register(
-    "p13_json_predicate",
+    "p13_json",
     oracle="""
-    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    SELECT 'flatten' AS kind, event_id, k AS json_path,
+           CAST(json_extract_string(props, '$.' || k) AS INTEGER) AS val_int
+    FROM events, UNNEST(json_keys(props)) AS u(k)
+    UNION ALL
+    SELECT 'predicate' AS kind, event_id, 'k' AS json_path,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS val_int
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 80
     """,
 )
 def p13_json(spark, sf_dir):
-    """P13: predicate on semi-structured JSON results with numeric cast
-    (IsolateQueryPage.pm:4260-4360, analysis_results_cache)."""
+    """P13: the analysis-results JSON surface — flatten the JSONB
+    document into long (entity, json_path, value) cache rows
+    (analysis_results_cache, sql/isolatedb.sql:2161) AND the typed
+    predicate on one extracted path
+    (IsolateQueryPage.pm:4260-4360)."""
     e = tbl(spark, sf_dir, "events")
+    kv = F.explode(F.from_json("props", "map<string,int>")).alias(
+        "json_path", "val_int"
+    )
+    flat = e.select(F.lit("flatten").alias("kind"), "event_id", kv)
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
-    return e.select("event_id", k.alias("k_val")).filter(F.col("k_val") > 80)
+    pred = (
+        e.select("event_id", k.alias("val_int"))
+        .filter(F.col("val_int") > 80)
+        .select(
+            F.lit("predicate").alias("kind"),
+            "event_id",
+            F.lit("k").alias("json_path"),
+            "val_int",
+        )
+    )
+    return flat.unionByName(pred)
 
 
 # ---------------------------------------------------------------- joins
 
 @register(
-    "j1_designation_join",
+    "j1_j5_designation_joins",
     oracle="""
-    SELECT o_orderkey, count(*) AS n_items
+    SELECT 'inner_equi' AS kind, o_orderkey AS entity_id, count(*) AS n
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE o_orderstatus = 'F' AND l_returnflag = 'R'
     GROUP BY o_orderkey
+    UNION ALL
+    SELECT 'left_null_lt' AS kind, c_custkey AS entity_id,
+           coalesce(n, 0) AS n
+    FROM customer LEFT JOIN (
+        SELECT o_custkey, count(*) AS n FROM orders
+        WHERE o_orderstatus = 'P' GROUP BY o_custkey) cnt
+    ON o_custkey = c_custkey
+    WHERE n < 2 OR n IS NULL
     """,
 )
-def j1_join(spark, sf_dir):
-    """J1: entity <- long fact equi-join with a locus filter
-    (IsolateQueryPage.pm:3001-3104). Filter pushed below the join."""
+def j1_j5(spark, sf_dir):
+    """J1 + J5: entity <- long-fact equi-join with a locus filter pushed
+    below the join (IsolateQueryPage.pm:3001-3104), and the LEFT JOIN
+    where entities with no fact rows must still match a '<' comparison
+    (:3974-3983 seqbin OR-IS-NULL)."""
     o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    return (
+    inner = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_items"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("inner_equi").alias("kind"),
+            F.col("o_orderkey").alias("entity_id"),
+            "n",
+        )
     )
+    c = tbl(spark, sf_dir, "customer")
+    op = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    left = with_count_predicate(c, op, "c_custkey", "o_custkey", "<", 2).select(
+        F.lit("left_null_lt").alias("kind"),
+        F.col("c_custkey").alias("entity_id"),
+        "n",
+    )
+    return inner.unionByName(left)
 
 
 @register(
@@ -299,23 +344,33 @@ def j2_cache_join(spark, sf_dir):
 
 
 @register(
-    "j5_left_join_null_compare",
+    "j6_tag_join",
     oracle="""
-    WITH cnt AS (
-        SELECT o_custkey, count(*) AS n FROM orders
-        WHERE o_orderstatus = 'P' GROUP BY o_custkey)
-    SELECT c_custkey, coalesce(n, 0) AS n_p_orders
-    FROM customer LEFT JOIN cnt ON o_custkey = c_custkey
-    WHERE n < 2 OR n IS NULL
+    SELECT c_custkey, count(*) AS n_tags
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R' AND l_linenumber <= 2
+    GROUP BY c_custkey
     """,
 )
-def j5_left_null(spark, sf_dir):
-    """J5: LEFT JOIN where entities with no fact rows must still match a
-    '<' comparison (IsolateQueryPage.pm:3974-3983 seqbin OR-IS-NULL)."""
+def j6_tag_join(spark, sf_dir):
+    """J6: the two-step tag join — allele_sequences (tags, here lineitem
+    rows at a locus) join sequence_bin (contigs, here orders) join the
+    isolate (customer): IsolateQueryPage.pm:3615-3684 builds exactly
+    this allele_sequences ⋈ sequence_bin ⋈ isolates chain. The contig
+    bridge is the join the designation path (J1) doesn't have."""
+    tags = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_linenumber") <= 2)
+    )
+    contigs = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = tbl(spark, sf_dir, "customer")
-    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
-    out = with_count_predicate(c, o, "c_custkey", "o_custkey", "<", 2)
-    return out.select("c_custkey", F.col("n").alias("n_p_orders"))
+    tagged = tags.join(contigs, tags["l_orderkey"] == contigs["o_orderkey"])
+    return (
+        c.join(tagged, c["c_custkey"] == tagged["o_custkey"])
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_tags"))
+    )
 
 
 @register(
@@ -395,101 +450,95 @@ def j10_interval(spark, sf_dir):
 # ------------------------------------------------- windows / sort / page
 
 @register(
-    "w1_top_n_per_group",
+    "w1_w4_rank_windows",
     oracle="""
-    SELECT n_name, c_custkey, c_acctbal FROM (
+    SELECT 'topn' AS kind, n_name, c_custkey AS k, c_acctbal AS v FROM (
         SELECT n_name, c_custkey, c_acctbal,
                row_number() OVER (
                    PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rn
         FROM customer JOIN nation ON c_nationkey = n_nationkey) t
     WHERE rn <= 3
-    """,
-)
-def w1_topn(spark, sf_dir):
-    """W1: top-N per group with deterministic tiebreak
-    (FieldBreakdown.pm:975 caps frequency lists the same way)."""
-    c = tbl(spark, sf_dir, "customer")
-    n = tbl(spark, sf_dir, "nation")
-    j = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return (
-        j.select("n_name", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= 3)
-        .drop("rn")
-    )
-
-
-@register(
-    "w4_rank_groups",
-    oracle="""
-    SELECT n_name, n_customers, CAST(rnk AS BIGINT) AS rnk FROM (
+    UNION ALL
+    SELECT 'rank' AS kind, n_name, n_customers AS k,
+           CAST(rnk AS DOUBLE) AS v FROM (
         SELECT n_name, count(*) AS n_customers,
                rank() OVER (ORDER BY count(*) DESC, n_name) AS rnk
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name) t
     """,
 )
-def w4_rank(spark, sf_dir):
-    """W4: largest-group selection (cluster.pl:226 get_largest_groups)."""
+def w1_w4(spark, sf_dir):
+    """W1 + W4: top-N per group with deterministic tiebreak
+    (FieldBreakdown.pm:975 caps frequency lists) and largest-group
+    ranking (cluster.pl:226 get_largest_groups)."""
     c = tbl(spark, sf_dir, "customer")
     n = tbl(spark, sf_dir, "nation")
-    counts = (
-        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy("n_name")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
+    j = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    topn = (
+        j.select("n_name", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.lit("topn").alias("kind"),
+            "n_name",
+            F.col("c_custkey").alias("k"),
+            F.col("c_acctbal").alias("v"),
+        )
     )
-    w = Window.orderBy(F.desc("n_customers"), F.asc("n_name"))
-    return counts.withColumn("rnk", F.rank().over(w).cast("long"))
+    counts = j.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+    wr = Window.orderBy(F.desc("n_customers"), F.asc("n_name"))
+    rank = counts.withColumn("rnk", F.rank().over(wr)).select(
+        F.lit("rank").alias("kind"),
+        "n_name",
+        F.col("n_customers").alias("k"),
+        F.col("rnk").cast("double").alias("v"),
+    )
+    return topn.unionByName(rank)
 
 
 @register(
-    "w6_stable_pagination",
+    "w6_o1_pagination",
     oracle="""
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
+    WITH comp AS (
+        SELECT c_custkey,
+               regexp_replace(c_name, '^Customer#0*', '') AS num_text,
+               concat(regexp_replace(c_name, '^Customer#0*', ''), ' [',
+                      regexp_replace(upper(c_mktsegment), 'URE$|ERY$', '.'), ']')
+                   AS composite
+        FROM customer)
+    SELECT c_custkey, composite FROM comp
+    ORDER BY (CASE WHEN regexp_matches(num_text, '^[0-9]+$')
+                   THEN CAST(num_text AS BIGINT) END) NULLS LAST,
+             composite, c_custkey
     LIMIT 50 OFFSET 100
     """,
 )
-def w6_page(spark, sf_dir):
-    """W6/O2: LIMIT/OFFSET paging under a total order — the reference
-    appends (id, datestamp) tiebreaks for exactly this determinism
-    (IsolateQueryPage.pm:2120-2128)."""
-    o = tbl(spark, sf_dir, "orders")
+def w6_o1(spark, sf_dir):
+    """W6/O2 + O1 + C1 in one pipeline: a composite virtual field
+    (composite_fields, sql/isolatedb.sql:1175, evaluated row-at-a-time
+    in Datastore.pm:261-361 — here one vectorized expression), sorted
+    with the numeric-text guard (the reference's
+    to_number(textcat('0', allele)) trick, ProfileQueryPage.pm
+    _generate_query), paginated under a total order
+    (IsolateQueryPage.pm:2120-2128 appends tiebreaks for exactly this
+    determinism)."""
+    c = tbl(spark, sf_dir, "customer")
+    num_text = F.regexp_replace("c_name", "^Customer#0*", "")
+    composite = F.concat(
+        num_text,
+        F.lit(" ["),
+        F.regexp_replace(F.upper(F.col("c_mktsegment")), "URE$|ERY$", "."),
+        F.lit("]"),
+    )
+    comp = c.select(
+        "c_custkey", num_text.alias("num_text"), composite.alias("composite")
+    )
+    guard = F.when(
+        F.col("num_text").rlike("^[0-9]+$"), F.col("num_text").cast("long")
+    )
     return (
-        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .select("o_orderkey", "o_totalprice")
+        comp.orderBy(guard.asc_nulls_last(), F.asc("composite"), F.asc("c_custkey"))
+        .select("c_custkey", "composite")
         .offset(100)
         .limit(50)
     )
-
-
-@register(
-    "o1_numeric_text_sort",
-    oracle="""
-    SELECT allele_id FROM (
-        SELECT DISTINCT CAST(p_size AS VARCHAR) AS allele_id FROM part) t
-    ORDER BY (CASE WHEN regexp_matches(allele_id, '^[0-9]+$')
-                   THEN CAST(allele_id AS BIGINT) END) NULLS LAST,
-             allele_id
-    LIMIT 5
-    """,
-)
-def o1_numeric_text(spark, sf_dir):
-    """O1: allele ids are text but sort numerically when they look
-    numeric — the reference's to_number(textcat('0', allele)) guard
-    (ProfileQueryPage.pm _generate_query order clause)."""
-    p = tbl(spark, sf_dir, "part")
-    ids = p.select(F.col("p_size").cast("string").alias("allele_id")).distinct()
-    guard = F.when(
-        F.col("allele_id").rlike("^[0-9]+$"), F.col("allele_id").cast("long")
-    )
-    return ids.orderBy(guard.asc_nulls_last(), F.col("allele_id").asc()).limit(5)
-
-
-@register(
-    "o5_distinct_pairs",
-    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
-)
-def o5_distinct(spark, sf_dir):
-    """O5: DISTINCT projection (cluster.pl:137 shape)."""
-    return tbl(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()

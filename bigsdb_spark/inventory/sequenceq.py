@@ -29,6 +29,78 @@ def _pseudo_dna(spark, sf_dir):
 
 
 @register(
+    "f10_partial_match",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DNA_SQL} AS seq FROM documents),
+    alleles AS (
+        SELECT doc_id AS allele_id, substr(seq, 1, 60) AS aseq
+        FROM d WHERE length(seq) >= 60),
+    queries AS (
+        -- deterministic point mutations at positions 5 and 20
+        SELECT allele_id AS query_id,
+               concat(substr(aseq, 1, 4),
+                      translate(substr(aseq, 5, 1), 'ACGT', 'CGTA'),
+                      substr(aseq, 6, 14),
+                      translate(substr(aseq, 20, 1), 'ACGT', 'CGTA'),
+                      substr(aseq, 21)) AS qseq
+        FROM alleles WHERE allele_id % 10 = 0),
+    mm AS (
+        SELECT q.query_id, a.allele_id,
+               CAST(60 AS BIGINT) AS alignment,
+               CAST((SELECT count(*) FROM UNNEST(range(1, 61)) AS u(i)
+                     WHERE substr(q.qseq, i, 1) != substr(a.aseq, i, 1))
+                    AS BIGINT) AS mismatches
+        FROM queries q, alleles a)
+    SELECT query_id, 'locus1' AS locus, CAST(allele_id AS VARCHAR) AS allele_id,
+           alignment, mismatches, CAST(0 AS BIGINT) AS gaps,
+           round((60 - mismatches) * 100.0 / 60, 4) AS identity
+    FROM mm WHERE round((60 - mismatches) * 100.0 / 60, 4) >= 95.0
+    """,
+)
+def f10_partial(spark, sf_dir):
+    """F10 inexact tier: sequence -> allele PARTIAL matching — the
+    k-mer-prefilter + ungapped-scoring path
+    (operators/seqmatch.py::ungapped_partial_matches), reproducing the
+    partial-match record of Offline/Blast.pm:443-502 (identity,
+    mismatches, gaps, alignment; the identity threshold knob of :452).
+
+    Fixture: alleles = 60-mers of pseudo-DNA; queries = every 10th
+    allele with deterministic point mutations at positions 5 and 20
+    (2 mismatches -> identity 96.7). The oracle scores ALL pairs
+    directly, so it also proves the k-mer prefilter loses no
+    within-threshold candidate: identity >= 95 over 60 bp means <= 3
+    mismatches, whose longest exact run is >= ceil(57/4) = 15 >= k=10. The
+    gapped/banded tier (seqmatch.banded_align) is pytest-covered —
+    alignment scoring is not expressible in one SQL pass.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.upper(F.regexp_replace("text", "[^acgt]", "")).alias("seq")
+    ).filter(F.length("seq") >= 60)
+    alleles = d.select(
+        F.lit("locus1").alias("locus"),
+        F.col("doc_id").cast("string").alias("allele_id"),
+        F.substring("seq", 1, 60).alias("sequence"),
+    )
+    mut = F.concat(
+        F.substring("sequence", 1, 4),
+        F.translate(F.substring("sequence", 5, 1), "ACGT", "CGTA"),
+        F.substring("sequence", 6, 14),
+        F.translate(F.substring("sequence", 20, 1), "ACGT", "CGTA"),
+        F.expr("substring(sequence, 21)"),
+    )
+    queries = alleles.filter(F.col("allele_id").cast("long") % 10 == 0).select(
+        F.col("allele_id").cast("long").alias("query_id"),
+        mut.alias("sequence"),
+    )
+    from bigsdb_spark.operators.seqmatch import ungapped_partial_matches
+
+    return ungapped_partial_matches(
+        queries, alleles, k=10, min_identity=95.0, min_alignment_pct=50.0
+    )
+
+
+@register(
     "f_sequence_suite",
     oracle=f"""
     WITH d AS (SELECT doc_id, {_DNA_SQL} AS seq FROM documents)

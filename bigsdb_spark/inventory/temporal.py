@@ -30,51 +30,41 @@ def a11_daily(spark, sf_dir):
 
 
 @register(
-    "stream_tumbling_counts",
+    "stream_twins",
     oracle="""
-    WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS sec, event_type, value
-               FROM events)
-    SELECT CAST(sec - (sec % 3600) AS BIGINT) AS window_start,
-           event_type, count(*) AS n, round(sum(value), 2) AS total_value
-    FROM e GROUP BY 1, 2
-    """,
-)
-def stream_tumbling(spark, sf_dir):
-    """Tumbling-window counts — the batch twin of
-    streaming/events.py::streaming_tumbling_counts (same windows, same
-    aggregates; tests assert stream==batch with trigger=availableNow)."""
-    return tumbling_counts(tbl(spark, sf_dir, "events"), "ts", "event_type", 3600)
-
-
-@register(
-    "stream_dedup_events",
-    oracle="""
-    WITH e AS (SELECT user_id, event_type, event_id, epoch_ns(ts) AS tns
-               FROM events),
+    WITH e AS (SELECT user_id, event_type, event_id, value,
+                      epoch_ns(ts) AS tns FROM events),
     ranked AS (
-        SELECT user_id, event_type, event_id,
-               row_number() OVER (
+        SELECT *, row_number() OVER (
                    PARTITION BY user_id, event_type
                    ORDER BY tns, event_id) AS rn
-        FROM e)
-    SELECT user_id, event_type, event_id AS first_event_id
-    FROM ranked WHERE rn = 1
+        FROM e),
+    firsts AS (SELECT user_id, event_type, event_id, value,
+                      tns // 1000000000 AS sec
+               FROM ranked WHERE rn = 1)
+    SELECT CAST(sec - (sec % 3600) AS BIGINT) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM firsts GROUP BY 1, 2
     """,
 )
-def stream_dedup_batch(spark, sf_dir):
-    """Batch twin of the streaming stateful dedup
-    (streaming/events.py::streaming_dedup): first event per
-    (user, type) key wins — deterministic argmin window with id
-    tiebreak."""
+def stream_twins(spark, sf_dir):
+    """The canonical streaming pipeline as a batch twin: stateful dedup
+    (first event per (user, type) key wins — deterministic argmin window
+    with id tiebreak; streaming/events.py::streaming_dedup) feeding
+    tumbling-window counts (streaming_tumbling_counts — same windows,
+    same aggregates). tests/test_streaming_extensions.py asserts
+    stream==batch for each operator individually with
+    trigger=availableNow."""
     from pyspark.sql import Window
 
     e = tbl(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    return (
+    firsts = (
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+        .drop("rn")
     )
+    return tumbling_counts(firsts, "ts", "event_type", 3600)
 
 
 @register(

@@ -35,6 +35,26 @@ _PAIR_CTE = """
         GROUP BY 1, 2)
 """
 
+# Relative-threshold variant: the reference computes loci-in-common and
+# matched over NON-'N' loci only (matching_profiles_with_relative_threshold,
+# sql/seqdef.sql:1393-1410: p1.allele_id!='N' AND p2.allele_id!='N').
+_PAIR_NO_N_CTE = """
+    li AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        WHERE l_orderkey % 40 = 0 AND l_orderkey < 20000),
+    pd AS (
+        SELECT a.l_orderkey AS id1, b.l_orderkey AS id2,
+               count(*) AS shared,
+               CAST(sum(CASE WHEN a.l_returnflag = b.l_returnflag
+                             THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+               CAST(count(*) - sum(CASE WHEN a.l_returnflag = b.l_returnflag
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        FROM li a JOIN li b
+          ON a.l_linenumber = b.l_linenumber AND a.l_orderkey < b.l_orderkey
+        WHERE a.l_returnflag != 'N' AND b.l_returnflag != 'N'
+        GROUP BY 1, 2)
+"""
+
 
 def _subset(spark, sf_dir):
     # SF-independent anchor set (~375 profiles): all-pairs distance work
@@ -48,14 +68,14 @@ def _subset(spark, sf_dir):
 _pairs_memo: dict = {}
 
 
-def _pairs(spark, sf_dir, wildcard=False):
+def _pairs(spark, sf_dir, wildcard=False, exclude_wildcard=False):
     # d1/d2/d3/d4/d7 all consume the same pair-distance frame; cache it
-    # once per (session, sf_dir) so the self-join runs once, not per query
-    key = (id(spark), sf_dir, wildcard)
+    # once per (session, sf_dir, mode) so the self-join runs once
+    key = (id(spark), sf_dir, wildcard, exclude_wildcard)
     if key not in _pairs_memo:
         _pairs_memo[key] = profile_pair_distances(
             _subset(spark, sf_dir), "l_orderkey", "l_linenumber", "l_returnflag",
-            wildcard=wildcard,
+            wildcard=wildcard, exclude_wildcard=exclude_wildcard,
         ).cache()
     return _pairs_memo[key]
 
@@ -76,23 +96,10 @@ def d1_pairs(spark, sf_dir):
     "d2_matching_profiles",
     oracle=f"""
     WITH {_PAIR_CTE}
-    SELECT id1, id2, shared, matched, hamming FROM pd WHERE matched >= 7 - 1
-    """,
-)
-def d2_matching(spark, sf_dir):
-    """D2: matching_profiles(scheme, p, k=1) — pairs within <= k
-    mismatches, HAVING count(matches) >= total - k
-    (sql/seqdef.sql:1386-1392)."""
-    return matching_profiles(_pairs(spark, sf_dir), total_loci=7, k=1)
-
-
-@register(
-    "d2w_wildcard_matching",
-    oracle="""
-    WITH li AS (
-        SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
-        WHERE l_orderkey % 40 = 0 AND l_orderkey < 20000),
-    pd AS (
+    SELECT 0 AS wildcard, id1, id2, shared, matched, hamming
+    FROM pd WHERE matched >= 7 - 1
+    UNION ALL
+    SELECT 1 AS wildcard, id1, id2, shared, matched, hamming FROM (
         SELECT a.l_orderkey AS id1, b.l_orderkey AS id2,
                count(*) AS shared,
                CAST(sum(CASE WHEN a.l_returnflag = b.l_returnflag
@@ -103,29 +110,45 @@ def d2_matching(spark, sf_dir):
                              THEN 1 ELSE 0 END) AS BIGINT) AS hamming
         FROM li a JOIN li b
           ON a.l_linenumber = b.l_linenumber AND a.l_orderkey < b.l_orderkey
-        GROUP BY 1, 2)
-    SELECT id1, id2, shared, matched, hamming FROM pd WHERE matched >= 7 - 1
+        GROUP BY 1, 2) w
+    WHERE matched >= 7 - 1
     """,
 )
-def d2w_wildcard(spark, sf_dir):
-    """D2 with the 'N' wildcard: 'N' on either side matches anything —
-    the arbitrary-allele sentinel semantics (sql/seqdef.sql:1380-1392;
-    profile wildcard join sql/isolatedb.sql:1529-1566)."""
-    return matching_profiles(_pairs(spark, sf_dir, wildcard=True), total_loci=7, k=1)
+def d2_matching(spark, sf_dir):
+    """D2: matching_profiles(scheme, p, k=1) — pairs within <= k
+    mismatches, HAVING count(matches) >= total - k
+    (sql/seqdef.sql:1386-1392) — plus the 'N'-wildcard variant where 'N'
+    on either side matches anything (the arbitrary-allele sentinel,
+    :1380-1392; profile wildcard join sql/isolatedb.sql:1529-1566),
+    discriminated by the ``wildcard`` flag column."""
+    exact = matching_profiles(_pairs(spark, sf_dir), total_loci=7, k=1).select(
+        F.lit(0).alias("wildcard"), "id1", "id2", "shared", "matched", "hamming"
+    )
+    wild = matching_profiles(
+        _pairs(spark, sf_dir, wildcard=True), total_loci=7, k=1
+    ).select(
+        F.lit(1).alias("wildcard"), "id1", "id2", "shared", "matched", "hamming"
+    )
+    return exact.unionByName(wild)
 
 
 @register(
     "d3_relative_threshold",
     oracle=f"""
-    WITH {_PAIR_CTE}
+    WITH {_PAIR_NO_N_CTE}
     SELECT id1, id2, shared, matched, hamming FROM pd
     WHERE matched >= round(shared * (7 - 2) / 7.0, 0)
     """,
 )
 def d3_relative(spark, sf_dir):
-    """D3: relative threshold — cutoff scales with shared loci:
-    matched >= round(shared*(total-k)/total) (sql/seqdef.sql:1393-1410)."""
-    return matching_profiles(_pairs(spark, sf_dir), total_loci=7, k=2, relative=True)
+    """D3: relative threshold — cutoff scales with the loci actually
+    shared: matched >= round(shared*(total-k)/total), where shared and
+    matched count NON-'N' loci only on both sides
+    (matching_profiles_with_relative_threshold, sql/seqdef.sql:1393-1410
+    filters p1.allele_id!='N' AND p2.allele_id!='N')."""
+    return matching_profiles(
+        _pairs(spark, sf_dir, exclude_wildcard=True), total_loci=7, k=2, relative=True
+    )
 
 
 @register(

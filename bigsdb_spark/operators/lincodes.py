@@ -2,28 +2,103 @@
 
 Reference: scripts/maintenance/lincodes.pl:177-330. LIN codes are
 hierarchical multi-threshold lineage codes. Profiles are processed in a
-FIXED order (profile id ascending); each new profile finds its closest
-already-coded profile (similarity = identical loci / shared non-missing
-loci), picks the threshold bin that similarity falls into, inherits the
-closest profile's code prefix up to that bin, and increments the next
-component (lincodes.pl:236-330).
+FIXED order (profile id ascending, lincodes.pl:362-368); each new
+profile finds its closest already-coded profile and inherits a code
+prefix. Reference semantics reproduced exactly:
 
-The assignment loop is inherently sequential (each result depends on all
-previous ones — lincodes.pl processes `ORDER BY CAST(profile_id AS int)`)
-so the driver iterates profiles in order; the expensive part — the
-distance scan against all previously-coded profiles — is the vectorized
-part in the reference (PDL, lincodes.pl:249-252) and stays vectorized
-here (numpy over the collected profile matrix). For cluster-scale batches
-swap the scan for a Spark crossJoin + window argmin per micro-batch.
+- missing alleles ('N') are mapped to 0 (lincodes.pl:186 ``%missing``);
+- diffs between two profiles count positions where both sides are
+  non-missing and differ: ``sum((p1!=p2)&(p1!=0)&(p2!=0))``
+  (lincodes.pl:249);
+- the distance is NORMALIZED by the non-missing denominator:
+  ``100*diffs/(locus_count - missing_in_either)`` (lincodes.pl:251);
+- ties go to the earliest-coded profile (strict ``<`` on distance,
+  lincodes.pl:252);
+- ``diffs == 0`` reuses the closest profile's code verbatim — identical
+  profiles share a LIN code, nothing else does (lincodes.pl:258-260);
+- the FIRST profile gets all zeros (lincodes.pl:194);
+- identity = 100 - min_distance is binned against the scheme's identity
+  thresholds ``100*(L-d)/L`` per diff threshold d (lincodes.pl:499-517);
+  threshold_index = number of identity thresholds passed in order;
+- threshold_index == 0 -> new top-level lineage (max first component
+  + 1); otherwise inherit the closest code's first threshold_index
+  components and increment the component AT threshold_index among codes
+  sharing that prefix (lincodes.pl increment_lincode:300-330).
 
-This operator is driver-orchestrated by design; it is NOT registered
-with a SQL oracle (the driver records a rows-only check).
+The assignment loop is inherently sequential (each result depends on
+all previous ones), so codes are resolved in order — but the expensive
+part, the distance scan of each new profile against every already-coded
+profile, runs in Spark per micro-batch: the (small) batch is broadcast
+against the coded-profile DataFrame, distances are computed with
+zip_with expressions, and a window argmin returns one nearest-candidate
+row per batch member. The driver never holds the full profile corpus —
+only the running code list (ids + small int arrays) and one batch of
+profiles at a time.
+
+This operator is driver-orchestrated by design; the gate records a
+rows-only check (hand fixtures in tests/test_stats_clustering.py pin
+the reference semantics).
 """
 
 from __future__ import annotations
 
-import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+MISSING = ("N", "0")
+
+
+def _diffs_and_denom(p1, p2, locus_count: int):
+    """diffs / missing_in_either as codegen expressions over two aligned
+    allele arrays ('N'/'0' = missing)."""
+    miss = lambda x: x.isin(*MISSING)  # noqa: E731
+    diffs = F.aggregate(
+        F.zip_with(
+            p1, p2,
+            lambda a, b: ((a != b) & ~miss(a) & ~miss(b)).cast("int"),
+        ),
+        F.lit(0), lambda acc, v: acc + v,
+    )
+    missing_in_either = F.aggregate(
+        F.zip_with(p1, p2, lambda a, b: (miss(a) | miss(b)).cast("int")),
+        F.lit(0), lambda acc, v: acc + v,
+    )
+    return diffs, F.lit(locus_count) - missing_in_either
+
+
+def nearest_coded(
+    batch: DataFrame,
+    coded: DataFrame,
+    locus_count: int,
+) -> list:
+    """One Spark job: for every batch profile, the nearest profile in
+    ``coded`` by normalized distance (ties -> earliest insertion order).
+
+    ``batch``:  (profile_key, profile)        — small, broadcast side.
+    ``coded``:  (ins_idx, profile)            — all previously coded.
+    Returns rows (profile_key, ins_idx, diffs, distance).
+    """
+    b = F.broadcast(batch.select(
+        F.col("profile_key"), F.col("profile").alias("p2")
+    ))
+    pairs = coded.select(
+        "ins_idx", F.col("profile").alias("p1")
+    ).crossJoin(b)
+    diffs, denom = _diffs_and_denom(F.col("p1"), F.col("p2"), locus_count)
+    scored = pairs.select(
+        "profile_key", "ins_idx",
+        diffs.alias("diffs"),
+        (F.lit(100.0) * diffs / denom).alias("distance"),
+    )
+    w = Window.partitionBy("profile_key").orderBy(
+        F.asc("distance"), F.asc("ins_idx")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("profile_key", "ins_idx", "diffs", "distance")
+        .collect()
+    )
 
 
 def assign_lincodes(
@@ -32,64 +107,119 @@ def assign_lincodes(
     thresholds: list[int],
     id_col: str = "profile_key",
     profile_col: str = "profile",
+    locus_count: int | None = None,
+    batch_size: int = 256,
 ) -> DataFrame:
-    """Returns (profile_key, lincode array<int>).
-
-    ``thresholds`` are mismatch counts, largest first (e.g. [4, 2, 1]):
-    bin i is chosen when the closest profile differs by <= thresholds[i]
-    (and > thresholds[i+1] ... per the reference's identity-threshold
-    table, lincodes.pl:266-287).
-    """
-    rows = profiles.select(id_col, profile_col).orderBy(id_col).collect()
-    if not rows:
-        return spark.createDataFrame([], schema=f"{id_col} string, lincode array<int>")
-    ids = [r[0] for r in rows]
-    mat = np.array([r[1] for r in rows], dtype=object)
+    """Returns (profile_key, lincode array<int>) per the reference
+    algorithm above. ``thresholds`` are the scheme's diff thresholds in
+    scheme order (largest first, e.g. [4, 2, 1, 0])."""
     n_comp = len(thresholds)
+    # total ordered ids only — profiles stay distributed
+    ids = [
+        r[0]
+        for r in profiles.select(F.col(id_col).alias("k"))
+        .orderBy("k")
+        .collect()
+    ]
+    if not ids:
+        return spark.createDataFrame(
+            [], schema=f"{id_col} string, lincode array<int>"
+        )
+    if locus_count is None:
+        locus_count = profiles.select(
+            F.size(profile_col).alias("n")
+        ).head()[0]
+    identity_thresholds = [
+        100.0 * (locus_count - d) / locus_count for d in thresholds
+    ]
+    prof = profiles.select(
+        F.col(id_col).alias("profile_key"), F.col(profile_col).alias("profile")
+    ).cache()
+    prof.count()
+
     codes: list[list[int]] = []
-    for i in range(len(ids)):
-        if not codes:
-            codes.append([1] + [0] * (n_comp - 1))
-            continue
-        prev = mat[:i]
-        cur = mat[i]
-        # vectorized mismatch count ignoring missing ('N'/'0') positions —
-        # the PDL expression sum((p1!=p2)&(p1!=0)&(p2!=0)) at lincodes.pl:249
-        diffs = np.array(
-            [
-                sum(
-                    1
-                    for a, b in zip(p, cur)
-                    if a != b and a not in ("N", "0") and b not in ("N", "0")
+    coded_ids: list = []
+
+    def new_code(nearest_idx: int | None, diffs: int, distance: float):
+        if nearest_idx is not None and diffs == 0:
+            return list(codes[nearest_idx])  # identical -> same code
+        identity = 100.0 - distance
+        t_idx = 0
+        for t_ident in identity_thresholds:
+            if identity >= t_ident:
+                t_idx += 1
+            else:
+                break
+        if t_idx == 0 or nearest_idx is None:
+            top = max((c[0] for c in codes), default=0) + 1
+            return [top] + [0] * (n_comp - 1)
+        prefix = codes[nearest_idx][:t_idx]
+        nxt = max(
+            (c[t_idx] for c in codes
+             if c[:t_idx] == prefix and len(c) > t_idx),
+            default=0,
+        ) + 1
+        code = prefix + [nxt]
+        while len(code) < n_comp:
+            code.append(0)
+        return code
+
+    for start in range(0, len(ids), batch_size):
+        batch_ids = ids[start:start + batch_size]
+        lst = spark.createDataFrame([(i,) for i in batch_ids], ["profile_key"])
+        batch_rows = {
+            r[0]: r[1]
+            for r in prof.join(F.broadcast(lst), on="profile_key").collect()
+        }
+        # Spark-side scan vs all profiles coded BEFORE this batch
+        pre_nearest: dict = {}
+        if codes:
+            coded_src = prof.join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        list(enumerate(coded_ids)), ["ins_idx", "profile_key"]
+                    )
+                ),
+                on="profile_key",
+            ).select("ins_idx", "profile")
+            for r in nearest_coded(
+                prof.join(F.broadcast(lst), on="profile_key"),
+                coded_src, locus_count,
+            ):
+                pre_nearest[r["profile_key"]] = (
+                    int(r["ins_idx"]), int(r["diffs"]), float(r["distance"])
                 )
-                for p in prev
-            ]
-        )
-        nearest = int(diffs.argmin())  # ties -> earliest profile id (stable argmin)
-        d = int(diffs[nearest])
-        # find the shallowest threshold bin that admits this distance
-        bin_idx = None
-        for j, t in enumerate(thresholds):
-            if d <= t:
-                bin_idx = j
-        if bin_idx is None:
-            # outside all thresholds: new top-level lineage
-            top = max(c[0] for c in codes) + 1
-            codes.append([top] + [0] * (n_comp - 1))
-            continue
-        # inherit prefix up to and including bin_idx, increment next slot
-        base = codes[nearest]
-        prefix = base[: bin_idx + 1]
-        siblings = [
-            c for c in codes if c[: bin_idx + 1] == prefix
-        ]
-        nxt = (
-            max(c[bin_idx + 1] for c in siblings) + 1
-            if bin_idx + 1 < n_comp and siblings
-            else 0
-        )
-        code = prefix + ([nxt] if bin_idx + 1 < n_comp else [])
-        code = code + [0] * (n_comp - len(code))
-        codes.append(code)
-    out = [(ids[i], codes[i]) for i in range(len(ids))]
+        # sequential resolution inside the (bounded) batch: compare the
+        # Spark-computed nearest-vs-coded candidate with batch-local
+        # earlier members (at most batch_size-1 comparisons per profile)
+        for key in batch_ids:
+            cur = batch_rows[key]
+            if not codes:
+                codes.append([0] * n_comp)
+                coded_ids.append(key)
+                continue
+            best = pre_nearest.get(key)  # (ins_idx, diffs, distance)
+            for j in range(len(coded_ids) - 1, -1, -1):
+                if coded_ids[j] not in batch_rows:
+                    break  # older than this batch -> covered by Spark scan
+                other = batch_rows[coded_ids[j]]
+                d = sum(
+                    1 for a, b in zip(other, cur)
+                    if a != b and a not in MISSING and b not in MISSING
+                )
+                mie = sum(
+                    1 for a, b in zip(other, cur)
+                    if a in MISSING or b in MISSING
+                )
+                dist = 100.0 * d / (locus_count - mie) if locus_count > mie else 100.0
+                if best is None or dist < best[2] or (
+                    dist == best[2] and j < best[0]
+                ):
+                    best = (j, d, dist)
+            nearest_idx, diffs, distance = best
+            codes.append(new_code(nearest_idx, diffs, distance))
+            coded_ids.append(key)
+
+    out = [(coded_ids[i], codes[i]) for i in range(len(coded_ids))]
+    prof.unpersist()
     return spark.createDataFrame(out, schema=f"{id_col} string, lincode array<int>")

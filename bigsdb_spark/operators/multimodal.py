@@ -56,12 +56,16 @@ def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
 
     A real deployment replaces this with PIL/torchvision/ffmpeg; the
     signature (bytes in, dims + feature vector out) is the contract the
-    Spark plumbing is built against.
+    Spark plumbing is built against. Features are quantized to 4dp so
+    the fake is engine-independently reproducible (the float32 round
+    trip preserves 4dp exactly for values in [0, 1]) — which lets the
+    driver gate check this path against a DuckDB sha256-based oracle
+    instead of a rows-only count.
     """
     digest = hashlib.sha256(payload).digest()
     width = 1 + digest[0]
     height = 1 + digest[1]
-    feats = [b / 255.0 for b in digest[: _FEATURE_DIM]]
+    feats = [round(b / 255.0, 4) for b in digest[:_FEATURE_DIM]]
     return width, height, feats
 
 

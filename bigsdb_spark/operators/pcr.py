@@ -23,8 +23,14 @@ from bigsdb_spark.functions.sequence import reverse_complement
 def _occurrences(contigs: DataFrame, primer_col: str, primers: DataFrame,
                  contig_id: str, contig_seq: str, out: str) -> DataFrame:
     """All (contig, primer, position) exact occurrences; one explode per
-    distinct primer length (bounded — primers are short)."""
+    distinct primer length (bounded — primers are short). Returns an
+    empty typed frame when there are no primers (ipcress exits cleanly
+    on an empty primer file; so do we)."""
     lengths = [r.L for r in primers.select(F.length(primer_col).alias("L")).distinct().collect()]
+    if not lengths:
+        return contigs.sparkSession.createDataFrame(
+            [], f"_cid long, primer_id string, {out} int"
+        )
     p = primers.select(
         F.col("primer_id"), F.upper(F.col(primer_col)).alias("_p"),
         F.length(primer_col).alias("_len"),
@@ -60,33 +66,50 @@ def insilico_pcr(
     max_product: int = 5000,
 ) -> DataFrame:
     """``primer_pairs``: (pair_id, forward, reverse). Returns
-    (contig id, pair_id, start_pos, end_pos, product_len) for every
-    amplicon: forward primer match followed, within ``max_product``
-    bases, by the reverse complement of the reverse primer."""
-    fwd = primer_pairs.select(
-        F.col("pair_id").alias("primer_id"), F.col("forward").alias("p")
-    )
-    rev = primer_pairs.select(
-        F.col("pair_id").alias("primer_id"),
-        reverse_complement(F.col("reverse")).alias("p"),
-    )
-    f_occ = _occurrences(contigs, "p", fwd, contig_id, contig_seq, "f_pos")
-    r_occ = _occurrences(contigs, "p", rev, contig_id, contig_seq, "r_pos")
-    rev_len = primer_pairs.select(
-        F.col("pair_id").alias("primer_id"), F.length("reverse").alias("_rlen")
-    )
-    joined = (
-        f_occ.join(r_occ, on=["_cid", "primer_id"])
-        .join(F.broadcast(rev_len), on="primer_id")
-        .filter(
-            (F.col("r_pos") > F.col("f_pos"))
-            & (F.col("r_pos") + F.col("_rlen") - F.col("f_pos") <= max_product)
+    (contig id, pair_id, start_pos, end_pos, product_len, orientation)
+    for every amplicon, BOTH orientations (ipcress reports both):
+
+    - 'F': forward primer on the + strand followed, within
+      ``max_product`` bases, by the reverse complement of the reverse
+      primer;
+    - 'R': the pair binds the opposite strand — on the + strand that
+      reads as the reverse primer followed by the reverse complement of
+      the forward primer.
+    """
+
+    def one_orientation(first, second, orientation):
+        a = primer_pairs.select(
+            F.col("pair_id").alias("primer_id"), first.alias("p")
         )
+        b = primer_pairs.select(
+            F.col("pair_id").alias("primer_id"), second.alias("p"),
+        )
+        a_occ = _occurrences(contigs, "p", a, contig_id, contig_seq, "f_pos")
+        b_occ = _occurrences(contigs, "p", b, contig_id, contig_seq, "r_pos")
+        b_len = primer_pairs.select(
+            F.col("pair_id").alias("primer_id"), F.length(second).alias("_rlen")
+        )
+        joined = (
+            a_occ.join(b_occ, on=["_cid", "primer_id"])
+            .join(F.broadcast(b_len), on="primer_id")
+            .filter(
+                (F.col("r_pos") > F.col("f_pos"))
+                & (F.col("r_pos") + F.col("_rlen") - F.col("f_pos") <= max_product)
+            )
+        )
+        return joined.select(
+            F.col("_cid").alias(contig_id),
+            F.col("primer_id").alias("pair_id"),
+            F.col("f_pos").alias("start_pos"),
+            (F.col("r_pos") + F.col("_rlen") - 1).alias("end_pos"),
+            (F.col("r_pos") + F.col("_rlen") - F.col("f_pos")).alias("product_len"),
+            F.lit(orientation).alias("orientation"),
+        )
+
+    fwd_strand = one_orientation(
+        F.col("forward"), reverse_complement(F.col("reverse")), "F"
     )
-    return joined.select(
-        F.col("_cid").alias(contig_id),
-        F.col("primer_id").alias("pair_id"),
-        F.col("f_pos").alias("start_pos"),
-        (F.col("r_pos") + F.col("_rlen") - 1).alias("end_pos"),
-        (F.col("r_pos") + F.col("_rlen") - F.col("f_pos")).alias("product_len"),
+    rev_strand = one_orientation(
+        F.col("reverse"), reverse_complement(F.col("forward")), "R"
     )
+    return fwd_strand.unionByName(rev_strand)

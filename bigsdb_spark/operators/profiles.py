@@ -68,6 +68,7 @@ def profile_pair_distances(
     locus_col: str,
     allele_col: str,
     wildcard: bool = False,
+    exclude_wildcard: bool = False,
     restrict_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """J4/D1/D6: per-pair (shared, matched, hamming) over the long form.
@@ -76,6 +77,12 @@ def profile_pair_distances(
     sides possess (reference sql/seqdef.sql:1386-1392 joins
     profile_members to itself the same way). Returns one row per
     unordered pair (id1 < id2) that shares >= 1 locus.
+
+    ``exclude_wildcard`` drops rows where EITHER side is 'N' before
+    aggregating — the relative-threshold variant
+    (matching_profiles_with_relative_threshold, sql/seqdef.sql:1393-1410)
+    computes loci-in-common and matched over non-N loci only
+    (p1.allele_id!='N' AND p2.allele_id!='N').
     """
     a = long_df.select(
         F.col(id_col).alias("id1"),
@@ -88,6 +95,10 @@ def profile_pair_distances(
         F.col(allele_col).alias("a2"),
     )
     joined = a.join(b, on="locus").filter(F.col("id1") < F.col("id2"))
+    if exclude_wildcard:
+        joined = joined.filter(
+            (F.col("a1") != WILDCARD) & (F.col("a2") != WILDCARD)
+        )
     if wildcard:
         match = (F.col("a1") == F.col("a2")) | (F.col("a1") == WILDCARD) | (
             F.col("a2") == WILDCARD

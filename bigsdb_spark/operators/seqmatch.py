@@ -141,6 +141,195 @@ def mutation_scan(
     )
 
 
+def _kmer_explode(df: DataFrame, id_cols: list[str], seq_col: str, k: int) -> DataFrame:
+    """Distinct k-mers per row as exploded (id..., kmer) rows — empty
+    when the sequence is shorter than k."""
+    return (
+        df.select(*id_cols, F.upper(F.col(seq_col)).alias("_seq"))
+        .select(
+            *id_cols,
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform("
+                        f" CASE WHEN length(_seq) >= {k}"
+                        f"  THEN sequence(1, length(_seq) - {k - 1})"
+                        "   ELSE CAST(array() AS array<int>) END,"
+                        f" i -> substring(_seq, i, {k}))"
+                    )
+                )
+            ).alias("kmer"),
+        )
+    )
+
+
+def kmer_candidates(
+    queries: DataFrame,
+    alleles: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_seq: str = "sequence",
+) -> DataFrame:
+    """F10 inexact tier, stage 1: k-mer prefilter.
+
+    Explodes distinct k-mers of queries and alleles and equi-joins on
+    the k-mer — the BLAST seeding idea (word hits) as a Spark hash join
+    (Offline/Blast.pm:247 _run_blast word_size). Any alignment with at
+    most m mismatches over length L shares a k-mer when
+    k <= ceil((L - m)/(m + 1)) (pigeonhole over the m+1 exact runs), so
+    the candidate set provably covers every within-threshold pair.
+
+    Returns distinct (query_id, locus, allele_id) candidates.
+    """
+    q = _kmer_explode(queries, [query_id], query_seq, k)
+    a = _kmer_explode(alleles, ["locus", "allele_id"], "sequence", k)
+    return q.join(a, on="kmer").select(query_id, "locus", "allele_id").distinct()
+
+
+def ungapped_partial_matches(
+    queries: DataFrame,
+    alleles: DataFrame,
+    k: int = 10,
+    min_identity: float = 90.0,
+    min_alignment_pct: float = 50.0,
+    query_id: str = "query_id",
+    query_seq: str = "sequence",
+) -> DataFrame:
+    """F10 inexact tier, stage 2 (ungapped): score equal-length
+    candidates by positional mismatch count — expression-only, so the
+    whole path stays JVM-side and DuckDB-checkable.
+
+    Mirrors the partial-match record of Offline/Blast.pm:443-502
+    (_parse_blast_partial): identity / mismatches / gaps / alignment,
+    filtered by ``identity >= min_identity`` (:468, default 90) and
+    ``alignment >= min_alignment_pct * allele length`` (:482, default
+    50%). Gapped/unequal-length candidates go to ``banded_align`` (the
+    pandas-UDF tier) or a real BLAST behind ExternalTool.
+
+    Returns (query_id, locus, allele_id, alignment, mismatches, gaps,
+    identity).
+    """
+    cand = kmer_candidates(queries, alleles, k, query_id, query_seq)
+    q = queries.select(F.col(query_id), F.upper(F.col(query_seq)).alias("qseq"))
+    a = alleles.select("locus", "allele_id", F.upper(F.col("sequence")).alias("aseq"))
+    scored = (
+        cand.join(q, on=query_id)
+        .join(a, on=["locus", "allele_id"])
+        .filter(F.length("qseq") == F.length("aseq"))
+    )
+    mm = F.aggregate(
+        F.zip_with(
+            F.split(F.col("qseq"), ""),
+            F.split(F.col("aseq"), ""),
+            lambda x, y: (x != y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("long")
+    out = scored.select(
+        query_id,
+        "locus",
+        "allele_id",
+        F.length("aseq").alias("_allele_len"),
+        F.length("aseq").cast("long").alias("alignment"),
+        mm.alias("mismatches"),
+        F.lit(0).cast("long").alias("gaps"),
+        F.round(
+            (F.length("aseq") - mm) * 100.0 / F.length("aseq"), 4
+        ).alias("identity"),
+    )
+    return out.filter(
+        (F.col("identity") >= min_identity)
+        & (F.col("alignment") >= min_alignment_pct * 0.01 * F.col("_allele_len"))
+    ).drop("_allele_len")
+
+
+def banded_align(
+    pairs: DataFrame,
+    q_col: str = "qseq",
+    a_col: str = "aseq",
+    band: int = 16,
+) -> DataFrame:
+    """F10 inexact tier, stage 2 (gapped): banded global alignment as an
+    Arrow-batched pandas UDF for candidates whose lengths differ — the
+    fallback when no external aligner is available (ExternalTool wraps a
+    real BLAST when present; Offline/Blast.pm:247).
+
+    Scoring: match 0 / mismatch 1 / gap 1 (edit distance) inside a band
+    of width ``band`` around the diagonal. Emits the same record shape
+    BLAST's tabular output feeds into _parse_blast_partial
+    (Blast.pm:486-495): alignment length, mismatches, gaps, identity.
+    """
+    import pandas as pd
+
+    other = [c for c in pairs.columns if c not in (q_col, a_col)]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pairs.schema.fields if f.name not in (q_col, a_col)
+    ) + ", alignment long, mismatches long, gaps long, identity double"
+
+    def _align(q: str, a: str):
+        n, m = len(q), len(a)
+        w = max(band, abs(n - m) + 1)
+        INF = 10 ** 9
+        prev = {j: j for j in range(0, min(m, w) + 1)}
+        back: dict = {}
+        for i in range(1, n + 1):
+            cur = {}
+            lo, hi = max(0, i - w), min(m, i + w)
+            for j in range(lo, hi + 1):
+                best, op = INF, None
+                if i > 0 and j > 0 and (j - 1) in prev:
+                    c = prev[j - 1] + (0 if q[i - 1] == a[j - 1] else 1)
+                    if c < best:
+                        best, op = c, "D"  # diagonal
+                if j in prev:
+                    c = prev[j] + 1
+                    if c < best:
+                        best, op = c, "U"  # gap in allele
+                if (j - 1) in cur:
+                    c = cur[j - 1] + 1
+                    if c < best:
+                        best, op = c, "L"  # gap in query
+                if j == 0:
+                    best, op = i, "U"
+                cur[j] = best
+                back[(i, j)] = op
+            prev = cur
+        # traceback
+        i, j = n, m
+        mism = gaps = length = 0
+        while i > 0 or j > 0:
+            op = back.get((i, j))
+            if op == "D" or (op is None and i > 0 and j > 0):
+                mism += 0 if q[i - 1] == a[j - 1] else 1
+                i, j = i - 1, j - 1
+            elif op == "U" or (op is None and i > 0):
+                gaps += 1
+                i -= 1
+            else:
+                gaps += 1
+                j -= 1
+            length += 1
+        ident = round((length - mism - gaps) * 100.0 / length, 4) if length else 0.0
+        return length, mism, gaps, ident
+
+    def _batches(batches):
+        for pdf in batches:
+            res = [
+                _align(str(q).upper(), str(a).upper())
+                for q, a in zip(pdf[q_col], pdf[a_col])
+            ]
+            out = pdf[other].copy()
+            out["alignment"] = [r[0] for r in res]
+            out["mismatches"] = [r[1] for r in res]
+            out["gaps"] = [r[2] for r in res]
+            out["identity"] = [r[3] for r in res]
+            yield out
+
+    return pairs.mapInPandas(_batches, schema)
+
+
 @dataclass
 class ExternalTool:
     """Pipe interface for external aligners/BLAST (SURVEY §2.10).

@@ -30,14 +30,25 @@ def batch_load_csv(
         raise ValueError(f"unknown columns in upload: {extra}")
     # try_cast to registry types: malformed values become NULL and trip
     # the 'required' rule rather than crashing the load (ANSI-mode cast
-    # would throw on the first bad cell)
-    typed = raw.select(
-        *[
-            F.col(f.name).try_cast(f.spark_type()).alias(f.name)
-            for f in table.fields
-            if f.name in raw.columns and not f.multiple
-        ]
-    )
+    # would throw on the first bad cell). Registry columns absent from
+    # the upload become typed NULL literals so a missing required column
+    # surfaces as a per-row validation error — the reference's header
+    # check reports missing required columns the same way
+    # (SubmissionHandler) — instead of an unresolved-column crash.
+    # `multiple` fields arrive as their separator-joined text and are
+    # split into arrays here rather than silently dropped.
+    def upload_col(f):
+        styp = f.spark_type()  # ArrayType(base) when f.multiple
+        if f.name not in raw.columns:
+            return F.lit(None).cast(styp).alias(f.name)
+        if f.multiple:
+            return F.transform(
+                F.split(F.col(f.name), ";"),
+                lambda v: F.trim(v).try_cast(styp.elementType),
+            ).alias(f.name)
+        return F.col(f.name).try_cast(styp).alias(f.name)
+
+    typed = raw.select(*[upload_col(f) for f in table.fields])
     # single flagged pass, then split on the error list — an anti-join
     # split would lose rows whose key is NULL (null-unsafe equality)
     flagged = with_validation(typed, table)

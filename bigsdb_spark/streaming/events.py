@@ -55,10 +55,15 @@ def streaming_dedup(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Stateful exact dedup on a stream: first occurrence of each key
-    wins; state for keys older than the watermark is dropped — bounded
-    state, the streaming twin of the batch hash-dedup
+    wins, with WATERMARK-BOUNDED state — dropDuplicatesWithinWatermark
+    evicts a key's state once the watermark passes it, so state stays
+    bounded even when the dedup keys don't include the event-time column
+    (plain dropDuplicates only expires state when the ts column is part
+    of the key subset). The streaming twin of the batch hash-dedup
     (operators/dedup.py::exact_duplicates)."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
 
 
 def streaming_running_counts(

@@ -33,6 +33,25 @@ def test_insilico_pcr(spark):
     assert insilico_pcr(contigs, pairs, max_product=10).count() == 0
 
 
+def test_insilico_pcr_reverse_strand(spark):
+    """ipcress also reports amplicons where the pair binds the - strand:
+    on the + strand that reads reverse primer ... revcomp(forward)."""
+    #          1         2
+    # 12345678901234567890123
+    contig = "AAACCTTGGCCCCCAATTCCTTT"  # CCTTGG at 4, AATTCC at 15
+    contigs = spark.createDataFrame([(1, contig)], "id long, sequence string")
+    pairs = spark.createDataFrame(
+        [("p1", "GGAATT", "CCTTGG")], "pair_id string, forward string, reverse string"
+    )
+    got = insilico_pcr(contigs, pairs).collect()
+    assert len(got) == 1 and got[0].orientation == "R"
+    assert got[0].start_pos == 4 and got[0].end_pos == 20
+    assert got[0].product_len == 17
+    # no primers at all -> empty result, no crash
+    empty = pairs.filter("pair_id = 'nope'")
+    assert insilico_pcr(contigs, empty).count() == 0
+
+
 def test_query_store_roundtrip(spark, tmp_path):
     store = QueryStore(str(tmp_path / "queries"))
     spec = QuerySpec(

@@ -85,3 +85,17 @@ def test_array_ordered_any(isolates):
 def test_invalid_operator_rejected(isolates):
     with pytest.raises(ValueError):
         build_predicate(F.col("country"), "LIKE", "x")
+
+
+def test_crosstab_wide(spark):
+    """A2 wide form (groupBy().pivot() with explicit values): stable
+    schema, zero-filled cells — gate-covered in long form by
+    a2_crosstab_pct, pinned here in wide form."""
+    from bigsdb_spark.operators.breakdown import crosstab_wide
+
+    df = spark.createDataFrame(
+        [("x", "a"), ("x", "a"), ("x", "b"), ("y", "b")], "f1 string, f2 string"
+    )
+    wide = crosstab_wide(df, "f1", "f2", values=["a", "b", "c"])
+    got = {r.f1: (r.a, r.b, r.c) for r in wide.collect()}
+    assert got == {"x": (2, 1, 0), "y": (0, 1, 0)}

@@ -108,3 +108,114 @@ def test_sinks_roundtrip(spark, tmp_path):
     write_fasta(df, "id", "seq", fa)
     text = "\n".join(r.value for r in spark.read.text(fa).collect())
     assert ">1" in text and "ACGT" in text
+
+
+def test_nexus_golden(spark):
+    """D8 golden: NEXUS lower-triangle matrix with diagonal + labels,
+    missing pairs as '?' (GenomeComparator.pm:1497-1560)."""
+    from bigsdb_spark.sources.sinks import to_nexus_distances
+
+    pd = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 5)], "id1 int, id2 int, hamming int"
+    )
+    got = to_nexus_distances(pd, nodes=[1, 2, 3, 4])
+    expected = (
+        "#NEXUS\n"
+        "[Distance matrix calculated by bigsdb_spark]\n"
+        "[Jolley & Maiden 2010 BMC Bioinformatics 11:595]\n"
+        "\n"
+        "BEGIN taxa;\n"
+        "   DIMENSIONS ntax = 4;\n"
+        "\n"
+        "END;\n"
+        "\n"
+        "BEGIN distances;\n"
+        "   DIMENSIONS ntax = 4;\n"
+        "   FORMAT\n"
+        "      triangle=LOWER\n"
+        "      diagonal\n"
+        "      labels\n"
+        "      missing=?\n"
+        "   ;\n"
+        "MATRIX\n"
+        "1\t0\n"
+        "2\t3\t0\n"
+        "3\t5\t?\t0\n"
+        "4\t?\t?\t?\t0\n"
+        "   ;\n"
+        "END;\n"
+    )
+    assert got == expected
+
+
+def test_grapetree_golden(spark):
+    """D8 golden: GrapeTree profile TSV (#isolate header; missing -> -,
+    incomplete -> I, multi-designation takes the first value —
+    GrapeTree.pm:324-380)."""
+    import pytest
+
+    from bigsdb_spark.sources.sinks import to_grapetree_profiles
+
+    prof = spark.createDataFrame(
+        [
+            (1, ["2", "missing", "7;9"]),
+            (2, ["2", "incomplete", None]),
+        ],
+        "profile_key int, profile array<string>",
+    )
+    got = to_grapetree_profiles(prof, ["abcZ", "adk", "aroE"])
+    assert got == (
+        "#isolate\tabcZ\tadk\taroE\n"
+        "1\t2\t-\t7\n"
+        "2\t2\tI\t-\n"
+    )
+    same = spark.createDataFrame(
+        [(1, ["2", "2"]), (2, ["2", "2"])], "profile_key int, profile array<string>"
+    )
+    with pytest.raises(ValueError):
+        to_grapetree_profiles(same, ["l1", "l2"])
+
+
+def test_kmer_partial_match_tiers(spark):
+    """F10 inexact tier: k-mer prefilter + ungapped scoring reproduce the
+    Blast.pm partial-match record; the banded aligner handles indels."""
+    from bigsdb_spark.operators.seqmatch import (
+        banded_align,
+        kmer_candidates,
+        ungapped_partial_matches,
+    )
+
+    alleles = spark.createDataFrame(
+        [
+            ("locus1", "1", "ACGTACGTACGTACGTACGT"),  # 20 bp
+            ("locus1", "2", "ACGTACGTACGTACGTACGA"),  # 1 mismatch vs 1
+            ("locus2", "1", "TTTTTTTTTTGGGGGGGGGG"),
+        ],
+        "locus string, allele_id string, sequence string",
+    )
+    queries = spark.createDataFrame(
+        [(10, "ACGTACGTACGTACGTACGT")], "query_id long, sequence string"
+    )
+    cand = kmer_candidates(queries, alleles, k=10)
+    got = {(r.locus, r.allele_id) for r in cand.collect()}
+    assert ("locus1", "1") in got and ("locus1", "2") in got
+    assert ("locus2", "1") not in got  # shares no 10-mer
+
+    matches = {
+        r.allele_id: r
+        for r in ungapped_partial_matches(
+            queries, alleles, k=10, min_identity=90.0
+        ).collect()
+    }
+    assert matches["1"].mismatches == 0 and matches["1"].identity == 100.0
+    assert matches["2"].mismatches == 1 and matches["2"].gaps == 0
+    assert matches["2"].alignment == 20 and matches["2"].identity == 95.0
+
+    # gapped tier: one deletion in the query vs allele 1
+    pairs = spark.createDataFrame(
+        [(10, "1", "ACGTACGTAGTACGTACGT", "ACGTACGTACGTACGTACGT")],
+        "query_id long, allele_id string, qseq string, aseq string",
+    )
+    aligned = banded_align(pairs).collect()[0]
+    assert aligned.gaps == 1 and aligned.mismatches == 0
+    assert aligned.alignment == 20  # alignment spans the allele length

@@ -68,14 +68,16 @@ def test_burst_founder(spark):
 
 
 def test_lincode_semantics(spark):
-    """FIXTURES.md lincode oracle: identical profiles share a code;
-    a near profile inherits the prefix; an outlier opens a new
-    top-level lineage (lincodes.pl:236-330)."""
+    """FIXTURES.md lincode oracle (lincodes.pl:177-330): the first
+    profile is all zeros; identical profiles (diffs==0) share a code;
+    a near profile inherits the prefix and increments the component at
+    its threshold bin; an outlier opens a new top-level lineage."""
     profs = spark.createDataFrame(
         [
             ("01", ["1", "1", "1", "1", "1", "1", "1"]),
             ("02", ["1", "1", "1", "1", "1", "1", "1"]),  # identical to 01
-            ("03", ["1", "1", "1", "1", "1", "2", "2"]),  # d=2 from 01
+            # d=1, missing=1 -> dist 16.7, identity 83.3 -> bin 2
+            ("03", ["N", "1", "1", "1", "1", "1", "2"]),
             ("04", ["9", "9", "9", "9", "9", "9", "9"]),  # outlier d=7
         ],
         "profile_key string, profile array<string>",
@@ -84,7 +86,38 @@ def test_lincode_semantics(spark):
         r.profile_key: r.lincode
         for r in assign_lincodes(spark, profs, thresholds=[4, 2, 1]).collect()
     }
-    assert got["01"] == [1, 0, 0]
-    assert got["02"] == [1, 0, 0]  # distance 0 -> identical code
-    assert got["03"][0] == 1 and got["03"] != got["01"]  # inherits top-level
-    assert got["04"][0] == 2  # new top-level lineage
+    assert got["01"] == [0, 0, 0]  # first profile: all zeros (lincodes.pl:194)
+    assert got["02"] == [0, 0, 0]  # diffs 0 -> identical code
+    # identity 83.3 passes thresholds 42.9 and 71.4, fails 85.7
+    # -> prefix [0,0], increment component 2
+    assert got["03"] == [0, 0, 1]
+    assert got["04"] == [1, 0, 0]  # identity 0 -> new top-level lineage
+
+
+def test_lincode_normalized_distance_and_batches(spark):
+    """The closest profile is chosen by NORMALIZED distance
+    (100*diffs/(L - missing_in_either), lincodes.pl:249-252), so a
+    raw-diff argmin would pick a different winner; micro-batching must
+    not change results (batch_size=2 forces the Spark-side scan)."""
+    rows = [
+        ("01", ["1", "1", "1", "1", "1", "1", "1"]),
+        # vs 01: d=2 over 2 non-missing -> dist 100 -> new lineage
+        ("02", ["N", "N", "N", "N", "N", "4", "9"]),
+        # vs 01: d=3/7 -> 42.9; vs 02: d=2 but only 2 shared -> 100.
+        # Raw diffs would pick 02 (2<3); normalized picks 01.
+        ("03", ["1", "1", "1", "1", "4", "5", "6"]),
+        # vs 01: d=1, missing=3 -> 25.0 -> identity 75 -> bin 2
+        ("04", ["N", "N", "N", "1", "1", "1", "3"]),
+    ]
+    profs = spark.createDataFrame(rows, "profile_key string, profile array<string>")
+    for batch_size in (256, 2):
+        got = {
+            r.profile_key: r.lincode
+            for r in assign_lincodes(
+                spark, profs, thresholds=[4, 2, 1], batch_size=batch_size
+            ).collect()
+        }
+        assert got["01"] == [0, 0, 0]
+        assert got["02"] == [1, 0, 0]
+        assert got["03"] == [0, 1, 0]  # nearest 01, identity 57.1 -> bin 1
+        assert got["04"] == [0, 0, 1]  # nearest 01, identity 75 -> bin 2

@@ -38,9 +38,17 @@ def canon(v):
     return v
 
 
+def _null_last(t):
+    # sort key tolerating NULLs (the driver's pandas sort handles NaN;
+    # plain tuple sorting would raise on None < str)
+    return tuple((v is None, "" if v is None else v) for v in t)
+
+
 def rows_key(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return sorted(
+        (tuple(canon(r[i]) for i in order) for r in rows), key=_null_last
+    )
 
 
 def main():
