@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 from bigsdb_spark.inventory.registry import register, tbl
 from bigsdb_spark.operators.dedup import (
     exact_duplicates,
-    fingerprint,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard,
@@ -32,7 +31,6 @@ from bigsdb_spark.operators.similarity import (
     cosine_topk_pairs,
     nearest_neighbor,
 )
-from bigsdb_spark.operators.textstats import lang_heuristic, quality_score, token_stats
 
 # normalized text, shingles and tokens — DuckDB spellings of the exact
 # expressions in operators/dedup.py::normalized_text / word_shingles
@@ -111,23 +109,41 @@ def t_text_suite(spark, sf_dir):
     normalized text), token counting, quality scoring (stopword /
     vocabulary / length-band filters), language-ID heuristic, and the
     16-bit SimHash — one row per document, every column oracle-checked.
-    Each column family is an independent one-pass operator in
-    operators/textstats.py / operators/dedup.py; the suite joins their
-    outputs on doc_id."""
+
+    Scale shape: every scalar column is computed in ONE projection over
+    one scan of the corpus (the shared Column helpers from
+    operators/textstats.py / operators/dedup.py — joining the
+    row-wise operators' outputs instead would rescan the corpus once
+    per family); only SimHash needs its explode + groupBy pass, joined
+    back on doc_id. The individual operators keep their own pytest
+    coverage."""
+    from bigsdb_spark.operators.dedup import normalized_text
+    from bigsdb_spark.operators.textstats import _tokens, stopword_ratio
+
     docs = tbl(spark, sf_dir, "documents")
-    fp = fingerprint(docs, "doc_id", "text")
-    toks = token_stats(docs, "doc_id", "text")
-    qual = quality_score(docs, "doc_id", "text").select(
-        "doc_id", "stop_ratio", "unique_ratio", "len_ok", "quality"
+    toks = _tokens(F.col("text"))
+    sw = stopword_ratio(F.col("text"))
+    uniq_ratio = F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4)
+    len_ok = (F.length("text") >= 100) & (F.length("text") <= 20000)
+    scalar = docs.select(
+        "doc_id",
+        F.md5(normalized_text(F.col("text"))).alias("fp"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), r"\s", "")) / F.size(toks), 4
+        ).alias("mean_token_len"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        sw.alias("stop_ratio"),
+        uniq_ratio.alias("unique_ratio"),
+        len_ok.cast("int").alias("len_ok"),
+        F.round(
+            sw * 0.4 + uniq_ratio * 0.4 + F.when(len_ok, 0.2).otherwise(0.0), 4
+        ).alias("quality"),
+        F.when(sw >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
     )
-    lang = lang_heuristic(docs, "doc_id", "text").select("doc_id", "pred_lang")
     sh = simhash(docs, "doc_id", "text", bits=16).withColumnRenamed("doc", "doc_id")
-    return (
-        fp.join(toks, on="doc_id")
-        .join(qual, on="doc_id")
-        .join(lang, on="doc_id")
-        .join(sh, on="doc_id")
-    )
+    return scalar.join(sh, on="doc_id")
 
 
 @register(

@@ -1,10 +1,15 @@
 """The sequence-query entry point (SURVEY §3, 4th path):
-POST a sequence -> exact allele match -> designation/scheme lookup.
+POST a sequence -> exact allele match, falling back to the inexact
+(partial-match) tier -> designation/scheme lookup.
 
 Reference flow: SequenceQueryPage.pm:376 _run_query -> Offline/Blast.pm
-exact path -> matching allele -> which isolates carry it and which
-profiles/STs contain it. The exact tier is two md5 joins; the inexact
-tier would go through seqmatch.ExternalTool.
+exact path (:191) -> matching allele -> which isolates carry it and
+which profiles/STs contain it; queries with no exact hit fall through
+to the partial-match tier (:196 get_partial_matches, surfaced as
+"closest match" with identity/mismatches/gaps). Here the exact tier is
+two md5 joins and the partial tier is the k-mer prefilter + ungapped
+scorer (seqmatch.ungapped_partial_matches); a real BLAST slots in via
+seqmatch.ExternalTool when present.
 """
 
 from __future__ import annotations
@@ -12,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigsdb_spark.operators.seqmatch import exact_allele_lookup
+from bigsdb_spark.operators.seqmatch import (
+    exact_allele_lookup,
+    ungapped_partial_matches,
+)
 
 
 def sequence_query(
@@ -22,14 +30,27 @@ def sequence_query(
     designations: DataFrame | None = None,
     scheme_profiles: DataFrame | None = None,
     scheme_loci: list[str] | None = None,
+    partial: bool = False,
+    min_identity: float = 90.0,
 ) -> dict[str, DataFrame]:
     """``sequences``: [(query_id, sequence)]. Returns a dict of result
     frames: 'matches' (query -> locus/allele), plus 'isolates' (which
     isolates carry the matched allele) and 'profiles' (which STs contain
-    it) when the respective tables are provided."""
+    it) when the respective tables are provided. With ``partial=True``,
+    queries with NO exact match are scored against the allele store by
+    the inexact tier and returned as 'partial_matches'
+    (query_id, locus, allele_id, alignment, mismatches, gaps,
+    identity)."""
     q = spark.createDataFrame(sequences, "query_id string, sequence string")
     matches = exact_allele_lookup(q, alleles).cache()
     out = {"matches": matches}
+    if partial:
+        unmatched = q.join(
+            matches.select("query_id"), on="query_id", how="left_anti"
+        )
+        out["partial_matches"] = ungapped_partial_matches(
+            unmatched, alleles, min_identity=min_identity
+        )
     if designations is not None:
         out["isolates"] = (
             matches.join(

@@ -79,3 +79,33 @@ def test_partitioned_write_prunes(spark, tmp_path):
     plan = plan_of(scan)
     assert "PartitionFilters: [isnotnull(locus" in plan
     assert scan.count() == 20
+
+
+def test_kmer_prefilter_is_hash_join(spark):
+    """F10: the k-mer candidate join must be an equi/hash join on the
+    kmer key — never a nested-loop sequence comparison."""
+    plan = plan_of(QUERIES["f10_partial_match"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_suite_single_corpus_scan_for_scalars(spark):
+    """The text suite computes all scalar columns in one projection:
+    exactly two scans of documents total (scalar pass + the SimHash
+    explode/groupBy pass), not one scan per column family."""
+    plan = plan_of(QUERIES["t_text_suite"](spark, SF))
+    assert plan.count("documents.parquet") <= 2
+
+
+def test_np_topk_no_driver_materialization(spark):
+    """The block-matmul top-k is fully distributed: block pairing is a
+    join of aggregated block rows; no collect() feeds the plan (the
+    corpus never rides in a task closure)."""
+    from bigsdb_spark.operators.similarity import cosine_topk_pairs_np
+    from bigsdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = plan_of(cosine_topk_pairs_np(emb, "vec_id", "embedding", k=5))
+    # the plan contains the block self-join + mapInPandas stage
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
+    assert "CartesianProduct" not in plan or plan.count("embeddings.parquet") == 2

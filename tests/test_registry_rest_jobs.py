@@ -147,3 +147,38 @@ def test_materialization_swap_and_incremental(spark, tmp_path):
 def test_cache_policy_thresholds():
     assert not should_use_cache(7)
     assert should_use_cache(1000)
+
+
+def test_plugin_registry_inline_and_job_duality(spark):
+    """§2.10 (Plugin.pm): one declared (df, params) -> artifacts operator
+    runs BOTH inline and through the job queue with identical results."""
+    from bigsdb_spark.jobs import JobService
+    from bigsdb_spark.plugins import DEFAULT_REGISTRY
+
+    df = spark.createDataFrame(
+        [("FR",), ("FR",), ("UK",)], "country string"
+    )
+    inline = DEFAULT_REGISTRY.run_inline("FieldBreakdown", df, field="country")
+    inline_rows = {(r.label, r.n) for r in inline.collect()}
+    assert inline_rows == {("FR", 2), ("UK", 1)}
+
+    jobs = JobService()
+    job = DEFAULT_REGISTRY.submit(
+        jobs, "FieldBreakdown", user="alice", params={"field": "country"}
+    )
+    done = DEFAULT_REGISTRY.run_queued(jobs, selection_for=lambda j: df)
+    assert done.job_id == job.job_id and done.status == "finished"
+    assert {(r.label, r.n) for r in done.result.collect()} == inline_rows
+
+    # unknown plugin fails at submit; missing columns fail the job,
+    # not the service
+    import pytest
+
+    with pytest.raises(KeyError):
+        DEFAULT_REGISTRY.submit(jobs, "NoSuchPlugin", user="alice")
+    DEFAULT_REGISTRY.register_plugin(
+        "NeedsCol", "analysis", lambda d: d, requires=("nope",)
+    )
+    DEFAULT_REGISTRY.submit(jobs, "NeedsCol", user="bob")
+    failed = DEFAULT_REGISTRY.run_queued(jobs, selection_for=lambda j: df)
+    assert failed.status == "failed" and "nope" in str(failed.result)

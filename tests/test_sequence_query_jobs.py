@@ -68,3 +68,28 @@ def test_job_persistence_restart(tmp_path):
     # new ids continue after the highest persisted id
     c = revived.add_job("C", {}, user="u3")
     assert c.job_id > a.job_id
+
+
+def test_sequence_query_partial_tier(spark):
+    """Queries with no exact hit fall through to the partial tier and
+    come back as closest matches with identity/mismatch records
+    (SequenceQueryPage.pm:376-653, Blast.pm:196)."""
+    from bigsdb_spark.sequence_query import sequence_query
+
+    alleles = spark.createDataFrame(
+        [("abcZ", "1", "ACGTACGTACGTACGTACGT")],
+        "locus string, allele_id string, sequence string",
+    )
+    res = sequence_query(
+        spark,
+        [("q_exact", "ACGTACGTACGTACGTACGT"),
+         ("q_near", "ACGTACGTACGTACGTACGA")],  # 1 mismatch
+        alleles,
+        partial=True,
+    )
+    assert {r.query_id for r in res["matches"].collect()} == {"q_exact"}
+    partial = res["partial_matches"].collect()
+    assert len(partial) == 1
+    p = partial[0]
+    assert p.query_id == "q_near" and p.allele_id == "1"
+    assert p.mismatches == 1 and p.identity == 95.0
