@@ -118,6 +118,228 @@ def scan_contigs_exact(
     return results
 
 
+def _seeded_windows(
+    contigs: DataFrame,
+    alleles: DataFrame,
+    k: int,
+    contig_id: str,
+    contig_seq: str,
+) -> DataFrame:
+    """Seed-and-extend core (the word-hit idea of BLAST, word_size=k:
+    Offline/ScanNew.pm:29 DEFAULT_WORD_SIZE): positional k-mers of
+    contigs equi-join positional k-mers of alleles; each shared k-mer
+    predicts an ungapped placement start = contig_pos - allele_pos + 1.
+    Distinct placements inside the contig are then scored by direct
+    substring comparison. Off-contig-end placements are rejected
+    (ScanNew.pm:326 _off_end_of_contig).
+
+    Returns one row per distinct (contig, locus, allele, start) with
+    the extracted window and its mismatch count.
+    """
+    def positional_kmers(named, id_names, pos_name):
+        # ``named``: already projected to (id_names..., _seq)
+        return (
+            named.select(
+                *id_names,
+                F.length("_seq").alias(f"{pos_name}_len"),
+                F.posexplode(
+                    F.expr(
+                        "transform("
+                        f" CASE WHEN length(_seq) >= {k}"
+                        f"  THEN sequence(1, length(_seq) - {k - 1})"
+                        "   ELSE CAST(array() AS array<int>) END,"
+                        f" i -> substring(_seq, i, {k}))"
+                    )
+                ).alias(f"{pos_name}0", "kmer"),
+            )
+            .select(
+                *id_names,
+                f"{pos_name}_len",
+                (F.col(f"{pos_name}0") + 1).alias(pos_name),
+                "kmer",
+            )
+        )
+
+    ck = positional_kmers(
+        contigs.select(
+            F.col(contig_id).alias("_cid"), F.upper(F.col(contig_seq)).alias("_seq")
+        ),
+        ["_cid"],
+        "cpos",
+    )
+    ak = positional_kmers(
+        alleles.select(
+            "locus", "allele_id", F.upper(F.col("sequence")).alias("_seq")
+        ),
+        ["locus", "allele_id"],
+        "apos",
+    )
+    placements = (
+        ck.join(ak, on="kmer")
+        .select(
+            "_cid",
+            "locus",
+            "allele_id",
+            (F.col("cpos") - F.col("apos") + 1).alias("start_pos"),
+            F.col("cpos_len").alias("_clen"),
+            F.col("apos_len").alias("_alen"),
+        )
+        .filter(
+            (F.col("start_pos") >= 1)
+            & (F.col("start_pos") + F.col("_alen") - 1 <= F.col("_clen"))
+        )
+        .distinct()
+    )
+    cseq = contigs.select(
+        F.col(contig_id).alias("_cid"), F.upper(F.col(contig_seq)).alias("_cseq")
+    )
+    aseq = alleles.select(
+        "locus", "allele_id", F.upper(F.col("sequence")).alias("_aseq")
+    )
+    scored = (
+        placements.join(cseq, on="_cid")
+        .join(aseq, on=["locus", "allele_id"])
+        .withColumn(
+            "window", F.expr("substring(_cseq, start_pos, _alen)")
+        )
+        .withColumn(
+            "mismatches",
+            F.aggregate(
+                F.zip_with(
+                    F.split(F.col("window"), ""),
+                    F.split(F.col("_aseq"), ""),
+                    lambda x, y: (x != y).cast("int"),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("long"),
+        )
+    )
+    return scored.select(
+        "_cid", "locus", "allele_id", "start_pos",
+        (F.col("start_pos") + F.col("_alen") - 1).alias("end_pos"),
+        "window", "mismatches",
+        F.round((F.col("_alen") - F.col("mismatches")) * 100.0 / F.col("_alen"), 4)
+            .alias("identity"),
+    )
+
+
+def scan_contigs_partial(
+    contigs: DataFrame,
+    alleles: DataFrame,
+    k: int = 15,
+    min_identity: float = 99.0,
+    contig_id: str = "id",
+    contig_seq: str = "sequence",
+) -> DataFrame:
+    """F11 partial-coverage autotagging: tag contig regions that match a
+    locus allele ABOVE the identity threshold but not necessarily
+    exactly (Offline/AutoTag.pm; defaults identity=99, full-length
+    alignment — ScanNew.pm:27-28). Per placement, only the best allele
+    is kept (fewest mismatches, ties to the smallest allele id — the
+    reference keeps BLAST's best bitscore the same way).
+
+    Returns (contig_id, locus, start_pos, end_pos, allele_id,
+    mismatches, identity).
+    """
+    scored = _seeded_windows(contigs, alleles, k, contig_id, contig_seq).filter(
+        F.col("identity") >= min_identity
+    )
+    w = Window.partitionBy("_cid", "locus", "start_pos").orderBy(
+        F.asc("mismatches"), F.asc("allele_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("_cid").alias(contig_id),
+            "locus",
+            "start_pos",
+            "end_pos",
+            "allele_id",
+            "mismatches",
+            "identity",
+        )
+    )
+
+
+def discover_new_alleles(
+    contigs: DataFrame,
+    alleles: DataFrame,
+    k: int = 15,
+    min_identity: float = 99.0,
+    contig_id: str = "id",
+    contig_seq: str = "sequence",
+) -> DataFrame:
+    """F11 new-allele discovery (Offline/ScanNew.pm:176-324): contig
+    regions that align to a locus above the identity threshold but are
+    NOT an existing allele become candidate new alleles:
+
+    - dedupe candidates by md5 of the extracted sequence (:187-189);
+    - reject sequences equal to an existing allele of the locus, and
+      sub/super-sequences of existing alleles (:229-237
+      _check_sub_or_super_seq);
+    - reject sequences with non-GATC characters (:192);
+    - provisional ids continue from the locus's max numeric allele id
+      (get_next_allele_id — the W5 max+1 semantics), ordered by first
+      (contig, position) appearance for determinism.
+
+    Returns (locus, new_allele_id, sequence, seq_md5, n_placements).
+    """
+    scored = _seeded_windows(contigs, alleles, k, contig_id, contig_seq).filter(
+        (F.col("identity") >= min_identity)
+        & (F.col("mismatches") > 0)
+        & (~F.col("window").rlike("[^GATC]"))
+    )
+    # one row per distinct candidate sequence per locus
+    cands = scored.groupBy("locus", F.col("window").alias("sequence")).agg(
+        F.count(F.lit(1)).alias("n_placements"),
+        F.min(F.struct("_cid", "start_pos")).alias("_first_seen"),
+    )
+    existing = alleles.select(
+        "locus", F.md5(F.upper(F.col("sequence"))).alias("_md5")
+    )
+    cands = cands.withColumn("seq_md5", F.md5("sequence")).join(
+        existing,
+        (cands["locus"] == existing["locus"]) & (F.col("seq_md5") == F.col("_md5")),
+        "left_anti",
+    )
+    # sub/super-sequence rejection: same-locus containment either way
+    a = alleles.select(
+        F.col("locus").alias("_l"), F.upper(F.col("sequence")).alias("_aseq")
+    )
+    contained = (
+        cands.join(a, cands["locus"] == a["_l"])
+        .filter(
+            F.col("_aseq").contains(F.col("sequence"))
+            | F.col("sequence").contains(F.col("_aseq"))
+        )
+        .select("locus", "sequence")
+        .distinct()
+    )
+    cands = cands.join(contained, on=["locus", "sequence"], how="left_anti")
+    # provisional numeric ids: max existing numeric id per locus + rank
+    max_ids = alleles.groupBy("locus").agg(
+        F.max(
+            F.when(
+                F.col("allele_id").rlike("^[0-9]+$"),
+                F.col("allele_id").cast("long"),
+            )
+        ).alias("_max_id")
+    )
+    w = Window.partitionBy("locus").orderBy("_first_seen", "sequence")
+    return (
+        cands.join(F.broadcast(max_ids), on="locus", how="left")
+        .withColumn(
+            "new_allele_id",
+            (F.coalesce(F.col("_max_id"), F.lit(0)) + F.row_number().over(w)).cast(
+                "string"
+            ),
+        )
+        .select("locus", "new_allele_id", "sequence", "seq_md5", "n_placements")
+    )
+
+
 def mutation_scan(
     alleles: DataFrame,
     mutations: DataFrame,
@@ -328,6 +550,127 @@ def banded_align(
             yield out
 
     return pairs.mapInPandas(_batches, schema)
+
+
+def align_to_reference(
+    pairs: DataFrame,
+    q_col: str = "qseq",
+    ref_col: str = "refseq",
+    band: int = 16,
+) -> DataFrame:
+    """D9 for variable-length loci: project each sequence into REFERENCE
+    coordinates via banded global alignment (same DP as banded_align) —
+    deletions become '-', insertions relative to the reference are
+    dropped. A star alignment against one reference allele is the
+    scalable stand-in for the reference's MUSCLE/MAFFT multiple
+    alignment (LocusExplorer.pm:334 _snp aligns exactly when allele
+    lengths differ); per-position SNP frequencies then run on the
+    projected strings with the ordinary fixed-length operator.
+
+    Adds an ``aligned`` column (length == reference length) to
+    ``pairs``.
+    """
+    import pandas as pd
+
+    other = [c for c in pairs.columns if c != q_col]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pairs.schema.fields if f.name != q_col
+    ) + ", aligned string"
+
+    def _project(q: str, ref: str) -> str:
+        n, m = len(q), len(ref)
+        if q == ref:
+            return q
+        w = max(band, abs(n - m) + 1)
+        INF = 10 ** 9
+        prev = {j: j for j in range(0, min(m, w) + 1)}
+        back: dict = {}
+        for i in range(1, n + 1):
+            cur = {}
+            lo, hi = max(0, i - w), min(m, i + w)
+            for j in range(lo, hi + 1):
+                best, op = INF, None
+                if j > 0 and (j - 1) in prev:
+                    c = prev[j - 1] + (0 if q[i - 1] == ref[j - 1] else 1)
+                    if c < best:
+                        best, op = c, "D"
+                if j in prev:
+                    c = prev[j] + 1
+                    if c < best:
+                        best, op = c, "U"  # insertion in query
+                if (j - 1) in cur:
+                    c = cur[j - 1] + 1
+                    if c < best:
+                        best, op = c, "L"  # deletion (gap in query)
+                cur[j] = best
+                back[(i, j)] = op
+            prev = cur
+        out = ["-"] * m
+        i, j = n, m
+        while i > 0 or j > 0:
+            op = back.get((i, j))
+            if op == "D" or (op is None and i > 0 and j > 0):
+                out[j - 1] = q[i - 1]
+                i, j = i - 1, j - 1
+            elif op == "U" or (op is None and i > 0):
+                i -= 1  # query char has no reference column
+            else:
+                j -= 1  # out[j-1] stays '-'
+        return "".join(out)
+
+    def _batches(batches):
+        for pdf in batches:
+            res = [
+                _project(str(q).upper(), str(r).upper())
+                for q, r in zip(pdf[q_col], pdf[ref_col])
+            ]
+            out = pdf[other].copy()
+            out["aligned"] = res
+            yield out
+
+    return pairs.mapInPandas(_batches, schema)
+
+
+def polymorphic_sites_aligned(
+    alleles: DataFrame,
+    locus_col: str = "locus",
+    allele_col: str = "allele_id",
+    seq_col: str = "sequence",
+) -> DataFrame:
+    """D9 on variable-length alleles: pick a per-locus reference (the
+    smallest allele id of the longest length — deterministic), project
+    every allele into its coordinates (star alignment), then compute
+    per-position residue frequencies ('-' rows are real deletion
+    states, as in the reference's aligned SNP table,
+    LocusExplorer.pm:811 get_freq_table).
+
+    Returns (locus, pos, residue, n, pct).
+    """
+    longest = Window.partitionBy(locus_col).orderBy(
+        F.desc(F.length(seq_col)), F.asc(allele_col)
+    )
+    refs = (
+        alleles.withColumn("_rn", F.row_number().over(longest))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(locus_col), F.upper(F.col(seq_col)).alias("refseq"))
+    )
+    pairs = alleles.select(
+        locus_col, allele_col, F.upper(F.col(seq_col)).alias("qseq")
+    ).join(F.broadcast(refs), on=locus_col)
+    projected = align_to_reference(pairs, "qseq", "refseq")
+    long = projected.select(
+        locus_col,
+        F.posexplode(F.split(F.col("aligned"), "(?!^)")).alias("pos0", "residue"),
+    ).select(locus_col, (F.col("pos0") + 1).alias("pos"), "residue")
+    freq = long.groupBy(locus_col, "pos", "residue").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(locus_col, "pos")
+    return freq.select(
+        locus_col, "pos", "residue", "n",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(w), 4).alias("pct"),
+    )
 
 
 @dataclass

@@ -219,3 +219,78 @@ def test_kmer_partial_match_tiers(spark):
     aligned = banded_align(pairs).collect()[0]
     assert aligned.gaps == 1 and aligned.mismatches == 0
     assert aligned.alignment == 20  # alignment spans the allele length
+
+
+def test_partial_autotag_and_new_allele_discovery(spark):
+    """F11 beyond-exact: near-match tagging (AutoTag) and new-allele
+    discovery (ScanNew) via seed-and-extend."""
+    from bigsdb_spark.operators.seqmatch import (
+        discover_new_alleles,
+        scan_contigs_partial,
+    )
+
+    allele = "ACGTACGTACGTACGTACGTACGTACGTACGT"  # 32 bp
+    variant = allele[:30] + "TA"  # 2 mismatches at the end
+    contig = "GGGG" + variant + "CCCC"
+    contigs = spark.createDataFrame([(1, contig)], "id long, sequence string")
+    alleles = spark.createDataFrame(
+        [("abcZ", "1", allele), ("abcZ", "2", "TTTT" + allele[4:])],
+        "locus string, allele_id string, sequence string",
+    )
+    # 92% threshold: the true placement (93.75%) passes; the shifted
+    # placement the periodic ACGT repeat also seeds (90.6%) does not
+    tags = scan_contigs_partial(contigs, alleles, k=15, min_identity=92.0).collect()
+    assert len(tags) == 1
+    t = tags[0]
+    # best allele for the placement is '1' (2 mismatches, vs 6 for '2')
+    assert t.allele_id == "1" and t.mismatches == 2
+    assert t.start_pos == 5 and t.end_pos == 36
+    assert contig[t.start_pos - 1 : t.end_pos] == variant
+
+    new = discover_new_alleles(contigs, alleles, k=15, min_identity=92.0).collect()
+    assert len(new) == 1
+    n = new[0]
+    assert n.sequence == variant
+    assert n.new_allele_id == "3"  # max existing numeric id 2 -> next 3
+    # an exact-match contig yields no new alleles
+    exact_contig = spark.createDataFrame(
+        [(2, "GG" + allele + "TT")], "id long, sequence string"
+    )
+    assert discover_new_alleles(exact_contig, alleles, k=15).count() == 0
+    # a candidate that is a subsequence of an existing allele is
+    # rejected (ScanNew.pm:229 _check_sub_or_super_seq): with a longer
+    # allele containing the variant, discovery yields nothing
+    alleles_super = alleles.union(
+        spark.createDataFrame(
+            [("abcZ", "9", "TT" + variant + "TT")],
+            "locus string, allele_id string, sequence string",
+        )
+    )
+    assert (
+        discover_new_alleles(contigs, alleles_super, k=15, min_identity=92.0).count()
+        == 0
+    )
+
+
+def test_polymorphic_sites_aligned_variable_length(spark):
+    """D9 with variable-length alleles: a deletion shows up as '-' at
+    the reference position; downstream positions stay aligned
+    (LocusExplorer.pm:334 aligns before counting SNPs)."""
+    from bigsdb_spark.operators.seqmatch import polymorphic_sites_aligned
+
+    alleles = spark.createDataFrame(
+        [
+            ("abcZ", "1", "ACGTACGTAC"),   # reference (longest)
+            ("abcZ", "2", "ACGTCGTAC"),    # deletion of the 5th base
+            ("abcZ", "3", "ACGTTCGTAC"),   # substitution A->T at pos 5
+        ],
+        "locus string, allele_id string, sequence string",
+    )
+    freq = {
+        (r.pos, r.residue): r.n
+        for r in polymorphic_sites_aligned(alleles).collect()
+    }
+    assert freq[(5, "A")] == 1 and freq[(5, "-")] == 1 and freq[(5, "T")] == 1
+    # downstream of the indel all three alleles agree again
+    for pos, res in [(6, "C"), (7, "G"), (8, "T"), (9, "A"), (10, "C")]:
+        assert freq[(pos, res)] == 3
