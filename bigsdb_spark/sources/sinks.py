@@ -163,3 +163,210 @@ def to_grapetree_profiles(
             "All isolates are identical at selected loci. Cannot generate tree."
         )
     return "\n".join(out) + "\n"
+
+
+def _all_ints(values) -> bool:
+    """Numeric-aware sort guard (Utils.pm:853 all_ints): ITOL legends
+    sort numerically when every distinct value is an integer string."""
+    try:
+        for v in values:
+            int(str(v))
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+def _rainbow_colour(i: int, n: int) -> str:
+    """i-th of n colours on a red->violet rainbow ramp as ``#rrggbb``.
+
+    Functional equivalent of Utils.pm:581 get_rainbow_gradient_colour
+    (which interpolates a fixed 256-step ramp); computed here from HSV
+    so every distinct value gets an evenly-spaced, deterministic hue.
+    """
+    import colorsys
+
+    frac = (i / n) if n else 0.0
+    r, g, b = colorsys.hsv_to_rgb(0.83 * frac, 1.0, 1.0)
+    return "#{:02x}{:02x}{:02x}".format(int(r * 255), int(g * 255), int(b * 255))
+
+
+def to_itol_dataset(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    dataset_type: str = "text_label",
+    label: str | None = None,
+    colour: str = "#000000",
+) -> str:
+    """D8: iTOL annotation-dataset export (ITOL.pm:811-1035
+    _create_itol_dataset): DATASET_TEXT / DATASET_COLORSTRIP header,
+    tab separator, one rainbow colour per distinct value (numeric-aware
+    value ordering), LEGEND block for colour strips, then DATA rows —
+    ``id<TAB>value<TAB>-1<TAB>colour<TAB>normal<TAB>1`` for text labels
+    (ITOL.pm:1028 text_label_output) and ``id<TAB>colour<TAB>value``
+    for strips (:1033 colour_strips_output). Null values are skipped
+    (:980). Annotation files are per-tree download artifacts, so row
+    assembly is driver-side; the distinct-value scan is the Spark part.
+    """
+    kinds = {"text_label": "TEXT", "colour_strips": "COLORSTRIP"}
+    if dataset_type not in kinds:
+        raise ValueError(f"dataset_type must be one of {sorted(kinds)}")
+    label = label or value_col
+    distinct = [
+        r[0]
+        for r in df.select(value_col).dropna().distinct().collect()
+    ]
+    distinct.sort(key=(lambda v: int(str(v))) if _all_ints(distinct) else str)
+    value_colour = {
+        v: _rainbow_colour(i + 1, len(distinct)) for i, v in enumerate(distinct)
+    }
+    lines = [
+        f"DATASET_{kinds[dataset_type]}",
+        "SEPARATOR TAB",
+        f"DATASET_LABEL\t{label}",
+        f"COLOR\t{colour}",
+    ]
+    if dataset_type == "colour_strips":
+        # ITOL.pm:1009 colour_strips_init
+        lines.append(f"LEGEND_TITLE\t{label}")
+        lines.append("LEGEND_SHAPES\t" + "\t".join(["2"] * len(distinct)))
+        lines.append(
+            "LEGEND_COLORS\t" + "\t".join(value_colour[v] for v in distinct)
+        )
+        lines.append("LEGEND_LABELS\t" + "\t".join(str(v) for v in distinct))
+        lines.append("BORDER_WIDTH\t1")
+    lines.append("DATA")
+    rows = df.select(id_col, value_col).dropna().orderBy(id_col).collect()
+    for r in rows:
+        ident = str(r[0]).replace(",", "_")  # ITOL.pm:999
+        if dataset_type == "text_label":
+            lines.append(
+                f"{ident}\t{r[1]}\t-1\t{value_colour[r[1]]}\tnormal\t1"
+            )
+        else:
+            lines.append(f"{ident}\t{value_colour[r[1]]}\t{r[1]}")
+    return "\n".join(lines) + "\n"
+
+
+def to_microreact_tsv(
+    df: DataFrame,
+    id_col: str,
+    fields: list[str],
+    country_col: str | None = None,
+    iso3166: dict | None = None,
+    geo_col: str | None = None,
+) -> str:
+    """D8: Microreact metadata TSV (Microreact.pm:198-310
+    _create_tsv_file): selected provenance fields with underscores
+    rendered as spaces in the header, an ``iso3166`` column when a
+    country field is mapped (the reference carries a country->ISO code
+    table; pass the deployment's mapping), and ``__latitude`` /
+    ``__longitude`` split from a geography point struct column."""
+    cols = [F.col(id_col)] + [F.col(f) for f in fields]
+    header = [id_col.replace("_", " ")] + [f.replace("_", " ") for f in fields]
+    if country_col is not None:
+        cols.append(F.col(country_col).alias("_country"))
+        header.append("iso3166")
+    if geo_col is not None:
+        cols.append(F.col(f"{geo_col}.lat").alias("__latitude"))
+        cols.append(F.col(f"{geo_col}.lon").alias("__longitude"))
+        header += ["__latitude", "__longitude"]
+    rows = df.select(*cols).orderBy(id_col).collect()
+    iso3166 = iso3166 or {}
+    out = ["\t".join(header)]
+    for r in rows:
+        vals = [("" if v is None else str(v)) for v in r]
+        if country_col is not None:
+            ci = 1 + len(fields)
+            vals[ci] = iso3166.get(r[ci], "") if r[ci] is not None else ""
+        out.append("\t".join(vals))
+    return "\n".join(out) + "\n"
+
+
+def microreact_payload(
+    tsv: str,
+    newick: str,
+    name: str,
+    description: str = "",
+    website: str = "",
+    email: str | None = None,
+) -> dict:
+    """D8: the Microreact project-upload JSON body
+    (Microreact.pm:124-131 _microreact_upload). The HTTP POST itself is
+    a deployment concern (network + access token); this returns the
+    payload the uploader sends."""
+    payload = {
+        "name": name,
+        "description": description,
+        "website": website,
+        "data": tsv,
+        "tree": newick,
+    }
+    if email:
+        payload["email"] = email
+    return payload
+
+
+def to_newick_upgma(
+    pair_dist: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    dist_col: str = "hamming",
+    labels: dict | None = None,
+    max_taxa: int = 10_000,
+) -> str:
+    """D8: UPGMA dendrogram over a pair-distance frame, as Newick with
+    branch lengths — the tree the reference builds single-node from the
+    same distances (ITOL.pm:442 _generate_tree_files_from_profiles;
+    Microreact NJ via clustalw). The distance matrix is the distributed
+    part (profiles.profile_pair_distances); tree assembly is O(n²)
+    driver-side over the (download-sized) taxa set, guarded by
+    ``max_taxa``. Deterministic: merge ties break on sorted member ids.
+    """
+    rows = pair_dist.select(id1, id2, dist_col).collect()
+    dist: dict = {}
+    ids: set = set()
+    for r in rows:
+        a, b = r[0], r[1]
+        ids.add(a)
+        ids.add(b)
+        key = (a, b) if str(a) < str(b) else (b, a)
+        dist[key] = float(r[2])
+    if len(ids) > max_taxa:
+        raise ValueError(
+            f"{len(ids)} taxa exceeds max_taxa={max_taxa}; "
+            "aggregate to distinct profiles first"
+        )
+    labels = labels or {}
+    # cluster state: name -> (newick, height, members)
+    clusters = {
+        str(i): (str(labels.get(i, i)), 0.0, (i,)) for i in sorted(ids, key=str)
+    }
+
+    def d(x, y):
+        key = (x, y) if str(x) < str(y) else (y, x)
+        return dist.get(key)
+
+    def cdist(m1, m2):
+        vals = [d(a, b) for a in m1 for b in m2]
+        vals = [v for v in vals if v is not None]
+        return sum(vals) / len(vals) if vals else float("inf")
+
+    while len(clusters) > 1:
+        names = sorted(clusters)
+        best = None
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                dd = cdist(clusters[names[i]][2], clusters[names[j]][2])
+                if best is None or dd < best[0]:
+                    best = (dd, names[i], names[j])
+        dd, na, nb = best
+        (ta, ha, ma), (tb, hb, mb) = clusters.pop(na), clusters.pop(nb)
+        h = dd / 2.0
+        merged = (
+            f"({ta}:{h - ha:g},{tb}:{h - hb:g})",
+            h,
+            tuple(sorted(ma + mb, key=str)),
+        )
+        clusters[min(na, nb)] = merged
+    return next(iter(clusters.values()))[0] + ";\n"

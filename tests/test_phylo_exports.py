@@ -1,0 +1,129 @@
+"""D8 phylogeny-export formatters: iTOL annotation datasets, Microreact
+TSV/payload, UPGMA Newick. Golden-file style — byte-stable outputs."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigsdb_spark.sources.sinks import (
+    _rainbow_colour,
+    microreact_payload,
+    to_itol_dataset,
+    to_microreact_tsv,
+    to_newick_upgma,
+)
+
+
+@pytest.fixture(scope="module")
+def iso_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "ST-1", "France", 2019, (48.85, 2.35)),
+            (2, "ST-2", "Kenya", 2020, (-1.29, 36.82)),
+            (3, "ST-1", None, 2020, None),
+        ],
+        "id int, st string, country string, year int, "
+        "location struct<lat:double,lon:double>",
+    )
+
+
+def test_itol_text_label_golden(iso_df):
+    out = to_itol_dataset(iso_df, "id", "st", "text_label", label="ST")
+    c1, c2 = _rainbow_colour(1, 2), _rainbow_colour(2, 2)
+    assert out == (
+        "DATASET_TEXT\n"
+        "SEPARATOR TAB\n"
+        "DATASET_LABEL\tST\n"
+        "COLOR\t#000000\n"
+        "DATA\n"
+        f"1\tST-1\t-1\t{c1}\tnormal\t1\n"
+        f"2\tST-2\t-1\t{c2}\tnormal\t1\n"
+        f"3\tST-1\t-1\t{c1}\tnormal\t1\n"
+    )
+
+
+def test_itol_colour_strip_numeric_sort_and_null_skip(iso_df):
+    out = to_itol_dataset(iso_df, "id", "year", "colour_strips", label="year")
+    lines = out.splitlines()
+    assert lines[0] == "DATASET_COLORSTRIP"
+    # numeric-aware legend order: 2019 before 2020
+    assert lines[7] == "LEGEND_LABELS\t2019\t2020"
+    assert lines[4] == "LEGEND_TITLE\tyear"
+    assert lines[5] == "LEGEND_SHAPES\t2\t2"
+    assert lines[8] == "BORDER_WIDTH\t1"
+    data = lines[lines.index("DATA") + 1 :]
+    assert len(data) == 3  # no nulls in year
+    assert data[0].startswith("1\t#") and data[0].endswith("\t2019")
+    # distinct colours per distinct value
+    assert data[0].split("\t")[1] != data[1].split("\t")[1]
+    # same value -> same colour
+    assert data[1].split("\t")[1] == data[2].split("\t")[1]
+
+
+def test_itol_rejects_unknown_type(iso_df):
+    with pytest.raises(ValueError):
+        to_itol_dataset(iso_df, "id", "st", "heatmap")
+
+
+def test_microreact_tsv_golden(iso_df):
+    out = to_microreact_tsv(
+        iso_df,
+        "id",
+        ["st", "year"],
+        country_col="country",
+        iso3166={"France": "FR", "Kenya": "KE"},
+        geo_col="location",
+    )
+    assert out == (
+        "id\tst\tyear\tiso3166\t__latitude\t__longitude\n"
+        "1\tST-1\t2019\tFR\t48.85\t2.35\n"
+        "2\tST-2\t2020\tKE\t-1.29\t36.82\n"
+        "3\tST-1\t2020\t\t\t\n"
+    )
+
+
+def test_microreact_payload_shape():
+    p = microreact_payload("tsv-data", "(a,b);", "proj", email="x@example.org")
+    assert p == {
+        "name": "proj",
+        "description": "",
+        "website": "",
+        "data": "tsv-data",
+        "tree": "(a,b);",
+        "email": "x@example.org",
+    }
+    assert "email" not in microreact_payload("t", "n", "p")
+
+
+def test_upgma_newick_golden(spark):
+    # classic worked example: d(A,B)=2, d(A,C)=d(B,C)=6 -> ((A,B),C)
+    pairs = spark.createDataFrame(
+        [("A", "B", 2.0), ("A", "C", 6.0), ("B", "C", 6.0)],
+        "id1 string, id2 string, hamming double",
+    )
+    assert to_newick_upgma(pairs) == "((A:1,B:1):2,C:3);\n"
+
+
+def test_upgma_average_linkage(spark):
+    # UPGMA averages cluster distances: d(AB,C) = (4+6)/2 = 5
+    pairs = spark.createDataFrame(
+        [("A", "B", 2.0), ("A", "C", 4.0), ("B", "C", 6.0)],
+        "id1 string, id2 string, hamming double",
+    )
+    assert to_newick_upgma(pairs) == "((A:1,B:1):1.5,C:2.5);\n"
+
+
+def test_upgma_max_taxa_guard(spark):
+    pairs = spark.createDataFrame(
+        [("A", "B", 1.0)], "id1 string, id2 string, hamming double"
+    )
+    with pytest.raises(ValueError):
+        to_newick_upgma(pairs, max_taxa=1)
+
+
+def test_upgma_labels(spark):
+    pairs = spark.createDataFrame(
+        [("1", "2", 2.0)], "id1 string, id2 string, hamming double"
+    )
+    out = to_newick_upgma(pairs, labels={"1": "iso_one", "2": "iso_two"})
+    assert out == "(iso_one:1,iso_two:1);\n"
