@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 
 from bigsdb_spark.inventory.registry import register, tbl
 from bigsdb_spark.operators.dedup import (
-    exact_duplicates,
+    embedding_near_duplicates,
+    exact_duplicate_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard,
@@ -146,18 +147,89 @@ def t_text_suite(spark, sf_dir):
     return scalar.join(sh, on="doc_id")
 
 
+_COS = (
+    "round(list_dot_product(e1, e2) / "
+    "(sqrt(list_dot_product(e1, e1)) * sqrt(list_dot_product(e2, e2))), 6)"
+)
+
+
 @register(
     "dedup_exact",
     oracle=f"""
-    WITH fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents)
-    SELECT fp, count(*) AS n_docs, min(doc_id) AS min_id
-    FROM fp GROUP BY fp HAVING count(*) > 1
+    WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 17 = 0),
+    fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM docs),
+    ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM fp),
+    emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 0.5)
+        FROM embeddings WHERE vec_id % 17 = 0),
+    v AS (
+        SELECT vec_id, e,
+               (CASE WHEN e[1] >= 0 THEN 1 ELSE 0 END) * 4
+             + (CASE WHEN e[2] >= 0 THEN 1 ELSE 0 END) * 2
+             + (CASE WHEN e[3] >= 0 THEN 1 ELSE 0 END) AS bucket
+        FROM emb),
+    s AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2, a.e AS e1, b.e AS e2
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT 'exact' AS method, keeper AS id1, doc_id AS id2,
+           CAST(1.0 AS DOUBLE) AS score
+    FROM ex WHERE doc_id <> keeper
+    UNION ALL
+    SELECT 'embedding_cosine' AS method, id1, id2, {_COS} AS score
+    FROM s WHERE {_COS} >= 0.98
     """,
 )
 def dedup_exact(spark, sf_dir):
-    """Exact dedup: hash-groupBy on the fingerprint; min_id is the
-    canonical survivor (generalizes GenomeComparator unique strains)."""
-    return exact_duplicates(tbl(spark, sf_dir, "documents"), "doc_id", "text")
+    """Exact + embedding-cosine dedup in one checked frame, exercised
+    against PLANTED duplicates (every 17th document re-appended under a
+    shifted id; every 17th embedding re-appended halved — same
+    direction, cosine 1.0):
+
+    - method='exact': star-shaped (keeper, dup) pairs from the
+      fingerprint window — linear in corpus size, no self-join
+      (dedup.exact_duplicate_pairs; generalizes GenomeComparator
+      unique strains).
+    - method='embedding_cosine': sign-bucket LSH candidates verified by
+      exact cosine >= 0.98 (dedup.embedding_near_duplicates) — the
+      semantic-dedup tier of a training-data pipeline; candidate
+      generation is a hash join on the bucket id.
+    """
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    ex = exact_duplicate_pairs(corpus, "doc_id", "text").select(
+        F.lit("exact").alias("method"),
+        F.col("id1").cast("long").alias("id1"),
+        F.col("id2").cast("long").alias("id2"),
+        F.lit(1.0).alias("score"),
+    )
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    emb_corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 17 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 0.5).alias("embedding"),
+        )
+    )
+    nd = embedding_near_duplicates(
+        emb_corpus, "vec_id", "embedding", dims=3, min_cosine=0.98
+    ).select(
+        F.lit("embedding_cosine").alias("method"),
+        F.col("id1").cast("long").alias("id1"),
+        F.col("id2").cast("long").alias("id2"),
+        F.col("cosine").alias("score"),
+    )
+    return ex.unionByName(nd)
 
 
 _LSH_CTE = f"""
@@ -228,10 +300,6 @@ def dedup_jaccard(spark, sf_dir):
 
 # ------------------------------------------------------------ similarity
 
-_COS = (
-    "round(list_dot_product(e1, e2) / "
-    "(sqrt(list_dot_product(e1, e1)) * sqrt(list_dot_product(e2, e2))), 6)"
-)
 
 
 @register(

@@ -56,6 +56,44 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def exact_duplicate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup as star-shaped (keeper, duplicate) pairs: one row per
+    non-canonical member, keeper = min id of the fingerprint group.
+    Window-min over the fingerprint partition — linear in corpus size
+    (no self-join), so a group of a million identical documents costs a
+    million rows, not 10¹² pairs."""
+    from pyspark.sql import Window
+
+    fp = fingerprint(df, id_col, text_col)
+    w = Window.partitionBy("fp")
+    return (
+        fp.withColumn("keeper", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("keeper"))
+        .select(F.col("keeper").alias("id1"), F.col(id_col).alias("id2"))
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int = 3,
+    min_cosine: float = 0.98,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-bucket LSH candidates
+    (hash join on the bucket id — never O(n²)), verified by exact
+    cosine >= ``min_cosine``. Same recall trade-off as any LSH: a pair
+    straddling a hyperplane lands in different buckets and is missed;
+    raise recall with more probe permutations or the IVF path
+    (similarity.ivf_kmeans_ann), or verify candidates from
+    dedup_minhash on the text side. Returns (id1, id2, cosine)."""
+    from bigsdb_spark.operators.similarity import bucketed_ann_pairs
+
+    return bucketed_ann_pairs(
+        emb, id_col, vec_col, dims=dims, min_cosine=min_cosine
+    ).select("id1", "id2", "cosine")
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Distinct k-word shingles per document (UDTF-shaped: one doc ->
     many rows).

@@ -39,6 +39,43 @@ def test_exact_duplicates_normalized(spark, docs):
     assert len(got) == 1 and got[0].n_docs == 2 and got[0].min_id == 1
 
 
+def test_exact_duplicate_pairs_star_shape(spark, docs):
+    from bigsdb_spark.operators.dedup import exact_duplicate_pairs
+
+    tripled = docs.unionByName(
+        docs.filter(F.col("doc_id") == 1).select(
+            (F.col("doc_id") + 100).alias("doc_id"), "text"
+        )
+    )
+    got = {
+        (r.id1, r.id2)
+        for r in exact_duplicate_pairs(tripled, "doc_id", "text").collect()
+    }
+    # group {1, 2, 101}: keeper 1, star pairs to every other member
+    assert got == {(1, 2), (1, 101)}
+
+
+def test_embedding_near_duplicates_threshold(spark):
+    from bigsdb_spark.operators.dedup import embedding_near_duplicates
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.2, 0.1, 0.0]),
+            (2, [0.5, 0.1, 0.05, 0.0]),  # same direction as 1 -> cosine 1.0
+            (3, [0.9, 0.3, 0.2, 0.1]),  # close but below 0.999
+            (4, [-1.0, 0.2, 0.1, 0.0]),  # different sign bucket
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.id1, r.id2): r.cosine
+        for r in embedding_near_duplicates(
+            emb, "vec_id", "embedding", dims=3, min_cosine=0.999
+        ).collect()
+    }
+    assert set(got) == {(1, 2)} and got[(1, 2)] == 1.0
+
+
 def test_minhash_lsh_finds_neardups(spark, docs):
     sh = word_shingles(docs, "doc_id", "text", k=3)
     sig = minhash_signatures(sh, n_hashes=8)
