@@ -58,6 +58,9 @@ HEADLINE = [
     "d1_profile_distance_pairs",
     "d2_matching_profiles",
     "d4_single_linkage_groups",
+    "j6_tag_join",
+    "f10_partial_match",
+    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "sim_brute_topk",
