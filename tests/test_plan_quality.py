@@ -97,6 +97,46 @@ def test_text_suite_single_corpus_scan_for_scalars(spark):
     assert plan.count("documents.parquet") <= 2
 
 
+def test_genome_compare_distance_is_locus_hash_join(spark):
+    """GenomeComparator pair distances: self-join on the locus key ->
+    hash join, never a nested loop over isolate pairs."""
+    from bigsdb_spark.operators.genome_compare import pairwise_distances
+
+    df = spark.createDataFrame(
+        [(i, f"L{j}", str((i * j) % 7)) for i in range(20) for j in range(5)],
+        "isolate_id int, locus string, allele_id string",
+    )
+    plan = plan_of(pairwise_distances(df, truncated_pairwise_same=True))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_dup_pairs_use_window_not_self_join(spark):
+    """Star-shaped exact-dup pairs come from a window-min over the
+    fingerprint partition — the plan must contain a Window, and no join
+    at all (a fingerprint self-join would square the hot groups)."""
+    from bigsdb_spark.operators.dedup import exact_duplicate_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"text {i % 3}") for i in range(30)], "doc_id long, text string"
+    )
+    plan = plan_of(exact_duplicate_pairs(df, "doc_id", "text"))
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_near_dup_embedding_join_is_bucket_equi(spark):
+    from bigsdb_spark.operators.dedup import embedding_near_duplicates
+    from bigsdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = plan_of(
+        embedding_near_duplicates(emb, "vec_id", "embedding", min_cosine=0.9)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_np_topk_no_driver_materialization(spark):
     """The block-matmul top-k is fully distributed: block pairing is a
     join of aggregated block rows; no collect() feeds the plan (the
