@@ -48,6 +48,61 @@ from pyspark.sql import functions as F
 MISSING = ("N", "0")
 
 
+def lincode_prefix_counts(
+    assignments: DataFrame,
+    id_col: str = "profile_key",
+    code_col: str = "lincode",
+) -> DataFrame:
+    """LIN-code prefix rollup — the hierarchy the reference's LINvis
+    plugin assembles node-by-node on the driver
+    (Plugins/LINvis.pm:238-307: prefixes joined with '_', one tree node
+    per prefix at every depth, value = isolate count under the prefix).
+
+    Spark shape: each code explodes into its ``depth`` prefixes, then
+    ONE groupBy counts members per (depth, prefix) — map-side combined,
+    no tree walking. ``parent`` links each node to its depth-1 prefix
+    (NULL at the root level), which is all a sunburst/circle-packing
+    renderer needs. Returns (depth, prefix, parent, n_members).
+    """
+    code = F.col(code_col)
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(code)),
+        lambda d: F.array_join(F.slice(code, F.lit(1), d), "_"),
+    )
+    exploded = assignments.select(
+        F.col(id_col), F.posexplode(prefixes).alias("_d0", "prefix")
+    ).select(
+        F.col(id_col),
+        (F.col("_d0") + 1).alias("depth"),
+        "prefix",
+        F.when(
+            F.col("_d0") > 0,
+            F.expr("substring_index(prefix, '_', _d0)"),
+        ).alias("parent"),
+    )
+    return exploded.groupBy("depth", "prefix", "parent").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
+def lincode_hierarchy(counts: DataFrame) -> dict:
+    """Assemble the LINvis nested-JSON hierarchy (root -> children with
+    name/value) from the prefix-count frame. The aggregated node set is
+    download-sized (it feeds a browser visualization), so assembly is
+    driver-side; the counting above is the distributed part."""
+    rows = sorted(
+        counts.collect(), key=lambda r: (r["depth"], str(r["prefix"]))
+    )
+    root: dict = {"name": "root", "children": []}
+    by_prefix: dict[str, dict] = {}
+    for r in rows:
+        node = {"name": r["prefix"], "value": r["n_members"], "children": []}
+        by_prefix[r["prefix"]] = node
+        parent = by_prefix.get(r["parent"]) if r["parent"] else root
+        (parent if parent is not None else root)["children"].append(node)
+    return root
+
+
 def _diffs_and_denom(p1, p2, locus_count: int):
     """diffs / missing_in_either as codegen expressions over two aligned
     allele arrays ('N'/'0' = missing)."""

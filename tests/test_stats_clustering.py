@@ -121,3 +121,41 @@ def test_lincode_normalized_distance_and_batches(spark):
         assert got["02"] == [1, 0, 0]
         assert got["03"] == [0, 1, 0]  # nearest 01, identity 57.1 -> bin 1
         assert got["04"] == [0, 0, 1]  # nearest 01, identity 75 -> bin 2
+
+
+def test_lincode_prefix_counts_and_hierarchy(spark):
+    """LINvis prefix rollup (Plugins/LINvis.pm:238-307): every depth-d
+    prefix counts the members beneath it; the assembled hierarchy nests
+    children under their depth-1 parent."""
+    from bigsdb_spark.operators.lincodes import (
+        lincode_hierarchy,
+        lincode_prefix_counts,
+    )
+
+    assigns = spark.createDataFrame(
+        [
+            ("p1", [1, 0, 0]),
+            ("p2", [1, 0, 1]),
+            ("p3", [1, 1, 0]),
+            ("p4", [2, 0, 0]),
+        ],
+        "profile_key string, lincode array<int>",
+    )
+    counts = lincode_prefix_counts(assigns)
+    got = {
+        (r["depth"], r["prefix"]): (r["parent"], r["n_members"])
+        for r in counts.collect()
+    }
+    assert got[(1, "1")] == (None, 3)
+    assert got[(1, "2")] == (None, 1)
+    assert got[(2, "1_0")] == ("1", 2)
+    assert got[(2, "1_1")] == ("1", 1)
+    assert got[(3, "1_0_1")] == ("1_0", 1)
+
+    root = lincode_hierarchy(counts)
+    assert {c["name"] for c in root["children"]} == {"1", "2"}
+    one = next(c for c in root["children"] if c["name"] == "1")
+    assert one["value"] == 3
+    assert {c["name"] for c in one["children"]} == {"1_0", "1_1"}
+    leaf = next(c for c in one["children"] if c["name"] == "1_0")
+    assert {c["name"] for c in leaf["children"]} == {"1_0_0", "1_0_1"}
