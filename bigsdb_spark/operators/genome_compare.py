@@ -149,6 +149,63 @@ def comparison_matrix(
     )
 
 
+def gene_presence(
+    designations: DataFrame,
+    loci: list[str],
+    db_designations: DataFrame | None = None,
+    tags: DataFrame | None = None,
+    id_col: str = "isolate_id",
+    locus_col: str = "locus",
+    allele_col: str = "allele_id",
+) -> DataFrame:
+    """Gene presence/absence analysis (Plugins/GenePresence.pm:500-534
+    _get_data, :444-450 _create_tsv_output): one row per
+    (isolate, locus) over the full grid with the five per-cell flags —
+
+    - ``presence``      a designation exists and is not 'missing';
+    - ``complete``      not 'missing'/'incomplete';
+    - ``known_allele``  a real, already-defined allele (not a scan-new
+      'New#' provisional, not missing/incomplete);
+    - ``designated``    the locus has a designation row in the database
+      (vs scan-derived) — from ``db_designations`` (isolate_id, locus);
+    - ``tagged``        a sequence tag exists — from ``tags``.
+
+    The grid is distinct isolates × the (bounded) locus list, built with
+    a broadcast literal frame; absent designations read as 'missing'
+    (the scan always emits a status, so absence only occurs for loci
+    outside the scanned set). Feed the long frame to comparison_matrix
+    or a pivot for the heatmap/pivot-table views.
+    """
+    spark = designations.sparkSession
+    loci_df = F.broadcast(
+        spark.createDataFrame([(l,) for l in loci], f"{locus_col} string")
+    )
+    grid = designations.select(id_col).distinct().crossJoin(loci_df)
+    d = designations.select(id_col, locus_col, F.col(allele_col).alias("_v"))
+    cell = grid.join(d, on=[id_col, locus_col], how="left").withColumn(
+        "_v", F.coalesce(F.col("_v"), F.lit("missing"))
+    )
+    real = ~F.col("_v").isin(*NOT_COUNTED)
+    out = cell.select(
+        id_col,
+        locus_col,
+        (F.col("_v") != "missing").cast("int").alias("presence"),
+        real.cast("int").alias("complete"),
+        (real & ~F.col("_v").startswith("New")).cast("int").alias("known_allele"),
+    )
+    for name, frame in (("designated", db_designations), ("tagged", tags)):
+        if frame is None:
+            out = out.withColumn(name, F.lit(0))
+        else:
+            flagged = frame.select(id_col, locus_col).distinct().withColumn(
+                name, F.lit(1)
+            )
+            out = out.join(flagged, on=[id_col, locus_col], how="left").withColumn(
+                name, F.coalesce(F.col(name), F.lit(0))
+            )
+    return out
+
+
 def unique_strains(
     designations: DataFrame,
     id_col: str = "isolate_id",

@@ -96,6 +96,46 @@ def test_comparison_matrix_render_codes(designations):
     assert m[2]["A"] == "2" and m[3]["E"] == "X"
 
 
+def test_gene_presence_flags(spark):
+    from bigsdb_spark.operators.genome_compare import gene_presence
+
+    desig = spark.createDataFrame(
+        [
+            (1, "A", "42"),
+            (1, "B", "New#1"),
+            (1, "C", "incomplete"),
+            (2, "A", "missing"),
+            # isolate 2 has no row for B/C -> reads as missing
+        ],
+        "isolate_id int, locus string, allele_id string",
+    )
+    db_desig = spark.createDataFrame(
+        [(1, "A")], "isolate_id int, locus string"
+    )
+    tags = spark.createDataFrame(
+        [(1, "A"), (1, "C")], "isolate_id int, locus string"
+    )
+    got = {
+        (r["isolate_id"], r["locus"]): r
+        for r in gene_presence(
+            desig, ["A", "B", "C"], db_designations=db_desig, tags=tags
+        ).collect()
+    }
+    assert len(got) == 6  # full 2x3 grid
+    a1 = got[(1, "A")]
+    assert (a1["presence"], a1["complete"], a1["known_allele"]) == (1, 1, 1)
+    assert (a1["designated"], a1["tagged"]) == (1, 1)
+    b1 = got[(1, "B")]  # provisional 'New#' allele: present but not known
+    assert (b1["presence"], b1["complete"], b1["known_allele"]) == (1, 1, 0)
+    c1 = got[(1, "C")]  # incomplete: present, not complete, tagged
+    assert (c1["presence"], c1["complete"], c1["known_allele"]) == (1, 0, 0)
+    assert c1["tagged"] == 1
+    a2 = got[(2, "A")]
+    assert (a2["presence"], a2["complete"], a2["known_allele"]) == (0, 0, 0)
+    b2 = got[(2, "B")]  # absent row -> missing
+    assert b2["presence"] == 0 and b2["designated"] == 0
+
+
 def test_unique_strains_groups_identical_profiles(spark):
     rows = [
         (1, "A", "1"), (1, "B", "2"),
