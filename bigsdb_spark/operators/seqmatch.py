@@ -263,6 +263,41 @@ def scan_contigs_partial(
     )
 
 
+def paralogous_loci(
+    matches: DataFrame,
+    contigs: DataFrame,
+    contig_id: str = "id",
+    contig_seq: str = "sequence",
+    isolate_col: str | None = None,
+) -> DataFrame:
+    """Paralogy detection (Plugins/Helpers/GCHelper.pm:296-312
+    _is_paralogous): a locus is paralogous when MORE THAN ONE distinct
+    matched sequence passes the identity/alignment thresholds — two
+    placements that extract the same sequence count once.
+
+    ``matches`` is scan_contigs_partial output (already
+    threshold-filtered, best allele per placement); the matched windows
+    are re-extracted by joining the contig sequences (equi join on the
+    contig id). Grouping is per isolate when ``isolate_col`` names an
+    isolate column on ``contigs``, else per contig. Returns
+    (group col, locus, n_distinct_matches, paralogous)."""
+    group = isolate_col or contig_id
+    cseq = contigs.select(
+        F.col(contig_id),
+        *([F.col(isolate_col)] if isolate_col else []),
+        F.upper(F.col(contig_seq)).alias("_cseq"),
+    )
+    seqs = matches.join(cseq, on=contig_id).withColumn(
+        "_mseq",
+        F.expr("substring(_cseq, start_pos, end_pos - start_pos + 1)"),
+    )
+    return (
+        seqs.groupBy(group, "locus")
+        .agg(F.count_distinct(F.col("_mseq")).alias("n_distinct_matches"))
+        .withColumn("paralogous", F.col("n_distinct_matches") > 1)
+    )
+
+
 def discover_new_alleles(
     contigs: DataFrame,
     alleles: DataFrame,

@@ -294,3 +294,41 @@ def test_polymorphic_sites_aligned_variable_length(spark):
     # downstream of the indel all three alleles agree again
     for pos, res in [(6, "C"), (7, "G"), (8, "T"), (9, "A"), (10, "C")]:
         assert freq[(pos, res)] == 3
+
+
+def test_paralogous_loci_distinct_sequences(spark):
+    """GCHelper.pm:296 _is_paralogous: >1 DISTINCT matched sequence ->
+    paralogous; repeated identical matches count once."""
+    from bigsdb_spark.operators.seqmatch import (
+        paralogous_loci,
+        scan_contigs_partial,
+    )
+
+    allele = "ACGGTTCAACGGTGCATTGG"  # 20 bp, no internal repeats
+    variant = allele[:18] + "CC"
+    # contig 1: the allele twice (identical copies) + the variant once
+    contig1 = allele + "TTTT" + allele + "TTTT" + variant
+    # contig 2: single copy
+    contig2 = "GGGG" + allele + "GGGG"
+    contigs = spark.createDataFrame(
+        [(1, 10, contig1), (2, 10, contig2)],
+        "id long, isolate_id long, sequence string",
+    )
+    alleles = spark.createDataFrame(
+        [("abcZ", "1", allele)], "locus string, allele_id string, sequence string"
+    )
+    tags = scan_contigs_partial(contigs, alleles, k=12, min_identity=85.0)
+    # per contig: contig 1 has two distinct matched sequences
+    per_contig = {
+        (r["id"], r["locus"]): r
+        for r in paralogous_loci(tags, contigs).collect()
+    }
+    assert per_contig[(1, "abcZ")]["n_distinct_matches"] == 2
+    assert per_contig[(1, "abcZ")]["paralogous"]
+    assert not per_contig[(2, "abcZ")]["paralogous"]
+    # per isolate (both contigs belong to isolate 10): still 2 distinct
+    per_iso = {
+        (r["isolate_id"], r["locus"]): r
+        for r in paralogous_loci(tags, contigs, isolate_col="isolate_id").collect()
+    }
+    assert per_iso[(10, "abcZ")]["n_distinct_matches"] == 2
