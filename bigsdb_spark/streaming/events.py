@@ -48,6 +48,37 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_sliding_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked SLIDING-window counts per key: each event lands in
+    width/slide overlapping windows (F.window with a slideDuration).
+    Same output shape as the tumbling agg so the two are drop-in
+    alternatives; the batch twin (identical expression on a static
+    frame) is the oracle in tests."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), width, slide).alias("w"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            key_col,
+            "n",
+            "total_value",
+        )
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     key_cols: list[str],

@@ -62,3 +62,57 @@ def test_crosstab_wide(spark):
     # stable schema with explicit values
     wide = crosstab_wide(df, "f1", "f2", values=["x", "y", "z"])
     assert wide.columns == ["f1", "x", "y", "z"]
+
+
+def test_streaming_sliding_counts_match_batch_twin(spark, tmp_path):
+    """Sliding windows: stream (availableNow) == identical batch
+    expression on the finalized windows; every event lands in
+    width/slide overlapping windows."""
+    from bigsdb_spark.streaming.events import streaming_sliding_counts
+
+    src = str(tmp_path / "src3")
+    rows = [
+        (i, f"2024-01-01 0{i % 8}:{10 * (i % 5):02d}:00",
+         "click" if i % 2 else "view", float(i))
+        for i in range(40)
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+    batch.repartition(2).write.parquet(src)
+    stream = read_event_stream(spark, src, max_files=16)
+    slid = streaming_sliding_counts(stream, width="1 hour", slide="15 minutes")
+    out = str(tmp_path / "out3")
+    run_available_now(slid, str(tmp_path / "ckpt3"), out)
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    twin = (
+        batch.groupBy(
+            F.window(F.col("ts"), "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp("w.start").cast("long").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in twin.collect()
+    }
+    # append mode emits only windows whose end passed the watermark
+    max_ts = batch.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
+    finalized = {k: v for k, v in want.items() if k[0] + 3600 <= max_ts - 3600}
+    assert got == finalized and len(got) > 0
+    # each hourly-window/15-min-slide event appears in 4 windows: pick an
+    # early event time and count its windows among the finalized set
+    first_click_ws = [ws for (ws, k) in want if k == "view"]
+    assert len(first_click_ws) >= 4
