@@ -1,0 +1,190 @@
+"""Dataset / sequence exporters (the reference's Export and
+SequenceExport plugins).
+
+- ``dataset_export`` — Plugins/Export.pm:816-1095 _write_tab_text: one
+  wide row per isolate with selected provenance fields, allele
+  designations per locus (multi-designations sorted numerically when
+  every id is an integer, else lexically — :1159-1165 _sort_alleles —
+  and joined with ';'), and scheme fields from the derived cache.
+- ``concatenated_sequences`` — SequenceExport.pm concatenated FASTA:
+  allele sequences joined per record in locus order; missing
+  designations ('0'/'N'/'P') contribute the placeholder 'N' (:449-452).
+- ``to_xmfa`` — SequenceExport.pm:824-872 _append_sequences: per-locus
+  blocks with ``>id:start-end + locus`` headers, cumulative start
+  offsets, 60-column wrapping, '=' block terminators. Alignment is an
+  ExternalTool concern (MAFFT/MUSCLE in the reference); unaligned
+  export works without it, which is also the reference's fallback
+  (:853-854).
+
+The joins/pivots are the distributed part; XMFA assembly is driver-side
+(it is a download artifact bounded by the reference's own align_limit,
+:378-382).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _allele_cmp(l: Column, r: Column) -> Column:
+    """Export.pm:1159 _sort_alleles: numeric compare when both ids are
+    integers, else string compare."""
+    ln, rn = l.try_cast("long"), r.try_cast("long")
+    both = ln.isNotNull() & rn.isNotNull()
+    return F.when(both, F.signum(ln - rn).cast("int")).otherwise(
+        F.when(l < r, F.lit(-1)).when(l > r, F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+def dataset_export(
+    isolates: DataFrame,
+    fields: list[str],
+    designations: DataFrame | None = None,
+    loci: list[str] | None = None,
+    scheme_cache: DataFrame | None = None,
+    scheme_fields: list[str] | None = None,
+    id_col: str = "isolate_id",
+    locus_col: str = "locus",
+    allele_col: str = "allele_id",
+) -> DataFrame:
+    """The Export-plugin wide table: id + provenance fields, then one
+    column per selected locus (sorted multi-designations ';'-joined),
+    then scheme fields left-joined from the derived cache (absent ->
+    NULL, the reference prints blanks). Column order matches the
+    reference's field-then-loci-then-scheme layout (:1040-1072)."""
+    out = isolates.select(F.col(id_col), *[F.col(f) for f in fields])
+    if designations is not None and loci:
+        alleles_wide = (
+            designations.groupBy(F.col(id_col))
+            .pivot(locus_col, loci)
+            .agg(
+                F.array_join(
+                    F.array_sort(F.collect_list(F.col(allele_col)), _allele_cmp),
+                    ";",
+                )
+            )
+        )
+        out = out.join(alleles_wide, on=id_col, how="left")
+    if scheme_cache is not None and scheme_fields:
+        out = out.join(
+            scheme_cache.select(id_col, *scheme_fields), on=id_col, how="left"
+        )
+    return out
+
+
+MISSING_DESIGNATIONS = ("0", "N", "P")
+
+
+def _record_sequences(
+    designations: DataFrame,
+    alleles: DataFrame,
+    loci: list[str],
+    id_col: str,
+    locus_col: str,
+    allele_col: str,
+) -> DataFrame:
+    """(id, locus, seq) for every record × selected locus: allele
+    sequence via the (locus, allele_id) equi join; missing designations
+    and unknown alleles -> 'N' (SequenceExport.pm:449-452)."""
+    spark = designations.sparkSession
+    loci_df = F.broadcast(
+        spark.createDataFrame(
+            [(l, i) for i, l in enumerate(loci)], f"{locus_col} string, _ord int"
+        )
+    )
+    grid = designations.select(id_col).distinct().crossJoin(loci_df)
+    d = designations.filter(F.col(locus_col).isin(loci)).select(
+        id_col, locus_col, F.col(allele_col).alias("_aid")
+    )
+    seqs = alleles.select(
+        F.col(locus_col),
+        F.col(allele_col).alias("_aid"),
+        F.upper(F.col("sequence")).alias("_seq"),
+    )
+    return (
+        grid.join(d, on=[id_col, locus_col], how="left")
+        .join(seqs, on=[locus_col, "_aid"], how="left")
+        .select(
+            id_col,
+            locus_col,
+            "_ord",
+            F.when(
+                F.col("_aid").isNull()
+                | F.col("_aid").isin(*MISSING_DESIGNATIONS)
+                | F.col("_seq").isNull(),
+                F.lit("N"),
+            )
+            .otherwise(F.col("_seq"))
+            .alias("seq"),
+        )
+    )
+
+
+def concatenated_sequences(
+    designations: DataFrame,
+    alleles: DataFrame,
+    loci: list[str],
+    id_col: str = "isolate_id",
+    locus_col: str = "locus",
+    allele_col: str = "allele_id",
+) -> DataFrame:
+    """Concatenated FASTA frame: (id, sequence) with allele sequences
+    joined in the given locus order — feed to sources/fasta.to_fasta.
+    Fully distributed: locus-ordered struct sort inside collect_list."""
+    rec = _record_sequences(
+        designations, alleles, loci, id_col, locus_col, allele_col
+    )
+    return (
+        rec.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_ord", "seq"))),
+                    lambda s: s["seq"],
+                ),
+                "",
+            ).alias("sequence")
+        )
+    )
+
+
+def to_xmfa(
+    designations: DataFrame,
+    alleles: DataFrame,
+    loci: list[str],
+    id_col: str = "isolate_id",
+    locus_col: str = "locus",
+    allele_col: str = "allele_id",
+    wrap: int = 60,
+) -> str:
+    """XMFA export (SequenceExport.pm:824-872): one block per locus in
+    order, ``>id:start-end + locus`` headers with cumulative start
+    offsets, sequences wrapped at 60 columns, '=' after each block.
+    Unaligned (the reference's no-aligner fallback); per-locus blocks
+    assume equal-length alleles per locus for the offsets to be
+    meaningful, as the reference's aligned output guarantees."""
+    rows = (
+        _record_sequences(designations, alleles, loci, id_col, locus_col, allele_col)
+        .orderBy("_ord", id_col)
+        .collect()
+    )
+    by_locus: dict[str, list] = {}
+    for r in rows:
+        by_locus.setdefault(r[locus_col], []).append(r)
+    out: list[str] = []
+    start = 1
+    for locus in loci:
+        block = by_locus.get(locus, [])
+        if not block:
+            continue
+        length = max(len(r["seq"]) for r in block)
+        end = start + length - 1
+        for r in block:
+            out.append(f">{r[id_col]}:{start}-{end} + {locus}")
+            seq = r["seq"]
+            for i in range(0, len(seq), wrap):
+                out.append(seq[i : i + wrap])
+        out.append("=")
+        start = end + 1
+    return "\n".join(out) + "\n"
