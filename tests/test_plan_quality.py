@@ -137,6 +137,46 @@ def test_near_dup_embedding_join_is_bucket_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bucketed_join_eliminates_exchange(spark, tmp_path):
+    """The bucketed designation store: two tables bucketed on
+    isolate_id into the same bucket count must join with ZERO Exchange
+    (the shuffle was paid once at write time). This is the co-location
+    contract for the 100 TB fact-fact joins."""
+    from bigsdb_spark.sources.bucketed import co_located_join, write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path}/wh'")
+    # autoBucketedScan drops the bucketed layout when it thinks a plain
+    # scan is cheaper (tiny test tables); pin it on for the contract
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        desig = spark.createDataFrame(
+            [(i % 50, f"L{i % 7}", str(i)) for i in range(1000)],
+            "isolate_id int, locus string, allele_id string",
+        )
+        iso = spark.createDataFrame(
+            [(i, f"iso{i}") for i in range(50)], "isolate_id int, name string"
+        )
+        write_bucketed(desig, "bktdb.designations", "isolate_id", 8)
+        write_bucketed(iso, "bktdb.isolates", "isolate_id", 8)
+        # hint("merge") on the input forbids broadcast so the bucketed
+        # layout does the work (at real scale neither side broadcasts)
+        joined = (
+            spark.table("bktdb.designations")
+            .hint("merge")
+            .join(spark.table("bktdb.isolates"), on="isolate_id")
+        )
+        assert co_located_join(
+            spark, "bktdb.designations", "bktdb.isolates", on="isolate_id"
+        ).count() == 1000
+        plan = plan_of(joined)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
+
+
 def test_np_topk_no_driver_materialization(spark):
     """The block-matmul top-k is fully distributed: block pairing is a
     join of aggregated block rows; no collect() feeds the plan (the
