@@ -375,6 +375,66 @@ def discover_new_alleles(
     )
 
 
+def sequence_diffs(
+    pairs: DataFrame,
+    seq1: str = "seq1",
+    seq2: str = "seq2",
+) -> DataFrame:
+    """Pairwise sequence comparison (Plugins/SequenceComparison.pm:
+    160-175): per-position differences for SAME-LENGTH pairs — one row
+    per differing position with 1-based ``pos``, ``base1`` -> ``base2``.
+    Pairs of unequal length are excluded (the reference switches to an
+    aligner there — use banded_align). Pure expressions: zip_with +
+    posexplode, no Python."""
+    other = [c for c in pairs.columns if c not in (seq1, seq2)]
+    same_len = pairs.filter(F.length(seq1) == F.length(seq2))
+    zipped = F.zip_with(
+        F.split(F.upper(F.col(seq1)), ""),
+        F.split(F.upper(F.col(seq2)), ""),
+        lambda a, b: F.struct(a.alias("b1"), b.alias("b2")),
+    )
+    return (
+        same_len.select(*other, F.posexplode(zipped).alias("_p", "_z"))
+        .filter(
+            (F.col("_z.b1") != F.col("_z.b2"))
+            & (F.col("_z.b1") != "")
+            & (F.col("_z.b2") != "")
+        )
+        .select(
+            *other,
+            (F.col("_p") + 1).alias("pos"),
+            F.col("_z.b1").alias("base1"),
+            F.col("_z.b2").alias("base2"),
+        )
+    )
+
+
+def sequence_diff_summary(
+    pairs: DataFrame,
+    seq1: str = "seq1",
+    seq2: str = "seq2",
+) -> DataFrame:
+    """Difference count + identity%, 2dp (SequenceComparison.pm:176
+    ``100 - 100*numdiffs/length``), per same-length pair."""
+    other = [c for c in pairs.columns if c not in (seq1, seq2)]
+    n = F.aggregate(
+        F.zip_with(
+            F.split(F.upper(F.col(seq1)), ""),
+            F.split(F.upper(F.col(seq2)), ""),
+            lambda a, b: ((a != b) & (a != "") & (b != "")).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return pairs.filter(F.length(seq1) == F.length(seq2)).select(
+        *other,
+        n.cast("long").alias("differences"),
+        F.round(
+            F.lit(100.0) - F.lit(100.0) * n / F.length(seq1), 2
+        ).alias("identity"),
+    )
+
+
 def mutation_scan(
     alleles: DataFrame,
     mutations: DataFrame,

@@ -332,3 +332,29 @@ def test_paralogous_loci_distinct_sequences(spark):
         for r in paralogous_loci(tags, contigs, isolate_col="isolate_id").collect()
     }
     assert per_iso[(10, "abcZ")]["n_distinct_matches"] == 2
+
+
+def test_sequence_diffs_positions_and_identity(spark):
+    """SequenceComparison.pm:160-176: 1-based diff positions for
+    same-length pairs, identity to 2dp; unequal lengths excluded."""
+    from bigsdb_spark.operators.seqmatch import (
+        sequence_diff_summary,
+        sequence_diffs,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            ("p1", "ACGTACGTAC", "ACCTACGTAT"),  # diffs at pos 3 and 10
+            ("p2", "ACGT", "ACGTACGT"),  # unequal length -> excluded
+        ],
+        "pair string, seq1 string, seq2 string",
+    )
+    diffs = sequence_diffs(pairs).collect()
+    assert {(r.pair, r.pos, r.base1, r.base2) for r in diffs} == {
+        ("p1", 3, "G", "C"),
+        ("p1", 10, "C", "T"),
+    }
+    summary = {r.pair: r for r in sequence_diff_summary(pairs).collect()}
+    assert set(summary) == {"p1"}
+    assert summary["p1"].differences == 2
+    assert summary["p1"].identity == 80.0
