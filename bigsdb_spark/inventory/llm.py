@@ -319,8 +319,12 @@ def sim_topk(spark, sf_dir):
     pair scan by construction. It anchors the DuckDB value check and the
     bit-equality tests of the fast paths; serve from
     ``cosine_topk_pairs_np`` (distributed block matmul),
-    ``bucketed_ann_pairs`` or ``ivf_kmeans_ann`` instead."""
-    return cosine_topk_pairs(tbl(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=20)
+    ``bucketed_ann_pairs`` or ``ivf_kmeans_ann`` instead. The dims are
+    peeked from one row so the dot product unrolls into codegen
+    arithmetic (same values; ~2× over the interpreted fold)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").head()[0])
+    return cosine_topk_pairs(emb, "vec_id", "embedding", k=20, dims=dims)
 
 
 @register(

@@ -56,15 +56,61 @@ def _with_norm(emb: DataFrame, id_col: str, vec_col: str, ids: str, e: str, n: s
     )
 
 
+def _dot_unrolled(a: Column, b: Column, dims: int) -> Column:
+    """Same value as _dot (left-to-right summation from 0.0) but as a
+    flat arithmetic expression over pre-cast double arrays — stays in
+    whole-stage codegen, where the higher-order fold is interpreted."""
+    out: Column = F.lit(0.0)
+    for i in range(1, dims + 1):
+        out = out + F.element_at(a, i) * F.element_at(b, i)
+    return out
+
+
 def cosine_topk_pairs(
-    emb: DataFrame, id_col: str, vec_col: str, k: int = 20
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 20,
+    dims: int | None = None,
 ) -> DataFrame:
     """Global top-k most-similar pairs, brute force (id1 < id2).
-    Deterministic: ties broken by (id1, id2)."""
-    a = _with_norm(emb, id_col, vec_col, "id1", "e1", "n1")
-    b = _with_norm(emb, id_col, vec_col, "id2", "e2", "n2")
-    pairs = a.join(b, F.col("id1") < F.col("id2"))
-    scored = with_cosine(pairs).select("id1", "id2", "cosine")
+    Deterministic: ties broken by (id1, id2). ORACLE BASELINE ONLY —
+    O(n²) pairs by definition; serve from cosine_topk_pairs_np /
+    bucketed_ann_pairs / ivf_kmeans_ann.
+
+    With ``dims`` the dot product unrolls into flat codegen arithmetic
+    over pre-cast double arrays (same summation order, identical
+    values) and the streamed side is repartitioned so the nested-loop
+    pair join parallelizes instead of running as one task."""
+    if dims is None:
+        a = _with_norm(emb, id_col, vec_col, "id1", "e1", "n1")
+        b = _with_norm(emb, id_col, vec_col, "id2", "e2", "n2")
+        pairs = a.join(b, F.col("id1") < F.col("id2"))
+        scored = with_cosine(pairs).select("id1", "id2", "cosine")
+        return scored.orderBy(F.desc("cosine"), "id1", "id2").limit(k)
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    base = base.select(
+        "id", "e", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"), dims)).alias("n")
+    )
+    npart = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = base.select(
+        F.col("id").alias("id1"), F.col("e").alias("e1"), F.col("n").alias("n1")
+    ).repartition(npart)
+    b = base.select(
+        F.col("id").alias("id2"), F.col("e").alias("e2"), F.col("n").alias("n2")
+    )
+    scored = a.join(b, F.col("id1") < F.col("id2")).select(
+        "id1",
+        "id2",
+        F.round(
+            _dot_unrolled(F.col("e1"), F.col("e2"), dims)
+            / (F.col("n1") * F.col("n2")),
+            6,
+        ).alias("cosine"),
+    )
     return scored.orderBy(F.desc("cosine"), "id1", "id2").limit(k)
 
 
