@@ -26,7 +26,7 @@ on (locus, allele_id) so only genuinely-matching designation pairs meet
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 WILDCARD = "N"
@@ -201,6 +201,61 @@ def assign_scheme_fields(
         .filter(F.col("n_match") == total_loci)
     )
     return hits.select("profile_key", "st")
+
+
+def define_new_profiles(
+    isolate_profiles: DataFrame,
+    scheme_profiles: DataFrame,
+    max_missing: int = 0,
+    start_pk: int | None = None,
+) -> DataFrame:
+    """Auto-define new scheme profiles from isolate designations —
+    scripts/automation/define_profiles.pl:111-330: isolates whose
+    profile has at most ``max_missing`` missing loci ('N'/'0',
+    :333-373 get_profile) and matches NO existing profile get a new
+    sequential primary key (get_next_pk :306, the W5 max+1 semantics);
+    identical isolates processed later reuse the newly-defined profile
+    (the script's in-run cache) — here: one distinct profile -> one new
+    ST, assigned in first-isolate order for determinism.
+
+    ``isolate_profiles``/``scheme_profiles`` are build_profiles frames
+    (profile_key, profile, profile_md5). ``start_pk`` overrides the
+    max-existing-ST scan (pass it when scheme STs are not numeric).
+    Returns (st, profile, profile_md5, n_isolates, isolate_keys).
+    """
+    missing_ct = F.aggregate(
+        F.col("profile"),
+        F.lit(0),
+        lambda acc, v: acc + v.isin("N", "0").cast("int"),
+    )
+    eligible = isolate_profiles.filter(missing_ct <= max_missing)
+    unmatched = eligible.join(
+        scheme_profiles.select("profile_md5"), on="profile_md5", how="left_anti"
+    )
+    if start_pk is None:
+        start_pk = (
+            scheme_profiles.agg(
+                F.max(F.col("profile_key").try_cast("long")).alias("m")
+            ).head()["m"]
+            or 0
+        )
+    w = Window.orderBy("_first", "profile_md5")
+    return (
+        unmatched.groupBy("profile_md5")
+        .agg(
+            F.first("profile").alias("profile"),
+            F.min("profile_key").alias("_first"),
+            F.count(F.lit(1)).cast("long").alias("n_isolates"),
+            F.array_sort(F.collect_list("profile_key")).alias("isolate_keys"),
+        )
+        .withColumn(
+            "st",
+            (F.lit(start_pk) + F.row_number().over(w)).cast("string"),
+        )
+        .select(
+            "st", "profile", "profile_md5", "n_isolates", "isolate_keys"
+        )
+    )
 
 
 def scheme_completeness(

@@ -119,3 +119,40 @@ def test_hamming_zipwith_ignores_N(spark):
     )
     got = df.select(hamming_zipwith(F.col("a"), F.col("b")).alias("d")).collect()[0].d
     assert got == 1  # position 2 ignored ('N'), position 3 differs
+
+
+def test_define_new_profiles(spark):
+    """define_profiles.pl semantics: skip too-missing profiles, skip
+    existing matches, one new sequential ST per distinct new profile
+    (first-isolate order), identical isolates share the new ST."""
+    from bigsdb_spark.operators.profiles import build_profiles, define_new_profiles
+
+    iso_long = [
+        # isolate 1 & 3: identical new profile -> one ST, shared
+        (1, "a", "5"), (1, "b", "7"),
+        (3, "a", "5"), (3, "b", "7"),
+        # isolate 2: matches existing ST 4 -> no new profile
+        (2, "a", "1"), (2, "b", "2"),
+        # isolate 4: new but 1 missing locus -> excluded at max_missing=0
+        (4, "a", "N"), (4, "b", "9"),
+        # isolate 5: another new profile, later id -> second new ST
+        (5, "a", "8"), (5, "b", "8"),
+    ]
+    iso = build_profiles(
+        spark.createDataFrame(iso_long, "id int, locus string, allele string"),
+        "id", "locus", "allele",
+    )
+    scheme_long = [("4", "a", "1"), ("4", "b", "2"), ("9", "a", "3"), ("9", "b", "3")]
+    scheme = build_profiles(
+        spark.createDataFrame(scheme_long, "st string, locus string, allele string"),
+        "st", "locus", "allele",
+    )
+    got = {r["st"]: r for r in define_new_profiles(iso, scheme).collect()}
+    # existing max ST = 9 -> new STs 10, 11 in first-isolate order
+    assert set(got) == {"10", "11"}
+    assert got["10"]["isolate_keys"] == [1, 3] and got["10"]["n_isolates"] == 2
+    assert list(got["10"]["profile"]) == ["5", "7"]
+    assert got["11"]["isolate_keys"] == [5]
+
+    relaxed = define_new_profiles(iso, scheme, max_missing=1).collect()
+    assert len(relaxed) == 3  # isolate 4's profile now eligible
