@@ -375,6 +375,75 @@ def discover_new_alleles(
     )
 
 
+def find_exemplars(
+    alleles: DataFrame,
+    variation: float = 10.0,
+) -> DataFrame:
+    """Exemplar-allele selection (scripts/maintenance/find_exemplars.pl
+    :95-155): per (locus, length), the first allele in id order is an
+    exemplar, and each further allele joins the exemplar set when it
+    differs by >= ``variation``% from EVERY current exemplar of that
+    length (per-position XOR count, :125-127). Ids sort numerically
+    when integer-formatted, else lexically (:160-162); '0'/'N'/'P'
+    placeholder records are excluded (:161).
+
+    The greedy scan is order-dependent WITHIN a (locus, length) group,
+    but groups are independent — so the scan runs as one Arrow-batched
+    applyInPandas task per group (numpy byte-compare inner loop), which
+    is exactly how the per-locus script parallelizes at scale.
+    Returns (locus, allele_id, length) exemplar rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = alleles.filter(~F.col("allele_id").isin("0", "N", "P")).select(
+        "locus",
+        "allele_id",
+        F.upper(F.col("sequence")).alias("sequence"),
+        F.length("sequence").alias("length"),
+        F.col("allele_id").try_cast("long").alias("_num"),
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["_num"].notna().all():
+            pdf = pdf.sort_values("_num", kind="stable")
+        else:
+            pdf = pdf.sort_values("allele_id", kind="stable")
+        length = int(pdf["length"].iloc[0])
+        exemplars: list[np.ndarray] = []
+        ids: list = []
+        rows = list(zip(pdf["allele_id"], pdf["sequence"]))
+        arrs = {
+            aid: np.frombuffer(seq.encode(), dtype=np.uint8)
+            for aid, seq in rows
+        }
+        first_id = rows[0][0]
+        exemplars.append(arrs[first_id])
+        ids.append(first_id)
+        for aid, _seq in rows:
+            if aid == first_id:
+                continue
+            a = arrs[aid]
+            for ex in exemplars:
+                diff = 100.0 * int((a != ex).sum()) / length
+                if diff < variation:
+                    break
+            else:
+                exemplars.append(a)
+                ids.append(aid)
+        return pd.DataFrame(
+            {
+                "locus": pdf["locus"].iloc[0],
+                "allele_id": ids,
+                "length": length,
+            }
+        )
+
+    return base.groupBy("locus", "length").applyInPandas(
+        scan, "locus string, allele_id string, length int"
+    )
+
+
 def sequence_diffs(
     pairs: DataFrame,
     seq1: str = "seq1",

@@ -358,3 +358,28 @@ def test_sequence_diffs_positions_and_identity(spark):
     assert set(summary) == {"p1"}
     assert summary["p1"].differences == 2
     assert summary["p1"].identity == 80.0
+
+
+def test_find_exemplars_greedy_per_length(spark):
+    """find_exemplars.pl: first allele per (locus, length) is an
+    exemplar; later alleles join only when >= variation% different from
+    every current exemplar; placeholders excluded; numeric id order."""
+    from bigsdb_spark.operators.seqmatch import find_exemplars
+
+    base = "A" * 20
+    rows = [
+        ("abcZ", "1", base),                      # exemplar (first)
+        ("abcZ", "2", base[:19] + "C"),           # 5% diff -> skipped
+        ("abcZ", "3", "C" * 10 + "A" * 10),       # 50% diff -> exemplar
+        ("abcZ", "4", "C" * 10 + "A" * 9 + "G"),  # 5% from '3' -> skipped
+        ("abcZ", "10", "ACGTACGT"),               # different length -> exemplar
+        ("abcZ", "N", base),                      # placeholder -> excluded
+    ]
+    alleles = spark.createDataFrame(
+        rows, "locus string, allele_id string, sequence string"
+    )
+    got = {
+        (r["allele_id"], r["length"])
+        for r in find_exemplars(alleles, variation=10.0).collect()
+    }
+    assert got == {("1", 20), ("3", 20), ("10", 8)}
