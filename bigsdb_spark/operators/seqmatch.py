@@ -375,6 +375,144 @@ def discover_new_alleles(
     )
 
 
+def curate_allele_submissions(
+    submissions: DataFrame,
+    existing: DataFrame,
+    min_identity: float = 98.0,
+    cds_loci: list[str] | None = None,
+) -> DataFrame:
+    """Automatic allele-submission curation
+    (scripts/automation/allele_curator.pl:91-183). Per submitted
+    sequence (cleaned of gaps/dots/whitespace, :113):
+
+    1. loci requiring a complete CDS reject non-CDS sequences (:114-123);
+    2. an md5 match against an existing allele of the locus -> status
+       'assigned' with the EXISTING id (:125-135);
+    3. otherwise, identity >= ``min_identity`` vs ANY same-length
+       existing allele (:150-171, are_sequences_similar) -> 'assigned'
+       with a new sequential id (max numeric id + 1, :259-263 /
+       get_next_allele_id) — identical new sequences across submissions
+       share one new id, exactly as the reference's insert-then-match
+       sequence produces;
+    4. else 'rejected' ('too dissimilar', :171-172).
+
+    ``submissions``: (submission_id, seq_id, locus, sequence).
+    ``existing``: (locus, allele_id, sequence). Returns
+    (submission_id, seq_id, locus, status, allele_id, reason).
+    All checks are equi-joins (md5; locus+length) + expression
+    aggregation — no per-row SQL round-trips.
+    """
+    from bigsdb_spark.functions.sequence import is_complete_cds
+
+    cds_loci = cds_loci or []
+    subs = submissions.select(
+        "submission_id",
+        "seq_id",
+        "locus",
+        F.upper(
+            F.regexp_replace(F.col("sequence"), r"[-.\s]", "")
+        ).alias("_seq"),
+    ).withColumn("_md5", F.md5("_seq"))
+    cds_fail = (
+        F.col("locus").isin(*cds_loci) & ~is_complete_cds(F.col("_seq"))
+        if cds_loci
+        else F.lit(False)
+    )
+    subs = subs.withColumn("_cds_fail", cds_fail)
+    ex = existing.select(
+        "locus",
+        F.col("allele_id").alias("_ex_id"),
+        F.upper(F.col("sequence")).alias("_ex_seq"),
+    ).withColumn("_ex_md5", F.md5("_ex_seq"))
+    # tier 2: exact match -> existing id
+    exact = subs.join(
+        ex.select("locus", F.col("_ex_md5").alias("_md5"), "_ex_id"),
+        on=["locus", "_md5"],
+        how="left",
+    )
+    # tier 3: same-length similarity (only for non-exact, non-cds-failed)
+    need_sim = exact.filter(
+        F.col("_ex_id").isNull() & ~F.col("_cds_fail")
+    ).withColumn("_len", F.length("_seq"))
+    pairs = need_sim.join(
+        ex.withColumn("_len", F.length("_ex_seq")).select(
+            "locus", "_len", "_ex_seq"
+        ),
+        on=["locus", "_len"],
+        how="left",
+    )
+    ident = F.lit(100.0) - F.lit(100.0) * F.aggregate(
+        F.zip_with(
+            F.split(F.col("_seq"), ""),
+            F.split(F.col("_ex_seq"), ""),
+            lambda a, b: ((a != b) & (a != "") & (b != "")).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.col("_len")
+    best = (
+        pairs.withColumn(
+            "_ident", F.when(F.col("_ex_seq").isNotNull(), ident)
+        )
+        .groupBy("submission_id", "seq_id", "locus", "_seq")
+        .agg(F.max("_ident").alias("_best_ident"))
+        .withColumn("_similar", F.col("_best_ident") >= min_identity)
+    )
+    # new sequential ids: one per distinct accepted new sequence per
+    # locus, from max numeric existing id, in first-submission order
+    max_ids = ex.groupBy("locus").agg(
+        F.max(F.col("_ex_id").try_cast("long")).alias("_max_id")
+    )
+    new_ids = (
+        best.filter(F.col("_similar"))
+        .groupBy("locus", "_seq")
+        .agg(F.min(F.struct("submission_id", "seq_id")).alias("_first"))
+        .withColumn(
+            "_rank",
+            F.row_number().over(
+                Window.partitionBy("locus").orderBy("_first")
+            ),
+        )
+        .join(F.broadcast(max_ids), on="locus", how="left")
+        .select(
+            "locus",
+            "_seq",
+            (F.coalesce(F.col("_max_id"), F.lit(0)) + F.col("_rank"))
+            .cast("string")
+            .alias("_new_id"),
+        )
+    )
+    sim_out = best.join(new_ids, on=["locus", "_seq"], how="left").select(
+        "submission_id",
+        "seq_id",
+        "locus",
+        F.when(F.col("_similar"), F.lit("assigned"))
+        .otherwise(F.lit("rejected"))
+        .alias("status"),
+        F.when(F.col("_similar"), F.col("_new_id")).alias("allele_id"),
+        F.when(F.col("_similar"), F.lit("new allele"))
+        .otherwise(F.lit("too dissimilar to existing allele"))
+        .alias("reason"),
+    )
+    cds_out = subs.filter(F.col("_cds_fail")).select(
+        "submission_id",
+        "seq_id",
+        "locus",
+        F.lit("rejected").alias("status"),
+        F.lit(None).cast("string").alias("allele_id"),
+        F.lit("not complete CDS").alias("reason"),
+    )
+    exact_out = exact.filter(F.col("_ex_id").isNotNull() & ~F.col("_cds_fail")).select(
+        "submission_id",
+        "seq_id",
+        "locus",
+        F.lit("assigned").alias("status"),
+        F.col("_ex_id").cast("string").alias("allele_id"),
+        F.lit("already exists").alias("reason"),
+    )
+    return cds_out.unionByName(exact_out).unionByName(sim_out)
+
+
 def find_exemplars(
     alleles: DataFrame,
     variation: float = 10.0,

@@ -383,3 +383,42 @@ def test_find_exemplars_greedy_per_length(spark):
         for r in find_exemplars(alleles, variation=10.0).collect()
     }
     assert got == {("1", 20), ("3", 20), ("10", 8)}
+
+
+def test_curate_allele_submissions_tiers(spark):
+    """allele_curator.pl: CDS rejection, exact-match assignment to the
+    existing id, similarity-gated new-id assignment (shared across
+    identical submissions), dissimilar rejection."""
+    from bigsdb_spark.operators.seqmatch import curate_allele_submissions
+
+    base = "ATGAAACCCGGGTTTACGTAATAA"[:21]  # 21 bp, ATG..., ends TAA below
+    cds_ok = "ATG" + "AAACCCGGGTTTACG" + "TAA"  # 21 bp complete CDS
+    existing = spark.createDataFrame(
+        [("abcZ", "1", cds_ok), ("adk", "5", "ACGTACGTACGTACGTACGT")],
+        "locus string, allele_id string, sequence string",
+    )
+    near = cds_ok[:20] + "A"          # 1 diff from allele 1... ends TAA? 
+    subs = spark.createDataFrame(
+        [
+            ("S1", "seq1", "abcZ", cds_ok.lower()),      # exact (case/clean)
+            ("S1", "seq2", "abcZ", "ATG" + "C" * 15 + "TAG"),  # valid CDS, dissimilar
+            ("S2", "seq3", "adk", "ACGTACGTACGTACGTACGA"),   # 95% similar -> new id
+            ("S3", "seq4", "adk", "ACGTACGTACGTACGTACGA"),   # identical resubmission
+            ("S3", "seq5", "abcZ", "ATGAAACCC"),             # not complete CDS
+        ],
+        "submission_id string, seq_id string, locus string, sequence string",
+    )
+    got = {
+        r["seq_id"]: r
+        for r in curate_allele_submissions(
+            subs, existing, min_identity=90.0, cds_loci=["abcZ"]
+        ).collect()
+    }
+    assert got["seq1"]["status"] == "assigned" and got["seq1"]["allele_id"] == "1"
+    assert got["seq2"]["status"] == "rejected"
+    assert "dissimilar" in got["seq2"]["reason"]
+    # both identical new submissions share the SAME new id (max 5 + 1)
+    assert got["seq3"]["status"] == "assigned" and got["seq3"]["allele_id"] == "6"
+    assert got["seq4"]["allele_id"] == "6"
+    assert got["seq5"]["status"] == "rejected"
+    assert got["seq5"]["reason"] == "not complete CDS"
