@@ -48,10 +48,35 @@ def batch_load_csv(
             ).alias(f.name)
         return F.col(f.name).try_cast(styp).alias(f.name)
 
-    typed = raw.select(*[upload_col(f) for f in table.fields])
+    # a malformed value in ANY typed field is a validation error, not a
+    # silent NULL — the reference's check_format flags wrong-format
+    # values whether or not the field is required. try_cast gives NULL;
+    # the raw cell being non-empty is what distinguishes "bad format"
+    # from "not provided".
+    badcasts: list = []
+    for f in table.fields:
+        if f.name in raw.columns and not f.multiple and f.type != "text":
+            raw_c = F.col(f.name)
+            badcasts.append(
+                F.when(
+                    raw_c.isNotNull()
+                    & (F.trim(raw_c) != "")
+                    & raw_c.try_cast(f.spark_type()).isNull(),
+                    F.lit(f"{f.name}: invalid {f.type}"),
+                ).otherwise(F.lit(None))
+            )
+    badcast_col = (
+        F.array_compact(F.array(*badcasts)) if badcasts
+        else F.array().cast("array<string>")
+    )
+    typed = raw.select(
+        *[upload_col(f) for f in table.fields], badcast_col.alias("_badcast")
+    )
     # single flagged pass, then split on the error list — an anti-join
     # split would lose rows whose key is NULL (null-unsafe equality)
-    flagged = with_validation(typed, table)
+    flagged = with_validation(typed, table).withColumn(
+        "errors", F.concat(F.col("errors"), F.col("_badcast"))
+    ).drop("_badcast")
     valid = flagged.filter(F.size("errors") == 0).drop("errors")
     invalid = flagged.filter(F.size("errors") > 0)
     return valid, invalid

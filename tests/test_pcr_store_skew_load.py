@@ -108,7 +108,9 @@ def test_batch_load_validation_split(spark, tmp_path):
     assert [r.id for r in valid.collect()] == [1]
     errs = {tuple(r.errors) for r in invalid.collect()}
     assert ("country: not in optlist",) in errs
-    assert ("id: required", "year: below min") in errs
+    # the unparseable id is BOTH missing-after-cast and flagged as a
+    # bad-format value (check_format semantics)
+    assert ("id: required", "year: below min", "id: invalid int") in errs
     # unknown column rejected like the reference's header check
     p2 = tmp_path / "bad.tsv"
     p2.write_text("id\tbogus\n1\tx\n")
