@@ -327,46 +327,44 @@ def to_newick_upgma(
     dist: dict = {}
     ids: set = set()
     for r in rows:
-        a, b = r[0], r[1]
+        a, b = str(r[0]), str(r[1])
         ids.add(a)
         ids.add(b)
-        key = (a, b) if str(a) < str(b) else (b, a)
+        key = (a, b) if a < b else (b, a)
         dist[key] = float(r[2])
     if len(ids) > max_taxa:
         raise ValueError(
             f"{len(ids)} taxa exceeds max_taxa={max_taxa}; "
             "aggregate to distinct profiles first"
         )
-    labels = labels or {}
-    # cluster state: name -> (newick, height, members)
-    clusters = {
-        str(i): (str(labels.get(i, i)), 0.0, (i,)) for i in sorted(ids, key=str)
-    }
+    labels = {str(k): v for k, v in (labels or {}).items()}
+    # cluster state: name -> (newick, height, n_members). Distances kept
+    # as a running matrix with Lance-Williams average-linkage updates
+    # (d(a∪b, c) = (na·d(a,c) + nb·d(b,c)) / (na+nb)) — exact UPGMA,
+    # O(n) update per merge instead of re-averaging member pairs.
+    clusters = {i: (labels.get(i, i), 0.0, 1) for i in sorted(ids)}
 
     def d(x, y):
-        key = (x, y) if str(x) < str(y) else (y, x)
-        return dist.get(key)
-
-    def cdist(m1, m2):
-        vals = [d(a, b) for a in m1 for b in m2]
-        vals = [v for v in vals if v is not None]
-        return sum(vals) / len(vals) if vals else float("inf")
+        return dist.get((x, y) if x < y else (y, x), float("inf"))
 
     while len(clusters) > 1:
         names = sorted(clusters)
         best = None
         for i in range(len(names)):
             for j in range(i + 1, len(names)):
-                dd = cdist(clusters[names[i]][2], clusters[names[j]][2])
+                dd = d(names[i], names[j])
                 if best is None or dd < best[0]:
                     best = (dd, names[i], names[j])
         dd, na, nb = best
-        (ta, ha, ma), (tb, hb, mb) = clusters.pop(na), clusters.pop(nb)
+        (ta, ha, ca), (tb, hb, cb) = clusters.pop(na), clusters.pop(nb)
         h = dd / 2.0
-        merged = (
+        new = min(na, nb)
+        for other in clusters:
+            merged_d = (ca * d(na, other) + cb * d(nb, other)) / (ca + cb)
+            dist[(new, other) if new < other else (other, new)] = merged_d
+        clusters[new] = (
             f"({ta}:{h - ha:g},{tb}:{h - hb:g})",
             h,
-            tuple(sorted(ma + mb, key=str)),
+            ca + cb,
         )
-        clusters[min(na, nb)] = merged
     return next(iter(clusters.values()))[0] + ";\n"
