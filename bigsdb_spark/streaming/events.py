@@ -134,6 +134,75 @@ def streaming_running_counts(
     )
 
 
+def streaming_profile_cache(
+    stream: DataFrame,
+    loci: list[str],
+    ts_col: str = "ts",
+    id_col: str = "isolate_id",
+    locus_col: str = "locus",
+    allele_col: str = "allele_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Incremental scheme-cache maintenance on a designation stream —
+    the streaming twin of the A5 profile pivot (the reference maintains
+    its scheme caches with triggers/update_scheme_caches.pl; here the
+    cache updates continuously as designation events arrive).
+
+    Per-isolate state (one slot per scheme locus) lives in GroupState;
+    each batch upserts that isolate's designations and emits the
+    current (isolate, profile, profile_md5, complete) row in update
+    mode. Late/duplicate designations simply overwrite their locus slot
+    — the same last-write-wins the reference's designation table has.
+    The md5 matches operators/profiles.build_profiles (md5 over the
+    locus-sorted ','-joined vector) so the streamed cache can be
+    verified against — and swapped for — the batch pivot.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    loci = sorted(loci)
+    out_schema = (
+        f"{id_col} long, profile array<string>, profile_md5 string, "
+        "complete boolean"
+    )
+    state_schema = "alleles array<string>"
+
+    def _update(key, pdfs, state: GroupState):
+        slots: list = (
+            list(state.get[0]) if state.exists else [None] * len(loci)
+        )
+        idx = {l: i for i, l in enumerate(loci)}
+        for pdf in pdfs:
+            for locus, allele in zip(pdf[locus_col], pdf[allele_col]):
+                if locus in idx:
+                    slots[idx[locus]] = allele
+        state.update((slots,))
+        present = [s for s in slots if s is not None]
+        md5 = hashlib.md5(",".join(present).encode()).hexdigest()
+        yield pd.DataFrame(
+            {
+                id_col: [key[0]],
+                "profile": [present],
+                "profile_md5": [md5],
+                "complete": [len(present) == len(loci)],
+            }
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(id_col)
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, out_path: str) -> None:
     """Drain the stream with trigger=availableNow into parquet — the
     batch-equivalence harness used by the tests."""

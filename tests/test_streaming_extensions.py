@@ -116,3 +116,49 @@ def test_streaming_sliding_counts_match_batch_twin(spark, tmp_path):
     # early event time and count its windows among the finalized set
     first_click_ws = [ws for (ws, k) in want if k == "view"]
     assert len(first_click_ws) >= 4
+
+
+def test_streaming_profile_cache_matches_batch_pivot(spark, tmp_path):
+    """The streamed scheme cache converges to the batch A5 pivot:
+    same profile vector and md5, last write wins per locus."""
+    from bigsdb_spark.operators.profiles import build_profiles
+    from bigsdb_spark.streaming.events import (
+        run_available_now_memory,
+        streaming_profile_cache,
+    )
+
+    rows = [
+        (1, "abcZ", "1", "2024-01-01 00:00:00"),
+        (1, "adk", "2", "2024-01-01 00:01:00"),
+        (2, "abcZ", "9", "2024-01-01 00:02:00"),
+        (1, "adk", "3", "2024-01-01 00:03:00"),  # correction: overwrites '2'
+    ]
+    src = str(tmp_path / "desig_src")
+    df = spark.createDataFrame(
+        rows, "isolate_id long, locus string, allele_id string, ts_s string"
+    ).select(
+        "isolate_id", "locus", "allele_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+    )
+    df.coalesce(1).write.parquet(src)
+    stream = read_event_stream(spark, src, max_files=16)
+    cache = streaming_profile_cache(stream, ["abcZ", "adk"])
+    result = run_available_now_memory(cache, "profile_cache")
+    # update mode may emit one row per batch per key: keep the last
+    got = {}
+    for r in result.collect():
+        got[r["isolate_id"]] = r
+    assert list(got[1]["profile"]) == ["1", "3"] and got[1]["complete"]
+    assert list(got[2]["profile"]) == ["9"] and not got[2]["complete"]
+
+    # md5 parity with the batch pivot over the corrected final state
+    final = spark.createDataFrame(
+        [(1, "abcZ", "1"), (1, "adk", "3"), (2, "abcZ", "9")],
+        "isolate_id long, locus string, allele_id string",
+    )
+    batch = {
+        r["profile_key"]: r["profile_md5"]
+        for r in build_profiles(final, "isolate_id", "locus", "allele_id").collect()
+    }
+    assert got[1]["profile_md5"] == batch[1]
+    assert got[2]["profile_md5"] == batch[2]
