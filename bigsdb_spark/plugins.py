@@ -167,5 +167,41 @@ def _register_builtins() -> None:
         description="exact duplicate groups by normalized-text hash",
     )
 
+    from bigsdb_spark.operators.genome_compare import (
+        gene_presence,
+        locus_attributes,
+        pairwise_distances,
+        unique_strains,
+    )
+
+    DEFAULT_REGISTRY.register_plugin(
+        "GenomeComparator", "analysis",
+        lambda df, **kw: {
+            "locus_attributes": locus_attributes(df, by_ref=kw.get("by_ref", False)),
+            "distances": pairwise_distances(
+                df,
+                exclude_missing=kw.get("exclude_missing", False),
+                truncated_pairwise_same=kw.get("truncated_pairwise_same", False),
+            ),
+            "unique_strains": unique_strains(df),
+        },
+        description="locus categorization + pair distances + unique strains "
+        "over a designation selection (GenomeComparator.pm)",
+    )
+    DEFAULT_REGISTRY.register_plugin(
+        "GenePresence", "analysis",
+        lambda df, loci, **kw: gene_presence(df, loci, **kw),
+        description="presence/completion/designation/tag grid (GenePresence.pm)",
+    )
+
+    from bigsdb_spark.operators.export_dataset import dataset_export
+
+    DEFAULT_REGISTRY.register_plugin(
+        "Export", "export",
+        lambda df, fields, **kw: dataset_export(df, fields, **kw),
+        description="wide dataset export: fields + designations + scheme "
+        "fields (Export.pm)",
+    )
+
 
 _register_builtins()

@@ -182,3 +182,22 @@ def test_plugin_registry_inline_and_job_duality(spark):
     DEFAULT_REGISTRY.submit(jobs, "NeedsCol", user="bob")
     failed = DEFAULT_REGISTRY.run_queued(jobs, selection_for=lambda j: df)
     assert failed.status == "failed" and "nope" in str(failed.result)
+
+
+def test_round2_plugins_run_inline(spark):
+    """The round-2 analyses run through the plugin contract: one
+    registry call returns the GenomeComparator artifact bundle."""
+    from bigsdb_spark.plugins import DEFAULT_REGISTRY
+
+    desig = spark.createDataFrame(
+        [(1, "A", "1"), (2, "A", "2"), (1, "B", "1"), (2, "B", "1")],
+        "isolate_id int, locus string, allele_id string",
+    )
+    arts = DEFAULT_REGISTRY.run_inline("GenomeComparator", desig)
+    la = {r["locus"]: r for r in arts["locus_attributes"].collect()}
+    assert la["A"]["variable"] and not la["B"]["variable"]
+    assert arts["distances"].collect()[0]["differences"] == 1
+    assert arts["unique_strains"].count() == 2
+
+    grid = DEFAULT_REGISTRY.run_inline("GenePresence", desig, loci=["A", "B", "C"])
+    assert grid.count() == 6
