@@ -94,8 +94,26 @@ def _record_sequences(
         )
     )
     grid = designations.select(id_col).distinct().crossJoin(loci_df)
-    d = designations.filter(F.col(locus_col).isin(loci)).select(
-        id_col, locus_col, F.col(allele_col).alias("_aid")
+    # ONE designation per (record, locus) slot — the reference's
+    # get_profile_allele_designation returns a single allele; multiple
+    # designations take the lowest id (numeric-aware), matching
+    # _sort_alleles order. Without this reduction the grid join fans
+    # out and a multi-designated locus would emit two sequence segments.
+    d = (
+        designations.filter(F.col(locus_col).isin(loci))
+        .groupBy(id_col, locus_col)
+        .agg(
+            F.min(
+                F.struct(
+                    F.coalesce(
+                        F.col(allele_col).try_cast("long"),
+                        F.lit(2**62),
+                    ).alias("_k"),
+                    F.col(allele_col).alias("_a"),
+                )
+            ).alias("_pick")
+        )
+        .select(id_col, locus_col, F.col("_pick._a").alias("_aid"))
     )
     seqs = alleles.select(
         F.col(locus_col),
@@ -178,11 +196,14 @@ def to_xmfa(
         block = by_locus.get(locus, [])
         if not block:
             continue
-        length = max(len(r["seq"]) for r in block)
-        end = start + length - 1
+        # per-record end offsets, exactly as the reference computes them
+        # (SequenceExport.pm:860-862: $end = $start + length - 1 per
+        # sequence); the next block starts after the LAST record's end.
+        end = start
         for r in block:
-            out.append(f">{r[id_col]}:{start}-{end} + {locus}")
             seq = r["seq"]
+            end = start + len(seq) - 1
+            out.append(f">{r[id_col]}:{start}-{end} + {locus}")
             for i in range(0, len(seq), wrap):
                 out.append(seq[i : i + wrap])
         out.append("=")

@@ -186,12 +186,25 @@ def gene_presence(
         "_v", F.coalesce(F.col("_v"), F.lit("missing"))
     )
     real = ~F.col("_v").isin(*NOT_COUNTED)
-    out = cell.select(
-        id_col,
-        locus_col,
-        (F.col("_v") != "missing").cast("int").alias("presence"),
-        real.cast("int").alias("complete"),
-        (real & ~F.col("_v").startswith("New")).cast("int").alias("known_allele"),
+    # a locus can carry several designations (paralogs, updates): the
+    # cell's flag is the best evidence any of them provides, and the
+    # grid contract (ONE row per isolate × locus) holds regardless
+    out = (
+        cell.select(
+            id_col,
+            locus_col,
+            (F.col("_v") != "missing").cast("int").alias("presence"),
+            real.cast("int").alias("complete"),
+            (real & ~F.col("_v").startswith("New")).cast("int").alias(
+                "known_allele"
+            ),
+        )
+        .groupBy(id_col, locus_col)
+        .agg(
+            F.max("presence").alias("presence"),
+            F.max("complete").alias("complete"),
+            F.max("known_allele").alias("known_allele"),
+        )
     )
     for name, frame in (("designated", db_designations), ("tagged", tags)):
         if frame is None:

@@ -42,6 +42,8 @@ the reference semantics).
 
 from __future__ import annotations
 
+from itertools import zip_longest
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -105,8 +107,10 @@ def lincode_hierarchy(counts: DataFrame) -> dict:
 
 def _diffs_and_denom(p1, p2, locus_count: int):
     """diffs / missing_in_either as codegen expressions over two aligned
-    allele arrays ('N'/'0' = missing)."""
-    miss = lambda x: x.isin(*MISSING)  # noqa: E731
+    allele arrays ('N'/'0' = missing). NULL slots (zip_with padding when
+    profile lengths differ) count as missing, so ragged inputs degrade
+    to distance-100 instead of propagating NULL through the argmin."""
+    miss = lambda x: x.isNull() | x.isin(*MISSING)  # noqa: E731
     diffs = F.aggregate(
         F.zip_with(
             p1, p2,
@@ -140,10 +144,16 @@ def nearest_coded(
         "ins_idx", F.col("profile").alias("p1")
     ).crossJoin(b)
     diffs, denom = _diffs_and_denom(F.col("p1"), F.col("p2"), locus_count)
+    # denom == 0 (no shared non-missing loci): the reference's PDL
+    # division yields inf, which its strict `< min_distance=100` can
+    # never select — 100.0 here is the same "never the closest" value
+    # (and avoids ANSI-mode DIVIDE_BY_ZERO).
     scored = pairs.select(
         "profile_key", "ins_idx",
         diffs.alias("diffs"),
-        (F.lit(100.0) * diffs / denom).alias("distance"),
+        F.when(denom > 0, F.lit(100.0) * diffs / denom)
+        .otherwise(F.lit(100.0))
+        .alias("distance"),
     )
     w = Window.partitionBy("profile_key").orderBy(
         F.asc("distance"), F.asc("ins_idx")
@@ -205,6 +215,12 @@ def assign_lincodes(
                 t_idx += 1
             else:
                 break
+        # identity can pass EVERY threshold with diffs > 0 (d <= the
+        # tightest diff threshold). The reference's unchecked array
+        # indexing appends an extra component there (lincodes.pl:304
+        # reads one slot past the scheme's length); we cap at the last
+        # component so codes keep the scheme's declared length.
+        t_idx = min(t_idx, n_comp - 1) if n_comp > 0 else 0
         if t_idx == 0 or nearest_idx is None:
             top = max((c[0] for c in codes), default=0) + 1
             return [top] + [0] * (n_comp - 1)
@@ -259,11 +275,11 @@ def assign_lincodes(
                     break  # older than this batch -> covered by Spark scan
                 other = batch_rows[coded_ids[j]]
                 d = sum(
-                    1 for a, b in zip(other, cur)
+                    1 for a, b in zip_longest(other, cur, fillvalue="N")
                     if a != b and a not in MISSING and b not in MISSING
                 )
                 mie = sum(
-                    1 for a, b in zip(other, cur)
+                    1 for a, b in zip_longest(other, cur, fillvalue="N")
                     if a in MISSING or b in MISSING
                 )
                 dist = 100.0 * d / (locus_count - mie) if locus_count > mie else 100.0

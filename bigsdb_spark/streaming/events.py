@@ -174,8 +174,16 @@ def streaming_profile_cache(
             list(state.get[0]) if state.exists else [None] * len(loci)
         )
         idx = {l: i for i, l in enumerate(loci)}
-        for pdf in pdfs:
-            for locus, allele in zip(pdf[locus_col], pdf[allele_col]):
+        # within-batch rows arrive in partition/chunk order, not event
+        # order — concatenate the key's chunks and apply in ts order so
+        # last-write-wins means the LATEST designation, not whichever
+        # partition was read last (bounded: one key's batch rows)
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ts_col, kind="stable"
+            )
+            for locus, allele in zip(batch[locus_col], batch[allele_col]):
                 if locus in idx:
                     slots[idx[locus]] = allele
         state.update((slots,))

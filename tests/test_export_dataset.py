@@ -108,3 +108,35 @@ def test_xmfa_wraps_long_sequences(spark):
     lines = to_xmfa(desig, alleles, ["L"]).splitlines()
     assert lines[0] == ">1:1-130 + L"
     assert lines[1] == "A" * 60 and lines[2] == "A" * 60 and lines[3] == "A" * 10
+
+
+def test_concatenated_sequences_single_segment_per_locus(spark):
+    """Regression: a multi-designated locus contributes exactly ONE
+    segment (the lowest allele id), like the reference's single
+    get_profile_allele_designation lookup."""
+    desig = spark.createDataFrame(
+        [(1, "abcZ", "10"), (1, "abcZ", "2")],
+        "isolate_id int, locus string, allele_id string",
+    )
+    alleles = spark.createDataFrame(
+        [("abcZ", "2", "AAAA"), ("abcZ", "10", "GGGG")],
+        "locus string, allele_id string, sequence string",
+    )
+    got = concatenated_sequences(desig, alleles, ["abcZ"]).collect()
+    assert len(got) == 1 and got[0]["sequence"] == "AAAA"  # numeric min: 2
+
+
+def test_xmfa_per_record_offsets(spark):
+    """Regression: header end offsets are per-record (the reference
+    recomputes $end per sequence), so an 'N' placeholder row claims
+    1-1, not the block maximum."""
+    desig = spark.createDataFrame(
+        [(1, "L", "1"), (2, "L", "0")],
+        "isolate_id int, locus string, allele_id string",
+    )
+    alleles = spark.createDataFrame(
+        [("L", "1", "ACGT")], "locus string, allele_id string, sequence string"
+    )
+    lines = to_xmfa(desig, alleles, ["L"]).splitlines()
+    assert lines[0] == ">1:1-4 + L" and lines[1] == "ACGT"
+    assert lines[2] == ">2:1-1 + L" and lines[3] == "N"

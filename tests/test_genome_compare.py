@@ -148,3 +148,18 @@ def test_unique_strains_groups_identical_profiles(spark):
         for r in unique_strains(df).collect()
     )
     assert got == [(1, [3]), (2, [1, 2])]
+
+
+def test_gene_presence_multi_designation_one_row_per_cell(spark):
+    """Regression: several designations at one locus still yield ONE
+    grid row, with any-designation (max) flag semantics."""
+    from bigsdb_spark.operators.genome_compare import gene_presence
+
+    desig = spark.createDataFrame(
+        [(1, "A", "42"), (1, "A", "missing"), (1, "A", "New#2")],
+        "isolate_id int, locus string, allele_id string",
+    )
+    got = gene_presence(desig, ["A", "B"]).collect()
+    assert len(got) == 2
+    a = {r["locus"]: r for r in got}["A"]
+    assert (a["presence"], a["complete"], a["known_allele"]) == (1, 1, 1)

@@ -159,3 +159,64 @@ def test_lincode_prefix_counts_and_hierarchy(spark):
     assert {c["name"] for c in one["children"]} == {"1_0", "1_1"}
     leaf = next(c for c in one["children"] if c["name"] == "1_0")
     assert {c["name"] for c in leaf["children"]} == {"1_0_0", "1_0_1"}
+
+
+def test_lincode_degenerate_inputs(spark):
+    """Regression: all-missing profiles (zero shared non-missing loci),
+    ragged profile lengths, and identity passing every threshold must
+    not crash and must keep codes at the scheme's component count."""
+    from bigsdb_spark.operators.lincodes import assign_lincodes
+
+    # all-'N' second profile: denom == 0 -> distance 100 -> new lineage
+    profs = spark.createDataFrame(
+        [
+            ("01", ["1", "1", "1", "1", "1", "1", "1"]),
+            ("02", ["N", "N", "N", "N", "N", "N", "N"]),
+            ("03", ["2", "2", "2", "2", "2", "2", "2"]),
+        ],
+        "profile_key string, profile array<string>",
+    )
+    got = {
+        r.profile_key: r.lincode
+        for r in assign_lincodes(
+            spark, profs, thresholds=[4, 2, 1], batch_size=2
+        ).collect()
+    }
+    assert got["01"] == [0, 0, 0]
+    # reference semantics (lincodes.pl:261-263): diffs == 0 reuses the
+    # matched code — an all-missing profile has zero countable diffs
+    # against everything, so it inherits the first profile's code
+    assert got["02"] == got["01"]
+    assert len(got["02"]) == 3
+    assert got["03"] != got["01"]  # a real distinct profile does not
+
+    # ragged lengths: padding counts as missing, no TypeError
+    ragged = spark.createDataFrame(
+        [("01", ["1", "1", "1"]), ("02", ["1", "1"])],
+        "profile_key string, profile array<string>",
+    )
+    got2 = {
+        r.profile_key: r.lincode
+        for r in assign_lincodes(
+            spark, ragged, thresholds=[2, 1], batch_size=1
+        ).collect()
+    }
+    assert all(len(c) == 2 for c in got2.values())
+
+    # d=1 passes ALL thresholds (d <= tightest): increment the LAST
+    # component, code length stays n_comp
+    close = spark.createDataFrame(
+        [
+            ("01", ["1", "1", "1", "1", "1", "1", "1"]),
+            ("02", ["1", "1", "1", "1", "1", "1", "9"]),
+        ],
+        "profile_key string, profile array<string>",
+    )
+    got3 = {
+        r.profile_key: r.lincode
+        for r in assign_lincodes(
+            spark, close, thresholds=[4, 2], batch_size=8
+        ).collect()
+    }
+    assert got3["01"] == [0, 0]
+    assert got3["02"] == [0, 1] and len(got3["02"]) == 2
