@@ -118,6 +118,19 @@ def scan_contigs_exact(
     return results
 
 
+def _kmer_array_sql(k: int) -> str:
+    """SQL expression producing the k-mer array of a ``_seq`` column —
+    empty when the sequence is shorter than k. Shared by the positional
+    (seed-and-extend) and distinct (prefilter) k-mer paths."""
+    return (
+        "transform("
+        f" CASE WHEN length(_seq) >= {k}"
+        f"  THEN sequence(1, length(_seq) - {k - 1})"
+        "   ELSE CAST(array() AS array<int>) END,"
+        f" i -> substring(_seq, i, {k}))"
+    )
+
+
 def _seeded_windows(
     contigs: DataFrame,
     alleles: DataFrame,
@@ -142,15 +155,9 @@ def _seeded_windows(
             named.select(
                 *id_names,
                 F.length("_seq").alias(f"{pos_name}_len"),
-                F.posexplode(
-                    F.expr(
-                        "transform("
-                        f" CASE WHEN length(_seq) >= {k}"
-                        f"  THEN sequence(1, length(_seq) - {k - 1})"
-                        "   ELSE CAST(array() AS array<int>) END,"
-                        f" i -> substring(_seq, i, {k}))"
-                    )
-                ).alias(f"{pos_name}0", "kmer"),
+                F.posexplode(F.expr(_kmer_array_sql(k))).alias(
+                    f"{pos_name}0", "kmer"
+                ),
             )
             .select(
                 *id_names,
@@ -667,21 +674,15 @@ def mutation_scan(
 
 def _kmer_explode(df: DataFrame, id_cols: list[str], seq_col: str, k: int) -> DataFrame:
     """Distinct k-mers per row as exploded (id..., kmer) rows — empty
-    when the sequence is shorter than k."""
+    when the sequence is shorter than k. (The positional variant used by
+    the seed-and-extend path is _seeded_windows.positional_kmers; both
+    build on _kmer_array_sql.)"""
     return (
         df.select(*id_cols, F.upper(F.col(seq_col)).alias("_seq"))
         .select(
             *id_cols,
             F.explode(
-                F.array_distinct(
-                    F.expr(
-                        "transform("
-                        f" CASE WHEN length(_seq) >= {k}"
-                        f"  THEN sequence(1, length(_seq) - {k - 1})"
-                        "   ELSE CAST(array() AS array<int>) END,"
-                        f" i -> substring(_seq, i, {k}))"
-                    )
-                )
+                F.array_distinct(F.expr(_kmer_array_sql(k)))
             ).alias("kmer"),
         )
     )
@@ -793,6 +794,10 @@ def banded_align(
     ) + ", alignment long, mismatches long, gaps long, identity double"
 
     def _align(q: str, a: str):
+        # banded edit-distance DP; align_to_reference._project keeps a
+        # deliberately separate copy with a different traceback (it
+        # emits the projected alignment STRING, not the stats) — change
+        # band/boundary rules in BOTH places
         n, m = len(q), len(a)
         w = max(band, abs(n - m) + 1)
         INF = 10 ** 9
