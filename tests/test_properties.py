@@ -65,3 +65,46 @@ def test_distance_relations(spark):
     # hamming + matched == shared always
     bad = pd.filter(F.col("hamming") + F.col("matched") != F.col("shared")).count()
     assert bad == 0
+
+
+DNA = st.text(alphabet="ACGT", min_size=1, max_size=40)
+
+
+@settings(max_examples=10, deadline=None)
+@given(seq=DNA)
+def test_reverse_complement_involution(spark, seq):
+    from bigsdb_spark.functions.sequence import reverse_complement
+
+    df = spark.createDataFrame([(seq,)], "s string")
+    got = df.select(
+        reverse_complement(reverse_complement(F.col("s"))).alias("rr")
+    ).head()["rr"]
+    assert got == seq
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seq=st.text(alphabet="ACGT", min_size=10, max_size=30),
+    positions=st.sets(st.integers(min_value=0, max_value=9), max_size=3),
+)
+def test_banded_align_agrees_with_sequence_diffs(spark, seq, positions):
+    """Cross-validation of two independent implementations: for
+    same-length substitution-only pairs the banded aligner must report
+    gaps=0 and the same mismatch count sequence_diffs explodes."""
+    from bigsdb_spark.operators.seqmatch import banded_align, sequence_diffs
+
+    flip = {"A": "C", "C": "G", "G": "T", "T": "A"}
+    mutated = list(seq)
+    for p in positions:
+        mutated[p] = flip[mutated[p]]
+    mutated = "".join(mutated)
+    pairs = spark.createDataFrame(
+        [("p", seq, mutated)], "pair string, qseq string, aseq string"
+    )
+    aligned = banded_align(pairs, q_col="qseq", a_col="aseq").head()
+    n_diffs = sequence_diffs(
+        pairs, seq1="qseq", seq2="aseq"
+    ).count()
+    assert aligned["gaps"] == 0
+    assert aligned["mismatches"] == n_diffs == len(positions)
+    assert aligned["alignment"] == len(seq)
