@@ -137,7 +137,7 @@ def d2_matching(spark, sf_dir):
     oracle=f"""
     WITH {_PAIR_NO_N_CTE}
     SELECT id1, id2, shared, matched, hamming FROM pd
-    WHERE matched >= round(shared * (7 - 2) / 7.0, 0)
+    WHERE matched >= round_even(shared * (7 - 2) / 7.0, 0)
     """,
 )
 def d3_relative(spark, sf_dir):

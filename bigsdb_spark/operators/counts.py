@@ -41,11 +41,21 @@ def with_count_predicate(
 ) -> DataFrame:
     """Filter entities by a count predicate over a fact table, with the
     reference's zero-count semantics: entities absent from the fact table
-    count as 0 (IsolateQueryPage.pm:3729-3736 NOT EXISTS branch)."""
-    counts = entity_counts(fact, fact_key, distinct_col)
-    joined = entities.join(
-        counts, entities[entity_key] == counts["entity_id"], "left"
-    ).withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    count as 0 (IsolateQueryPage.pm:3729-3736 NOT EXISTS branch).
+
+    The output carries the count as column ``n``, REPLACING any existing
+    ``n`` on the entities frame — so chained count predicates compose
+    (each stage recomputes its own count) instead of hitting an
+    ambiguous-reference error."""
+    counts = entity_counts(fact, fact_key, distinct_col).withColumnRenamed(
+        "n", "_wcp_n"
+    )
+    base = entities.drop("n")
+    joined = (
+        base.join(counts, base[entity_key] == counts["entity_id"], "left")
+        .withColumn("n", F.coalesce(F.col("_wcp_n"), F.lit(0)))
+        .drop("_wcp_n", "entity_id")
+    )
     cond = {
         "=": F.col("n") == k,
         ">": F.col("n") > k,
@@ -53,7 +63,7 @@ def with_count_predicate(
         "<": F.col("n") < k,
         "<=": F.col("n") <= k,
     }[op]
-    return joined.filter(cond).drop("entity_id")
+    return joined.filter(cond)
 
 
 def zero_count_entities(

@@ -95,6 +95,13 @@ def profile_pair_distances(
         F.col(allele_col).alias("a2"),
     )
     joined = a.join(b, on="locus").filter(F.col("id1") < F.col("id2"))
+    if restrict_pairs is not None:
+        # bound the self-join to a candidate pair set (id1, id2) — the
+        # anchor for LSH-style pruning; semi-join keeps the plan a hash
+        # join on the pair key
+        joined = joined.join(
+            restrict_pairs.select("id1", "id2"), on=["id1", "id2"], how="left_semi"
+        )
     if exclude_wildcard:
         joined = joined.filter(
             (F.col("a1") != WILDCARD) & (F.col("a2") != WILDCARD)
@@ -125,7 +132,9 @@ def matching_profiles(
     — the cutoff scales with how many loci the pair actually shares.
     """
     if relative:
-        cutoff = F.round(F.col("shared") * (total_loci - k) / total_loci, 0)
+        # bround = HALF_EVEN: PostgreSQL's round() on float8 banker-rounds,
+        # so exact .5 cutoffs (even total_loci) must round to even here too
+        cutoff = F.bround(F.col("shared") * (total_loci - k) / total_loci, 0)
     else:
         cutoff = F.lit(total_loci - k)
     return pair_dist.filter(F.col("matched") >= cutoff)

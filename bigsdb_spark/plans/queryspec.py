@@ -47,6 +47,8 @@ class QuerySpec:
 
 
 def _combine(preds: list[Column], combinator: str) -> Column:
+    if combinator not in ("AND", "OR"):
+        raise ValueError(f"combinator must be AND or OR, got {combinator!r}")
     out = preds[0]
     for p in preds[1:]:
         out = (out & p) if combinator == "AND" else (out | p)
@@ -74,11 +76,20 @@ def apply_id_list(df: DataFrame, spec: QuerySpec) -> DataFrame:
 
 
 def apply_order_page(df: DataFrame, spec: QuerySpec) -> DataFrame:
-    if spec.order_by or spec.tiebreak:
+    """Ordering + paging with a GUARANTEED total order: the id column is
+    always appended as the final tiebreak (the reference appends the
+    primary key the same way, IsolateQueryPage.pm:2120-2128) — without
+    it, ties at page boundaries make offset/limit non-reproducible
+    across shuffles."""
+    if spec.order_by or spec.tiebreak or spec.offset or spec.limit is not None:
         cols = [
             (F.col(c).asc() if asc else F.col(c).desc()) for c, asc in spec.order_by
         ] + [F.col(c).asc() for c in spec.tiebreak]
-        df = df.orderBy(*cols)
+        named = [c for c, _ in spec.order_by] + list(spec.tiebreak)
+        if spec.id_col not in named and spec.id_col in df.columns:
+            cols.append(F.col(spec.id_col).asc())
+        if cols:
+            df = df.orderBy(*cols)
     if spec.offset:
         df = df.offset(spec.offset)
     if spec.limit is not None:

@@ -53,7 +53,11 @@ def ci_equals(col: Column, value: str) -> Column:
 
 
 def ci_equals_any(col: Column, value: str) -> Column:
-    """P1 on an array column: value matches ANY element (ILIKE ANY)."""
+    """P1 on an array column: value matches ANY element (ILIKE ANY);
+    the 'null' keyword means the field has NO value (NULL array or no
+    elements), mirroring the scalar path."""
+    if isinstance(value, str) and value.lower() == "null":
+        return col.isNull() | (F.size(col) == 0)
     v = F.upper(F.lit(str(value)))
     return F.exists(col, lambda x: F.upper(x.cast("string")) == v)
 
@@ -141,6 +145,12 @@ def build_predicate(col: Column, op: str, value, is_array: bool = False) -> Colu
     if op == "=":
         return ci_equals_any(col, value) if is_array else ci_equals(col, value)
     if op == "NOT":
+        # 'NOT null' means the field HAS a value — routing it through
+        # null_inclusive_not would OR isNull back in (a tautology)
+        if isinstance(value, str) and str(value).lower() == "null":
+            if is_array:
+                return col.isNotNull() & (F.size(col) > 0)
+            return col.isNotNull()
         m = ci_equals_any(col, value) if is_array else ci_equals(col, value)
         return null_inclusive_not(m, col)
     if op == "contains":
@@ -154,8 +164,12 @@ def build_predicate(col: Column, op: str, value, is_array: bool = False) -> Colu
             m = ci_contains(col, value)
         return null_inclusive_not(m, col)
     if op == "starts with":
+        if is_array:
+            return F.exists(col, lambda x: ci_starts_with(x, value))
         return ci_starts_with(col, value)
     if op == "ends with":
+        if is_array:
+            return F.exists(col, lambda x: ci_ends_with(x, value))
         return ci_ends_with(col, value)
     if is_array:
         return array_compare_any(col, op, value)

@@ -52,19 +52,25 @@ def make_view(
     if user.admin or private_records is None:
         return df
 
+    # join-side columns carry a _priv_ prefix so a provenance field that
+    # happens to be called owner_id/embargo_date never collides with (or
+    # gets dropped in place of) the access-control columns
     priv = private_records.select(
         F.col("isolate_id").alias("_priv_id"),
-        "owner_id",
-        "embargo_date",
+        F.col("owner_id").alias("_priv_owner"),
+        F.col("embargo_date").alias("_priv_embargo"),
     )
     df = df.join(priv, df[id_col] == priv["_priv_id"], "left")
     visible = priv["_priv_id"].isNull()  # public rows
-    if today:
-        visible = visible | (
-            F.col("embargo_date").isNotNull() & (F.col("embargo_date") <= F.lit(today))
-        )
+    # embargo release is always active: records appear once the embargo
+    # date passes; ``today`` pins the evaluation date for reproducible
+    # tests, defaulting to the current date
+    today_d = F.lit(today).cast("date") if today else F.current_date()
+    visible = visible | (
+        F.col("_priv_embargo").isNotNull() & (F.col("_priv_embargo") <= today_d)
+    )
     if user.user_id is not None:
-        visible = visible | (F.col("owner_id") == user.user_id)
+        visible = visible | (F.col("_priv_owner") == user.user_id)
         if user.project_ids and project_members is not None:
             mine = project_members.filter(
                 F.col("project_id").isin(user.project_ids)
@@ -76,4 +82,4 @@ def make_view(
             )
             visible = visible | F.col("_in_project").isNotNull()
     out = df.filter(visible)
-    return out.drop("_priv_id", "owner_id", "embargo_date", "_in_project")
+    return out.drop("_priv_id", "_priv_owner", "_priv_embargo", "_in_project")

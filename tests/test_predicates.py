@@ -99,3 +99,55 @@ def test_crosstab_wide(spark):
     wide = crosstab_wide(df, "f1", "f2", values=["a", "b", "c"])
     got = {r.f1: (r.a, r.b, r.c) for r in wide.collect()}
     assert got == {"x": (2, 1, 0), "y": (0, 1, 0)}
+
+
+def test_not_null_means_has_value(spark):
+    """Regression: 'NOT null' must mean IS NOT NULL — routing it
+    through null-inclusive NOT produced a tautology."""
+    from bigsdb_spark.predicates import build_predicate
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "x", ["a"]), (2, None, None), (3, "y", [])],
+        "id int, v string, arr array<string>",
+    )
+    got = [r.id for r in df.filter(build_predicate(F.col("v"), "NOT", "null")).collect()]
+    assert sorted(got) == [1, 3]
+    got_arr = [
+        r.id
+        for r in df.filter(
+            build_predicate(F.col("arr"), "NOT", "null", is_array=True)
+        ).collect()
+    ]
+    assert got_arr == [1]  # empty array = no value
+    # '=' null on arrays: NULL or empty
+    got_eq = [
+        r.id
+        for r in df.filter(
+            build_predicate(F.col("arr"), "=", "null", is_array=True)
+        ).collect()
+    ]
+    assert sorted(got_eq) == [2, 3]
+
+
+def test_starts_ends_with_on_arrays(spark):
+    from bigsdb_spark.predicates import build_predicate
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, ["B1", "C2"]), (2, ["X9"])], "id int, arr array<string>"
+    )
+    sw = [
+        r.id
+        for r in df.filter(
+            build_predicate(F.col("arr"), "starts with", "b", is_array=True)
+        ).collect()
+    ]
+    assert sw == [1]
+    ew = [
+        r.id
+        for r in df.filter(
+            build_predicate(F.col("arr"), "ends with", "9", is_array=True)
+        ).collect()
+    ]
+    assert ew == [2]

@@ -53,3 +53,26 @@ def test_pagination_metamorphic(view):
         )
         paged.extend(r.id for r in run_query(view, spec).collect())
     assert paged == unpaged
+
+
+def test_pagination_total_order_is_implicit(spark):
+    """Regression: offset/limit always get the id tiebreak appended, so
+    tied sort keys cannot produce overlapping/dropped pages."""
+    from bigsdb_spark.plans.queryspec import QuerySpec, apply_order_page
+
+    df = spark.createDataFrame(
+        [(i, 2000) for i in range(50)], "id int, year int"
+    ).repartition(8)
+    page1 = apply_order_page(df, QuerySpec(order_by=[("year", True)], limit=20))
+    page2 = apply_order_page(
+        df, QuerySpec(order_by=[("year", True)], offset=20, limit=20)
+    )
+    ids1 = [r.id for r in page1.collect()]
+    ids2 = [r.id for r in page2.collect()]
+    assert ids1 == list(range(20)) and ids2 == list(range(20, 40))
+
+    import pytest as _pytest
+    from bigsdb_spark.plans.queryspec import _combine
+    from pyspark.sql import functions as F
+    with _pytest.raises(ValueError):
+        _combine([F.lit(True)] * 2, "and")
