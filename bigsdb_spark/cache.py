@@ -31,6 +31,7 @@ A cache-vs-recompute policy mirrors the reference's thresholds
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,8 +40,13 @@ MAX_LOCI_NON_CACHE_SCHEME = 30   # Constants.pm:41
 LOCUS_LIMIT_TO_USE_CACHE = 100   # ResultsTablePage.pm:33
 
 
-def should_use_cache(n_loci: int) -> bool:
-    return n_loci > MAX_LOCI_NON_CACHE_SCHEME
+def should_use_cache(n_loci: int, for_display: bool = False) -> bool:
+    """Cache policy: scheme-warehouse queries cache past 30 loci
+    (Constants.pm:41); the results-table display path tolerates up to
+    100 uncached loci before demanding the cache
+    (ResultsTablePage.pm:33)."""
+    limit = LOCUS_LIMIT_TO_USE_CACHE if for_display else MAX_LOCI_NON_CACHE_SCHEME
+    return n_loci > limit
 
 
 class Materialization:
@@ -73,15 +79,26 @@ class Materialization:
             raise FileNotFoundError(f"no current version for {self.dir}")
         return self.spark.read.parquet(os.path.join(self.dir, cur))
 
-    def _swap_in(self, df: DataFrame) -> str:
-        """Write a complete new version, then flip the pointer — the
-        atomic swap (sql/isolatedb.sql:1580-1586)."""
+    def _swap_in(self, df: DataFrame, keep_versions: int = 2) -> str:
+        """Write a complete new version, flip the pointer, then drop
+        superseded versions — the full create-new -> rename -> drop-old
+        swap (sql/isolatedb.sql:1580-1586). ``keep_versions`` retains
+        the new version plus its predecessor (in-flight readers of the
+        old pointer finish against intact files); older versions are
+        deleted so a daily refresh does not accumulate full table
+        copies forever."""
         version = self._next_version()
         df.write.mode("overwrite").parquet(os.path.join(self.dir, version))
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(version)
         os.replace(tmp, self._pointer())  # atomic on POSIX
+        versions = sorted(
+            d for d in os.listdir(self.dir)
+            if d.startswith("v_") and os.path.isdir(os.path.join(self.dir, d))
+        )
+        for stale in versions[:-keep_versions] if keep_versions else versions:
+            shutil.rmtree(os.path.join(self.dir, stale), ignore_errors=True)
         return version
 
     def refresh_full(self, df: DataFrame) -> str:

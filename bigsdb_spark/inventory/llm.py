@@ -36,7 +36,7 @@ from bigsdb_spark.operators.similarity import (
 # normalized text, shingles and tokens — DuckDB spellings of the exact
 # expressions in operators/dedup.py::normalized_text / word_shingles
 _NORM = (
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} ]', ' ', 'g'),"
     " '\\s+', ' ', 'g'))"
 )
 _TOKS_CTE = f"toks AS (SELECT doc_id AS doc, string_split({_NORM}, ' ') AS t FROM documents)"

@@ -131,10 +131,22 @@ class JobService:
     # -- persistence: survive a driver restart (the reference's jobs DB) --
 
     def save(self, path: str) -> None:
-        state = [
-            {k: v for k, v in vars(j).items() if k != "result"}
-            for j in self._jobs.values()
-        ]
+        """Persist queue state. JSON-serializable results survive the
+        restart; others (e.g. DataFrames) are replaced by a
+        ``result_unavailable_after_restart`` marker so a client never
+        sees status 'finished' with a silently-None result."""
+        state = []
+        for j in self._jobs.values():
+            row = {k: v for k, v in vars(j).items() if k != "result"}
+            try:
+                json.dumps(j.result)
+                row["result"] = j.result
+            except (TypeError, ValueError):
+                if j.result is not None:
+                    row["result"] = {"result_unavailable_after_restart": True}
+                else:
+                    row["result"] = None
+            state.append(row)
         with open(path, "w") as fh:
             json.dump(state, fh)
 

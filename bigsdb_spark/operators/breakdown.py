@@ -45,7 +45,11 @@ def crosstab_wide(df: DataFrame, f1: str, f2: str, values: list | None = None) -
     (df.groupBy(f1).pivot(f2)). Pass ``values`` at scale to skip the
     distinct-values discovery pass and keep the schema stable."""
     piv = df.groupBy(f1).pivot(f2, values) if values else df.groupBy(f1).pivot(f2)
-    return piv.count().na.fill(0)
+    out = piv.count()
+    # fill only the pivoted count columns — a blanket na.fill(0) would
+    # also rewrite a NULL group key in a numeric f1 to 0, merging the
+    # null group with a genuine f1=0 group
+    return out.na.fill(0, subset=[c for c in out.columns if c != f1])
 
 
 def combination_counts(

@@ -31,9 +31,14 @@ _WS = r"\s+"
 
 
 def normalized_text(col):
-    """Lowercase, strip punctuation-ish chars, collapse whitespace."""
+    """Lowercase, strip punctuation, collapse whitespace. The keep-set
+    is Unicode letters+digits (\\p{L}\\p{N}) — an [a-z0-9] set would
+    normalize every non-Latin document to the empty string, making all
+    of them mutual 'exact duplicates' and invisible to shingling. For
+    ASCII text this is byte-identical to the previous [a-z0-9 ] form
+    (and to the DuckDB oracle spelling, which RE2 shares)."""
     c = F.lower(col)
-    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, r"[^\p{L}\p{N} ]", " ")
     c = F.trim(F.regexp_replace(c, _WS, " "))
     return c
 
@@ -164,10 +169,13 @@ def lsh_candidate_pairs(
     banded = (
         signatures.select(F.col("doc"), F.explode(bands).alias("bb"))
         .select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .cache()  # self-joined below; don't recompute the signature pipeline twice
+        # self-joined below; localCheckpoint materializes once WITHOUT a
+        # permanent cache entry (a .cache() here leaked storage memory on
+        # every call — the caller had no handle to unpersist; checkpoint
+        # blocks are released when the plan is garbage-collected)
+        .localCheckpoint()  # eager: materialized before the self-join, so
+        # both join subtrees read the same blocks instead of recomputing
     )
-    banded.count()  # materialize BEFORE the self-join: both join subtrees
-    # of one job would otherwise race a cold cache and compute it twice
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -201,12 +209,21 @@ def ngram_jaccard(
     a = shingles.select(F.col("doc").alias("doc1"), "shingle")
     b = shingles.select(F.col("doc").alias("doc2"), "shingle")
     if pairs is not None:
-        common = (
+        counted = (
             pairs.select("doc1", "doc2")
             .join(a, on="doc1")
             .join(b, on=["doc2", "shingle"])
             .groupBy("doc1", "doc2")
             .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        # zero-overlap candidates must come back as jaccard=0, not
+        # silently vanish (callers pass arbitrary pair frames to verify,
+        # e.g. embedding near-dup pairs cross-checked on the text side)
+        common = (
+            pairs.select("doc1", "doc2")
+            .distinct()
+            .join(counted, on=["doc1", "doc2"], how="left")
+            .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)))
         )
     else:
         common = (

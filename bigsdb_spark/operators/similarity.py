@@ -95,7 +95,10 @@ def cosine_topk_pairs(
     base = base.select(
         "id", "e", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"), dims)).alias("n")
     )
-    npart = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        npart = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" under some AQE setups
+        npart = emb.sparkSession.sparkContext.defaultParallelism
     a = base.select(
         F.col("id").alias("id1"), F.col("e").alias("e1"), F.col("n").alias("n1")
     ).repartition(npart)
@@ -190,12 +193,20 @@ def cosine_topk_pairs_np(
     )
     tasks = a.join(bb, F.col("b1") <= F.col("b2"))
 
+    from pyspark.sql.types import LongType, IntegerType
+
+    id_is_int = isinstance(
+        emb.schema[id_col].dataType, (LongType, IntegerType)
+    )
+    id_np = np.int64 if id_is_int else object
+    out_id_type = "long" if id_is_int else "string"
+
     def block_pairs(batches):
         for pdf in batches:
             out1, out2, outs = [], [], []
             for _, row in pdf.iterrows():
-                ids1 = np.asarray(row["ids1"], dtype=np.int64)
-                ids2 = np.asarray(row["ids2"], dtype=np.int64)
+                ids1 = np.asarray(row["ids1"], dtype=id_np)
+                ids2 = np.asarray(row["ids2"], dtype=id_np)
                 m1 = np.array(list(row["vecs1"]), dtype=np.float64)
                 m2 = np.array(list(row["vecs2"]), dtype=np.float64)
                 sims = (m1 @ m2.T) / (
@@ -217,7 +228,8 @@ def cosine_topk_pairs_np(
                     continue
                 top = np.argpartition(-vals, take - 1)[:take]
                 for t in top:
-                    x, y = int(ids1[flat_i[t]]), int(ids2[flat_j[t]])
+                    x, y = ids1[flat_i[t]], ids2[flat_j[t]]
+                    x, y = (int(x), int(y)) if id_is_int else (str(x), str(y))
                     if x > y:
                         x, y = y, x
                     out1.append(x)
@@ -225,7 +237,9 @@ def cosine_topk_pairs_np(
                     outs.append(round(float(vals[t]), 6))
             yield pd.DataFrame({"id1": out1, "id2": out2, "cosine": outs})
 
-    cand = tasks.mapInPandas(block_pairs, "id1 long, id2 long, cosine double")
+    cand = tasks.mapInPandas(
+        block_pairs, f"id1 {out_id_type}, id2 {out_id_type}, cosine double"
+    )
     return (
         cand.dropDuplicates(["id1", "id2"])
         .orderBy(F.desc("cosine"), "id1", "id2")

@@ -114,12 +114,19 @@ def with_validation(df: DataFrame, table: TableDef) -> DataFrame:
                 ).otherwise(F.lit(None))
             )
         if f.min is not None:
+            # multiple fields: ANY element below the bound fails
+            bad = (
+                F.exists(col, lambda x: x < f.min) if f.multiple else col < f.min
+            )
             checks.append(
-                F.when(col < f.min, F.lit(f"{f.name}: below min")).otherwise(F.lit(None))
+                F.when(bad, F.lit(f"{f.name}: below min")).otherwise(F.lit(None))
             )
         if f.max is not None:
+            bad = (
+                F.exists(col, lambda x: x > f.max) if f.multiple else col > f.max
+            )
             checks.append(
-                F.when(col > f.max, F.lit(f"{f.name}: above max")).otherwise(F.lit(None))
+                F.when(bad, F.lit(f"{f.name}: above max")).otherwise(F.lit(None))
             )
         if f.optlist and not f.multiple:
             allowed = [v.upper() for v in f.optlist]
@@ -152,6 +159,11 @@ def optlist_expansion(field_def: FieldDef, value: str) -> list[str]:
 
 def optlist_predicate(field_def: FieldDef, value: str) -> Column:
     """P1 '=' with optlist sub-value semantics: equality against the
-    value OR any of its hierarchical sub-values."""
+    value OR any of its hierarchical sub-values; on a multiple field,
+    ANY element may match (casting the array to its string rendering
+    would compare '[B, C]' against scalar values and match nothing)."""
     values = [v.upper() for v in optlist_expansion(field_def, value)]
-    return F.upper(F.col(field_def.name).cast("string")).isin(*values)
+    col = F.col(field_def.name)
+    if field_def.multiple:
+        return F.exists(col, lambda x: F.upper(x.cast("string")).isin(*values))
+    return F.upper(col.cast("string")).isin(*values)

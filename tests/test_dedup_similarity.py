@@ -129,3 +129,41 @@ def test_nearest_neighbor(spark, vectors):
     c = vectors.filter(F.col("vec_id") != 1)
     nn = nearest_neighbor(q, c, "vec_id", "embedding").collect()[0]
     assert nn.nn_id == 2 and nn.cosine > 0.98
+
+
+def test_non_latin_documents_are_not_mutual_duplicates(spark):
+    """Regression: an ASCII-only keep-set normalized every non-Latin
+    document to '' — all of them md5-equal. Unicode letters survive."""
+    docs = spark.createDataFrame(
+        [(1, "完全不同的文档内容"), (2, "другой текст совсем"), (3, "完全不同的文档内容")],
+        "doc_id long, text string",
+    )
+    got = exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(got) == 1 and got[0].n_docs == 2  # only the true pair 1&3
+
+
+def test_np_topk_supports_string_ids(spark):
+    from bigsdb_spark.operators.similarity import (
+        cosine_topk_pairs,
+        cosine_topk_pairs_np,
+    )
+
+    emb = spark.createDataFrame(
+        [(f"iso_{i}", [float(i % 5) + 0.1, float(i % 3), 1.0]) for i in range(30)],
+        "vec_id string, embedding array<double>",
+    )
+    want = {
+        (r.id1, r.id2): r.cosine for r in cosine_topk_pairs(emb, "vec_id", "embedding", k=5).collect()
+    }
+    got = {
+        (r.id1, r.id2): r.cosine
+        for r in cosine_topk_pairs_np(emb, "vec_id", "embedding", k=5, block_size=8).collect()
+    }
+    assert got == want
+
+
+def test_ngram_jaccard_reports_zero_overlap_candidates(spark, docs):
+    sh = word_shingles(docs, "doc_id", "text", k=3)
+    pairs = spark.createDataFrame([(1, 3)], "doc1 long, doc2 long")  # disjoint docs
+    got = ngram_jaccard(sh, pairs=pairs).collect()
+    assert len(got) == 1 and got[0].jaccard == 0.0 and got[0].n_common == 0

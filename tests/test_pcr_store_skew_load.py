@@ -134,3 +134,18 @@ def test_wide_profile_export_shape(spark):
     )
     got = {r.profile_key: (r.a, r.b) for r in wide.collect()}
     assert got == {1: ("1", "2"), 2: ("3", "4")}
+
+
+def test_materialization_drops_stale_versions(spark, tmp_path):
+    """Regression: refreshes must delete superseded versions (keep the
+    live one + its predecessor), not accumulate full copies forever."""
+    import os
+    from bigsdb_spark.cache import Materialization
+
+    m = Materialization(spark, str(tmp_path), "mat")
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    for i in range(4):
+        m.refresh_full(df)
+    versions = [d for d in os.listdir(m.dir) if d.startswith("v_")]
+    assert len(versions) == 2
+    assert m.read().count() == 1  # pointer still valid
