@@ -178,14 +178,16 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path):
 
 
 def test_np_topk_no_driver_materialization(spark):
-    """The block-matmul top-k is fully distributed: block pairing is a
-    join of aggregated block rows; no collect() feeds the plan (the
-    corpus never rides in a task closure)."""
+    """The block-matmul top-k is fully distributed: the only broadcast
+    is the driver-built O(n_blocks²) pair list, and both block fan-out
+    joins are equi-joins — no collect() feeds the plan, the corpus
+    never rides in a task closure, and no plan shape ships the corpus
+    as a broadcast/nested-loop side."""
     from bigsdb_spark.operators.similarity import cosine_topk_pairs_np
     from bigsdb_spark.sources.tables import load_table
 
     emb = load_table(spark, SF, "embeddings")
     plan = plan_of(cosine_topk_pairs_np(emb, "vec_id", "embedding", k=5))
-    # the plan contains the block self-join + mapInPandas stage
-    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
-    assert "CartesianProduct" not in plan or plan.count("embeddings.parquet") == 2
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
