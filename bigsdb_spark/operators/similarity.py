@@ -186,7 +186,10 @@ def cosine_topk_pairs_np(
     )
     blocks = (
         emb.select(
-            (F.abs(F.hash(F.col(id_col))) % n_blocks).alias("b"),
+            # pmod, not abs(hash) % n: abs(Integer.MIN_VALUE) is negative
+            # in Java, which would give that id a block outside the pair
+            # list and silently drop its vector from the search
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("b"),
             F.col(id_col).alias("vid"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         )
