@@ -232,18 +232,35 @@ def ngram_jaccard(
             .groupBy("doc1", "doc2")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
+    # size joins are LEFT joins with a 0 default: a candidate doc whose
+    # text yields no shingles at all (shorter than the shingle width)
+    # is absent from `sizes`, and an inner join here would silently drop
+    # the pair that the candidate-path left join just preserved
     out = (
-        common.join(sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("sz", "n1"), on="doc1")
-        .join(sizes.withColumnRenamed("doc", "doc2").withColumnRenamed("sz", "n2"), on="doc2")
+        common.join(
+            sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("sz", "n1"),
+            on="doc1", how="left",
+        )
+        .join(
+            sizes.withColumnRenamed("doc", "doc2").withColumnRenamed("sz", "n2"),
+            on="doc2", how="left",
+        )
+        .withColumn("n1", F.coalesce(F.col("n1"), F.lit(0)))
+        .withColumn("n2", F.coalesce(F.col("n2"), F.lit(0)))
         .select(
             "doc1",
             "doc2",
             F.col("n_common").cast("long").alias("n_common"),
             F.col("n1").cast("long").alias("n1"),
             F.col("n2").cast("long").alias("n2"),
-            F.round(
-                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
-            ).alias("jaccard"),
+            F.when(
+                F.col("n1") + F.col("n2") - F.col("n_common") > 0,
+                F.round(
+                    F.col("n_common")
+                    / (F.col("n1") + F.col("n2") - F.col("n_common")),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("jaccard"),
         )
     )
     return out

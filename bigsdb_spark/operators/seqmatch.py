@@ -431,9 +431,15 @@ def curate_allele_submissions(
         F.col("allele_id").alias("_ex_id"),
         F.upper(F.col("sequence")).alias("_ex_seq"),
     ).withColumn("_ex_md5", F.md5("_ex_seq"))
-    # tier 2: exact match -> existing id
+    # tier 2: exact match -> existing id. The reference store enforces
+    # UNIQUE (locus, md5(sequence)) (seqdef.sql:358) so duplicates are
+    # impossible there; caller-supplied allele frames may carry the same
+    # sequence under several ids, which would fan one submission out
+    # into conflicting 'assigned' rows — keep the smallest id per md5.
     exact = subs.join(
-        ex.select("locus", F.col("_ex_md5").alias("_md5"), "_ex_id"),
+        ex.select("locus", F.col("_ex_md5").alias("_md5"), "_ex_id")
+        .groupBy("locus", "_md5")
+        .agg(F.min("_ex_id").alias("_ex_id")),
         on=["locus", "_md5"],
         how="left",
     )
@@ -548,9 +554,21 @@ def find_exemplars(
         F.length("sequence").alias("length"),
         F.col("allele_id").try_cast("long").alias("_num"),
     )
+    # numeric-vs-lexical id order is a PER-LOCUS property in the
+    # reference (loci.allele_id_format drives the ORDER BY,
+    # find_exemplars.pl:160-162) — inferring it per (locus, length)
+    # group would sort an all-numeric length group numerically even
+    # when the locus as a whole is text-formatted, choosing different
+    # first exemplars. Infer it over the whole locus instead.
+    base = base.withColumn(
+        "_locus_numeric",
+        F.min(F.col("_num").isNotNull().cast("int")).over(
+            Window.partitionBy("locus")
+        ) == 1,
+    )
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf["_num"].notna().all():
+        if pdf["_locus_numeric"].iloc[0]:
             pdf = pdf.sort_values("_num", kind="stable")
         else:
             pdf = pdf.sort_values("allele_id", kind="stable")

@@ -198,6 +198,11 @@ def cosine_topk_pairs_np(
             F.collect_list("vid").alias("ids"),
             F.collect_list("v").alias("vecs"),
         )
+        # materialize once: the b1 and b2 join subtrees both reference
+        # this aggregation, and without a barrier the whole-corpus
+        # groupBy/collect_list would execute twice (exchange reuse is
+        # not guaranteed across differently-aliased subtrees)
+        .localCheckpoint(eager=True)
     )
     pair_list = F.broadcast(
         emb.sparkSession.createDataFrame(
@@ -252,19 +257,29 @@ def cosine_topk_pairs_np(
                     else ids1[ii] != ids2[jj]
                 )
                 flat_i, flat_j = ii[keep], jj[keep]
-                vals = sims[flat_i, flat_j]
+                # round BEFORE ranking so per-task selection ties agree
+                # with the oracle's ordering over rounded cosines, and
+                # keep every boundary tie: argpartition alone would pick
+                # an arbitrary k among equal scores, and a dropped tie
+                # could be the globally smallest-(id1,id2) winner
+                vals = np.round(sims[flat_i, flat_j], 6)
                 take = min(k, len(vals))
                 if take == 0:
                     continue
-                top = np.argpartition(-vals, take - 1)[:take]
-                for t in top:
+                part = np.argpartition(-vals, take - 1)[:take]
+                vk = vals[part].min()
+                cand = []
+                for t in np.nonzero(vals >= vk)[0]:
                     x, y = ids1[flat_i[t]], ids2[flat_j[t]]
                     x, y = (int(x), int(y)) if id_is_int else (str(x), str(y))
                     if x > y:
                         x, y = y, x
+                    cand.append((-vals[t], x, y))
+                cand.sort()
+                for negv, x, y in cand[:k]:
                     out1.append(x)
                     out2.append(y)
-                    outs.append(round(float(vals[t]), 6))
+                    outs.append(float(-negv))
             yield pd.DataFrame({"id1": out1, "id2": out2, "cosine": outs})
 
     cand = tasks.mapInPandas(

@@ -55,8 +55,26 @@ def batch_load_csv(
     # from "not provided".
     badcasts: list = []
     for f in table.fields:
-        if f.name in raw.columns and not f.multiple and f.type != "text":
-            raw_c = F.col(f.name)
+        if f.name not in raw.columns or f.type == "text":
+            continue
+        raw_c = F.col(f.name)
+        if f.multiple:
+            # element-level check: any non-empty element of the
+            # separator-joined cell that fails the cast is a bad value
+            # (upload_col would otherwise load it as a silent NULL slot)
+            elem_t = f.spark_type().elementType
+            badcasts.append(
+                F.when(
+                    raw_c.isNotNull()
+                    & F.exists(
+                        F.split(raw_c, ";"),
+                        lambda v: (F.trim(v) != "")
+                        & F.trim(v).try_cast(elem_t).isNull(),
+                    ),
+                    F.lit(f"{f.name}: invalid {f.type}"),
+                ).otherwise(F.lit(None))
+            )
+        else:
             badcasts.append(
                 F.when(
                     raw_c.isNotNull()

@@ -163,8 +163,12 @@ def streaming_profile_cache(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     loci = sorted(loci)
+    # the id column keeps its incoming type (string isolate keys are
+    # legal — build_profiles, the batch twin, accepts any key type);
+    # hardcoding `long` here would kill the stream on the first emit
+    id_type = stream.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, profile array<string>, profile_md5 string, "
+        f"{id_col} {id_type}, profile array<string>, profile_md5 string, "
         "complete boolean"
     )
     state_schema = "alleles array<string>"

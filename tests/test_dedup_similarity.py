@@ -167,3 +167,48 @@ def test_ngram_jaccard_reports_zero_overlap_candidates(spark, docs):
     pairs = spark.createDataFrame([(1, 3)], "doc1 long, doc2 long")  # disjoint docs
     got = ngram_jaccard(sh, pairs=pairs).collect()
     assert len(got) == 1 and got[0].jaccard == 0.0 and got[0].n_common == 0
+
+
+def test_ngram_jaccard_keeps_shingleless_candidate(spark, docs):
+    """A candidate doc whose text is shorter than the shingle width has
+    no rows in the shingle frame at all; the pair must still come back
+    as jaccard=0 (the size lookups are left joins), not vanish."""
+    from bigsdb_spark.operators.dedup import word_shingles as ws
+
+    tiny = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the dog"), (99, "too short")],
+        "doc_id long, text string",
+    )
+    sh = ws(tiny, "doc_id", "text", k=3)
+    assert sh.filter(F.col("doc") == 99).count() == 0  # premise
+    pairs = spark.createDataFrame([(1, 99)], "doc1 long, doc2 long")
+    got = ngram_jaccard(sh, pairs=pairs).collect()
+    assert len(got) == 1
+    assert got[0].jaccard == 0.0 and got[0].n_common == 0 and got[0].n2 == 0
+
+
+def test_np_topk_deterministic_under_ties(spark):
+    """Many exact-duplicate vectors tie at cosine 1.0 across block-pair
+    tasks; the np path must keep boundary ties and resolve them by
+    (id1, id2) so it matches the expression path's deterministic
+    ordering instead of emitting an arbitrary k per task."""
+    from bigsdb_spark.operators.similarity import (
+        cosine_topk_pairs,
+        cosine_topk_pairs_np,
+    )
+
+    # 12 identical vectors -> 66 pairs all at cosine 1.0, plus noise
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(12)]
+    rows += [(100 + i, [float(i + 1), 1.0, 0.5]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = [
+        (r.id1, r.id2, r.cosine)
+        for r in cosine_topk_pairs(emb, "vec_id", "embedding", k=10).collect()
+    ]
+    got = [
+        (r.id1, r.id2, r.cosine)
+        for r in cosine_topk_pairs_np(
+            emb, "vec_id", "embedding", k=10, block_size=4
+        ).collect()
+    ]
+    assert got == want

@@ -121,6 +121,29 @@ def test_batch_load_validation_split(spark, tmp_path):
         assert "bogus" in str(e)
 
 
+def test_batch_load_flags_bad_elements_of_multiple_fields(spark, tmp_path):
+    """A malformed element inside a separator-joined `multiple` typed
+    cell is a validation error, not a silent NULL array slot."""
+    table = TableDef(
+        "isolates",
+        [
+            FieldDef("id", "int", required=True),
+            FieldDef("years", "int", multiple=True),
+        ],
+    )
+    p = tmp_path / "multi.tsv"
+    p.write_text(
+        "id\tyears\n"
+        "1\t2010;2011\n"   # clean
+        "2\t2010;x;2012\n"  # bad element
+    )
+    valid, invalid = batch_load_csv(spark, str(p), table)
+    assert [r.id for r in valid.collect()] == [1]
+    bad = invalid.collect()
+    assert len(bad) == 1 and bad[0].id == 2
+    assert "years: invalid int" in bad[0].errors
+
+
 def test_wide_profile_export_shape(spark):
     """D8: the GrapeTree/PhyloViz input is the wide profile table —
     id + one column per locus (Plugins/GrapeTree.pm)."""

@@ -385,6 +385,55 @@ def test_find_exemplars_greedy_per_length(spark):
     assert got == {("1", 20), ("3", 20), ("10", 8)}
 
 
+def test_find_exemplars_id_format_is_per_locus(spark):
+    """The numeric-vs-lexical id order is a per-LOCUS property
+    (loci.allele_id_format drives the ORDER BY, find_exemplars.pl
+    :160-162): a locus holding any non-numeric id sorts lexically in
+    EVERY length group, even one whose own ids are all numeric."""
+    from bigsdb_spark.operators.seqmatch import find_exemplars
+
+    # the two length-20 alleles differ by 5% (< variation), so only the
+    # sort-order winner of the group survives as its exemplar
+    rows = [
+        # length-20 group: ids all numeric, but the locus also owns 'X'
+        ("mixed", "2", "A" * 20),
+        ("mixed", "10", "A" * 19 + "C"),  # lexically '10' < '2' -> first
+        ("mixed", "X", "ACGTACGT"),       # forces lexical order locus-wide
+        # all-numeric locus: numeric order ('2' before '10')
+        ("numeric", "10", "A" * 19 + "C"),
+        ("numeric", "2", "A" * 20),
+    ]
+    alleles = spark.createDataFrame(
+        rows, "locus string, allele_id string, sequence string"
+    )
+    got = {
+        (r["locus"], r["length"]): r["allele_id"]
+        for r in find_exemplars(alleles, variation=10.0).collect()
+    }
+    assert got[("mixed", 20)] == "10"   # lexical
+    assert got[("numeric", 20)] == "2"  # numeric
+
+
+def test_curate_dedupes_duplicate_existing_sequences(spark):
+    """A caller-supplied allele store carrying one sequence under two
+    ids must not fan a submission out into two 'assigned' rows (the
+    reference store forbids duplicates via UNIQUE (locus, md5(seq)));
+    the smallest existing id wins."""
+    from bigsdb_spark.operators.seqmatch import curate_allele_submissions
+
+    existing = spark.createDataFrame(
+        [("abcZ", "5", "ACGTACGTAA"), ("abcZ", "7", "ACGTACGTAA")],
+        "locus string, allele_id string, sequence string",
+    )
+    subs = spark.createDataFrame(
+        [("S1", "q1", "abcZ", "ACGTACGTAA")],
+        "submission_id string, seq_id string, locus string, sequence string",
+    )
+    got = curate_allele_submissions(subs, existing).collect()
+    assert len(got) == 1
+    assert got[0]["status"] == "assigned" and got[0]["allele_id"] == "5"
+
+
 def test_curate_allele_submissions_tiers(spark):
     """allele_curator.pl: CDS rejection, exact-match assignment to the
     existing id, similarity-gated new-id assignment (shared across

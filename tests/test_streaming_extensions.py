@@ -162,3 +162,27 @@ def test_streaming_profile_cache_matches_batch_pivot(spark, tmp_path):
     }
     assert got[1]["profile_md5"] == batch[1]
     assert got[2]["profile_md5"] == batch[2]
+
+
+def test_streaming_profile_cache_string_ids(spark, tmp_path):
+    """The emitted id column mirrors the incoming key type — string
+    isolate keys must stream, not die on a hardcoded long schema."""
+    from bigsdb_spark.streaming.events import (
+        run_available_now_memory,
+        streaming_profile_cache,
+    )
+
+    src = str(tmp_path / "desig_src_str")
+    df = spark.createDataFrame(
+        [("iso-A", "abcZ", "1", "2024-01-01 00:00:00")],
+        "isolate_id string, locus string, allele_id string, ts_s string",
+    ).select(
+        "isolate_id", "locus", "allele_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+    )
+    df.coalesce(1).write.parquet(src)
+    stream = read_event_stream(spark, src, max_files=16)
+    cache = streaming_profile_cache(stream, ["abcZ", "adk"])
+    rows = run_available_now_memory(cache, "profile_cache_str").collect()
+    assert rows and rows[0]["isolate_id"] == "iso-A"
+    assert list(rows[0]["profile"]) == ["1"] and not rows[0]["complete"]
