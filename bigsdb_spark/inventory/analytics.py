@@ -95,8 +95,12 @@ def a2_crosstab(spark, sf_dir):
 @register(
     "a3_rollup_combinations",
     oracle="""
-    SELECT coalesce(o_orderpriority, '<all>') AS o_orderpriority,
-           coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+    SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN '<all>'
+                ELSE coalesce(o_orderpriority, '<blank>') END
+             AS o_orderpriority,
+           CASE WHEN GROUPING(o_orderstatus) = 1 THEN '<all>'
+                ELSE coalesce(o_orderstatus, '<blank>') END
+             AS o_orderstatus,
            count(*) AS n
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)

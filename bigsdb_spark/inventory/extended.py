@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from bigsdb_spark.inventory.registry import register, tbl
+from bigsdb_spark.inventory.registry import DNA_SQL, dna_expr, register, tbl
 from bigsdb_spark.operators.lincodes import assign_lincodes
 from bigsdb_spark.operators.profiles import build_profiles
 
@@ -103,8 +103,7 @@ def o4_o5(spark, sf_dir):
     )
     setops = (
         euro.intersect(busy)
-        .exceptAll(machinery)
-        .distinct()
+        .subtract(machinery)
         .select(
             F.lit("setops").alias("kind"),
             F.col("c_custkey").alias("k"),
@@ -123,7 +122,7 @@ def o4_o5(spark, sf_dir):
     return setops.unionByName(pairs)
 
 
-_DNA_SQL = "upper(regexp_replace(text, '[^acgt]', '', 'g'))"
+_DNA_SQL = DNA_SQL  # shared registry spelling (oracle + Spark expression)
 
 
 @register(
@@ -147,7 +146,7 @@ def d9_polymorphisms(spark, sf_dir):
     window."""
     docs = tbl(spark, sf_dir, "documents")
     d = docs.select(
-        F.upper(F.regexp_replace("text", "[^acgt]", "")).alias("seq")
+        dna_expr("text").alias("seq")
     ).filter(F.length("seq") >= 20)
     long = d.select(
         F.explode(F.sequence(F.lit(1), F.lit(20))).alias("pos"), "seq"
@@ -178,7 +177,7 @@ def d10_codons(spark, sf_dir):
     non-overlapping 3-mers, groupBy codon."""
     docs = tbl(spark, sf_dir, "documents")
     d = docs.select(
-        F.upper(F.regexp_replace("text", "[^acgt]", "")).alias("seq")
+        dna_expr("text").alias("seq")
     ).filter(F.length("seq") >= 30)
     codons = d.select(
         F.explode(F.sequence(F.lit(0), F.lit(9))).alias("i"), "seq"

@@ -119,28 +119,29 @@ def t_text_suite(spark, sf_dir):
     back on doc_id. The individual operators keep their own pytest
     coverage."""
     from bigsdb_spark.operators.dedup import normalized_text
-    from bigsdb_spark.operators.textstats import _tokens, stopword_ratio
+    from bigsdb_spark.operators.textstats import (
+        _tokens,
+        composite_quality,
+        length_band_ok,
+        mean_token_length,
+        stopword_ratio,
+        unique_token_ratio,
+    )
 
     docs = tbl(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     sw = stopword_ratio(F.col("text"))
-    uniq_ratio = F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4)
-    len_ok = (F.length("text") >= 100) & (F.length("text") <= 20000)
     scalar = docs.select(
         "doc_id",
         F.md5(normalized_text(F.col("text"))).alias("fp"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
-        F.round(
-            F.length(F.regexp_replace(F.col("text"), r"\s", "")) / F.size(toks), 4
-        ).alias("mean_token_len"),
+        mean_token_length(F.col("text")).alias("mean_token_len"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
         sw.alias("stop_ratio"),
-        uniq_ratio.alias("unique_ratio"),
-        len_ok.cast("int").alias("len_ok"),
-        F.round(
-            sw * 0.4 + uniq_ratio * 0.4 + F.when(len_ok, 0.2).otherwise(0.0), 4
-        ).alias("quality"),
+        unique_token_ratio(F.col("text")).alias("unique_ratio"),
+        length_band_ok(F.col("text")).cast("int").alias("len_ok"),
+        composite_quality(F.col("text")).alias("quality"),
         F.when(sw >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
     )
     sh = simhash(docs, "doc_id", "text", bits=16).withColumnRenamed("doc", "doc_id")
@@ -288,11 +289,13 @@ def dedup_jaccard(spark, sf_dir):
     """N-gram Jaccard verification of the LSH candidates — the two-stage
     scale path: LSH prunes the pair space, candidate-driven intersection
     joins verify. Work is linear in candidates, not corpus²."""
-    # cache + materialize the shingle set: it feeds the signature
-    # pipeline AND both sides of the candidate intersection join
-    # (3 consumers in one job would race a cold cache)
-    sh = word_shingles(tbl(spark, sf_dir, "documents"), "doc_id", "text", k=3).cache()
-    sh.count()
+    # materialize the shingle set once: it feeds the signature pipeline
+    # AND both sides of the candidate intersection join. localCheckpoint
+    # (not .cache()) — the caller gets no handle to unpersist, so a
+    # cache would leak one storage entry per invocation
+    sh = word_shingles(
+        tbl(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    ).localCheckpoint(eager=True)
     sig = minhash_signatures(sh, n_hashes=8)
     cand = lsh_candidate_pairs(sig, n_hashes=8, band_size=2)
     return ngram_jaccard(sh, pairs=cand)
@@ -323,7 +326,8 @@ def sim_topk(spark, sf_dir):
     peeked from one row so the dot product unrolls into codegen
     arithmetic (same values; ~2× over the interpreted fold)."""
     emb = tbl(spark, sf_dir, "embeddings")
-    dims = len(emb.select("embedding").head()[0])
+    first = emb.select("embedding").head()
+    dims = len(first[0]) if first and first[0] is not None else None
     return cosine_topk_pairs(emb, "vec_id", "embedding", k=20, dims=dims)
 
 

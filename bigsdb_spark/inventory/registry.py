@@ -17,7 +17,6 @@ Engine-independence rules used throughout:
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,3 +42,16 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from bigsdb_spark.sources.tables import load_table
 
     return load_table(spark, sf_dir, name)
+
+
+# pseudo-DNA over the documents table: keep only a/c/g/t, uppercased.
+# SINGLE SOURCE for both the oracle spelling and the Spark expression —
+# the d9/d10/f10/sequence-suite entries all derive sequences this way,
+# and the two sides must stay character-identical for gate equality.
+DNA_SQL = "upper(regexp_replace(text, '[^acgt]', '', 'g'))"
+
+
+def dna_expr(text_col: str = "text"):
+    from pyspark.sql import functions as F
+
+    return F.upper(F.regexp_replace(text_col, "[^acgt]", ""))

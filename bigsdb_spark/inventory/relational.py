@@ -237,13 +237,13 @@ def p7_p8_p9(spark, sf_dir):
     "p13_json",
     oracle="""
     SELECT 'flatten' AS kind, event_id, k AS json_path,
-           CAST(json_extract_string(props, '$.' || k) AS INTEGER) AS val_int
+           TRY_CAST(json_extract_string(props, '$.' || k) AS INTEGER) AS val_int
     FROM events, UNNEST(json_keys(props)) AS u(k)
     UNION ALL
     SELECT 'predicate' AS kind, event_id, 'k' AS json_path,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS val_int
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS val_int
     FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 80
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) > 80
     """,
 )
 def p13_json(spark, sf_dir):
@@ -251,13 +251,22 @@ def p13_json(spark, sf_dir):
     document into long (entity, json_path, value) cache rows
     (analysis_results_cache, sql/isolatedb.sql:2161) AND the typed
     predicate on one extracted path
-    (IsolateQueryPage.pm:4260-4360)."""
+    (IsolateQueryPage.pm:4260-4360).
+
+    The map parses as string values cast per-entry: parsing straight to
+    map<string,int> would NULL the whole map (dropping every key of the
+    document) the moment one value is not an int, where the reference's
+    cache keeps each path's text value and casts at query time — and
+    the oracle's TRY_CAST mirrors the per-value NULL."""
     e = tbl(spark, sf_dir, "events")
-    kv = F.explode(F.from_json("props", "map<string,int>")).alias(
-        "json_path", "val_int"
+    kv = F.explode(F.from_json("props", "map<string,string>")).alias(
+        "json_path", "_raw"
     )
-    flat = e.select(F.lit("flatten").alias("kind"), "event_id", kv)
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    flat = e.select(F.lit("flatten").alias("kind"), "event_id", kv).select(
+        "kind", "event_id", "json_path",
+        F.col("_raw").try_cast("int").alias("val_int"),
+    )
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
     pred = (
         e.select("event_id", k.alias("val_int"))
         .filter(F.col("val_int") > 80)

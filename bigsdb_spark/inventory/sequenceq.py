@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from bigsdb_spark.inventory.registry import register, tbl
+from bigsdb_spark.inventory.registry import DNA_SQL, dna_expr, register, tbl
 from bigsdb_spark.functions.sequence import (
     gc_content,
     is_valid_dna,
@@ -16,15 +16,15 @@ from bigsdb_spark.functions.sequence import (
     sequence_md5,
 )
 
-# pseudo-DNA: keep only a/c/g/t chars from the text, uppercased
-_DNA_SQL = "upper(regexp_replace(text, '[^acgt]', '', 'g'))"
+# pseudo-DNA: the shared registry spelling (oracle + Spark expression)
+_DNA_SQL = DNA_SQL
 
 
 def _pseudo_dna(spark, sf_dir):
     docs = tbl(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.upper(F.regexp_replace("text", "[^acgt]", "")).alias("seq"),
+        dna_expr("text").alias("seq"),
     ).filter(F.length("seq") > 0)
 
 
@@ -75,7 +75,7 @@ def f10_partial(spark, sf_dir):
     """
     docs = tbl(spark, sf_dir, "documents")
     d = docs.select(
-        "doc_id", F.upper(F.regexp_replace("text", "[^acgt]", "")).alias("seq")
+        "doc_id", dna_expr("text").alias("seq")
     ).filter(F.length("seq") >= 60)
     alleles = d.select(
         F.lit("locus1").alias("locus"),

@@ -70,8 +70,14 @@ _pairs_memo: dict = {}
 
 def _pairs(spark, sf_dir, wildcard=False, exclude_wildcard=False):
     # d1/d2/d3/d4/d7 all consume the same pair-distance frame; cache it
-    # once per (session, sf_dir, mode) so the self-join runs once
+    # once per (session, sf_dir, mode) so the self-join runs once.
+    # Entries from OTHER sessions are dropped first: the memo would
+    # otherwise pin every past SparkSession (and its cached RDDs) for
+    # the interpreter's lifetime.
     key = (id(spark), sf_dir, wildcard, exclude_wildcard)
+    stale = [k for k in _pairs_memo if k[0] != id(spark)]
+    for k in stale:
+        del _pairs_memo[k]
     if key not in _pairs_memo:
         _pairs_memo[key] = profile_pair_distances(
             _subset(spark, sf_dir), "l_orderkey", "l_linenumber", "l_returnflag",

@@ -19,7 +19,14 @@ def epoch_seconds(df: DataFrame, ts_col: str) -> Column:
     see sources/tables.py). Integer arithmetic: nanos ~1.7e18 overflow a
     double's 53-bit mantissa."""
     if dict(df.dtypes).get(ts_col) == "bigint":
-        return F.expr(f"{ts_col} div 1000000000")
+        # FLOOR division (pmod makes the numerator exactly divisible):
+        # bare `div` truncates toward zero, which disagrees with floor
+        # semantics (and the DuckDB oracles' `//`) for pre-epoch
+        # timestamps; plain float floor would lose precision above
+        # 2^53 ns
+        return F.expr(
+            f"(({ts_col}) - pmod({ts_col}, 1000000000)) div 1000000000"
+        )
     return F.unix_timestamp(F.col(ts_col))
 
 

@@ -21,6 +21,36 @@ def _tokens(text_col) -> Column:
     return F.split(normalized_text(text_col), " ")
 
 
+def mean_token_length(text_col) -> Column:
+    """Non-space chars per token — SHARED Column builder (also consumed
+    by the one-scan inventory text suite; the oracle spelling must track
+    this expression)."""
+    return F.round(
+        F.length(F.regexp_replace(text_col, r"\s", "")) / F.size(_tokens(text_col)),
+        4,
+    )
+
+
+def unique_token_ratio(text_col) -> Column:
+    toks = _tokens(text_col)
+    return F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4)
+
+
+def length_band_ok(text_col, lo: int = 100, hi: int = 20000) -> Column:
+    return (F.length(text_col) >= lo) & (F.length(text_col) <= hi)
+
+
+def composite_quality(text_col) -> Column:
+    """sw*0.4 + uniq*0.4 + 0.2·len_ok — the single source of the
+    quality formula for both quality_score and the inventory suite."""
+    return F.round(
+        stopword_ratio(text_col) * 0.4
+        + unique_token_ratio(text_col) * 0.4
+        + F.when(length_band_ok(text_col), 0.2).otherwise(0.0),
+        4,
+    )
+
+
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace token count, char count, mean token length (non-space
     chars per token), vocabulary size."""
@@ -29,9 +59,7 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
         F.length(text_col).cast("long").alias("n_chars"),
-        F.round(
-            F.length(F.regexp_replace(F.col(text_col), r"\s", "")) / F.size(toks), 4
-        ).alias("mean_token_len"),
+        mean_token_length(F.col(text_col)).alias("mean_token_len"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
     )
 
@@ -46,19 +74,13 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic quality features: length band, stopword ratio, unique
     ratio, and a composite score — the usual pre-training corpus filters."""
     toks = _tokens(F.col(text_col))
-    uniq_ratio = F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4)
-    sw = stopword_ratio(F.col(text_col))
-    len_ok = (F.length(text_col) >= 100) & (F.length(text_col) <= 20000)
-    score = F.round(
-        sw * 0.4 + uniq_ratio * 0.4 + F.when(len_ok, 0.2).otherwise(0.0), 4
-    )
     return df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
-        sw.alias("stop_ratio"),
-        uniq_ratio.alias("unique_ratio"),
-        len_ok.cast("int").alias("len_ok"),
-        score.alias("quality"),
+        stopword_ratio(F.col(text_col)).alias("stop_ratio"),
+        unique_token_ratio(F.col(text_col)).alias("unique_ratio"),
+        length_band_ok(F.col(text_col)).cast("int").alias("len_ok"),
+        composite_quality(F.col(text_col)).alias("quality"),
     )
 
 
