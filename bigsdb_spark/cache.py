@@ -93,9 +93,15 @@ class Materialization:
         with open(tmp, "w") as fh:
             fh.write(version)
         os.replace(tmp, self._pointer())  # atomic on POSIX
+        # numeric sort: lexicographic order breaks at the first version
+        # that outgrows the zero padding ('v_1000000' < 'v_999999'),
+        # which would delete the just-written newest version
         versions = sorted(
-            d for d in os.listdir(self.dir)
-            if d.startswith("v_") and os.path.isdir(os.path.join(self.dir, d))
+            (
+                d for d in os.listdir(self.dir)
+                if d.startswith("v_") and os.path.isdir(os.path.join(self.dir, d))
+            ),
+            key=lambda d: int(d.split("_", 1)[1]),
         )
         for stale in versions[:-keep_versions] if keep_versions else versions:
             shutil.rmtree(os.path.join(self.dir, stale), ignore_errors=True)

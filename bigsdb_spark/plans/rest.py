@@ -50,6 +50,11 @@ def parse_search(
             op, value = "=", raw
         if not is_valid_operator(op):
             raise BadRequest(f"invalid operator: {op}")
+        if value is None:
+            # JSON null / absent value: a typed 400, NOT a predicate —
+            # str(None) would otherwise match the literal text 'None'.
+            # (The reference's null search is the string keyword 'null'.)
+            raise BadRequest(f"missing value for: {key}")
         parts = key.split(".")
         if parts[0] == "field" and len(parts) == 2:
             try:
@@ -68,17 +73,30 @@ def parse_search(
         else:
             raise BadRequest(f"unknown search category: {key}")
 
-    page = int(body.get("page", 1))
-    page_size = min(int(body.get("page_size", page_size_default)), max_page_size)
+    try:
+        page = int(body.get("page", 1))
+        page_size = min(int(body.get("page_size", page_size_default)), max_page_size)
+    except (TypeError, ValueError):
+        raise BadRequest("page and page_size must be integers") from None
     if page < 1 or page_size < 1:
         raise BadRequest("page and page_size must be >= 1")
     order = body.get("sort", "id")
+    if not isinstance(order, str):
+        raise BadRequest(f"bad sort: {order!r}")
     descending = order.startswith("-")
+    order_field = order.lstrip("-")
+    # order-by whitelist (X11): unknown sort columns are a typed 400
+    # here, not an AnalysisException deep inside the composer
+    if order_field not in ("id", "datestamp"):
+        try:
+            table.field(order_field)
+        except KeyError:
+            raise BadRequest(f"unknown sort field: {order_field}") from None
     spec = QuerySpec(
         rows=rows,
         combinator=str(body.get("combinator", "AND")).upper(),
-        order_by=[(order.lstrip("-"), not descending)],
-        tiebreak=["id"] if order.lstrip("-") != "id" else [],
+        order_by=[(order_field, not descending)],
+        tiebreak=["id"] if order_field != "id" else [],
         offset=(page - 1) * page_size,
         limit=page_size,
     )

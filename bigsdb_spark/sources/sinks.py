@@ -158,7 +158,10 @@ def to_grapetree_profiles(
             vals.append("-")
         seen.add(tuple(vals))
         out.append(str(r[0]) + "\t" + "\t".join(vals))
-    if len(rows) > 1 and len(seen) <= 1:
+    # any input without >= 2 DISTINCT profiles cannot build a tree —
+    # including the single-isolate and empty cases (GrapeTree.pm:382-388
+    # raises the typed error for all of them, not just identical rows)
+    if len(seen) <= 1:
         raise ValueError(
             "All isolates are identical at selected loci. Cannot generate tree."
         )
@@ -356,6 +359,13 @@ def to_newick_upgma(
                 if best is None or dd < best[0]:
                     best = (dd, names[i], names[j])
         dd, na, nb = best
+        if dd == float("inf"):
+            # a missing pair distance would otherwise flow through the
+            # Lance-Williams updates and emit ':inf' branch lengths
+            raise ValueError(
+                f"no distance between clusters {na!r} and {nb!r}: "
+                "UPGMA needs a complete pairwise distance input"
+            )
         (ta, ha, ca), (tb, hb, cb) = clusters.pop(na), clusters.pop(nb)
         h = dd / 2.0
         new = min(na, nb)

@@ -118,7 +118,10 @@ def streaming_running_counts(
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-        state.update((n, round(total, 2)))
+        # persist the RAW total — rounding belongs on the emitted row
+        # only; storing the rounded value would re-truncate every batch
+        # and accumulate drift against the batch twin
+        state.update((n, total))
         yield pd.DataFrame({key_col: [key[0]], "n": [n], "total_value": [round(total, 2)]})
 
     return (
@@ -148,14 +151,20 @@ def streaming_profile_cache(
     its scheme caches with triggers/update_scheme_caches.pl; here the
     cache updates continuously as designation events arrive).
 
-    Per-isolate state (one slot per scheme locus) lives in GroupState;
-    each batch upserts that isolate's designations and emits the
-    current (isolate, profile, profile_md5, complete) row in update
-    mode. Late/duplicate designations simply overwrite their locus slot
-    — the same last-write-wins the reference's designation table has.
-    The md5 matches operators/profiles.build_profiles (md5 over the
-    locus-sorted ','-joined vector) so the streamed cache can be
-    verified against — and swapped for — the batch pivot.
+    Per-isolate state (one slot per scheme locus, with the slot's event
+    time) lives in GroupState; each batch upserts that isolate's
+    designations and emits the current (isolate, profile, profile_md5,
+    complete) row in update mode. Last-write-wins means the designation
+    with the LATEST event time — enforced across batches by the stored
+    per-slot timestamp, so a late event arriving in a later micro-batch
+    cannot overwrite a newer designation. The md5 matches
+    operators/profiles.build_profiles (md5 over the locus-sorted
+    ','-joined vector) so the streamed cache can be verified against —
+    and swapped for — the batch pivot for single-designation-per-locus
+    streams. Paralogous MULTI-designations per locus (which
+    build_profiles keeps side by side) are out of scope here: one slot
+    per locus means corrections overwrite; use the batch A5 pivot for
+    paralog-bearing schemes.
     """
     import hashlib
 
@@ -171,26 +180,35 @@ def streaming_profile_cache(
         f"{id_col} {id_type}, profile array<string>, profile_md5 string, "
         "complete boolean"
     )
-    state_schema = "alleles array<string>"
+    state_schema = "alleles array<string>, tss array<long>"
 
     def _update(key, pdfs, state: GroupState):
-        slots: list = (
-            list(state.get[0]) if state.exists else [None] * len(loci)
-        )
+        if state.exists:
+            slots, tss = list(state.get[0]), list(state.get[1])
+        else:
+            slots, tss = [None] * len(loci), [None] * len(loci)
         idx = {l: i for i, l in enumerate(loci)}
         # within-batch rows arrive in partition/chunk order, not event
         # order — concatenate the key's chunks and apply in ts order so
-        # last-write-wins means the LATEST designation, not whichever
-        # partition was read last (bounded: one key's batch rows)
+        # equal-timestamp ties resolve consistently; ACROSS batches the
+        # stored per-slot timestamp does the ordering (a late event in a
+        # later micro-batch must not overwrite a newer designation)
         chunks = list(pdfs)
         if chunks:
             batch = pd.concat(chunks, ignore_index=True).sort_values(
                 ts_col, kind="stable"
             )
-            for locus, allele in zip(batch[locus_col], batch[allele_col]):
-                if locus in idx:
-                    slots[idx[locus]] = allele
-        state.update((slots,))
+            for locus, allele, ts in zip(
+                batch[locus_col], batch[allele_col], batch[ts_col]
+            ):
+                if locus not in idx:
+                    continue
+                i = idx[locus]
+                tv = int(getattr(ts, "value", ts))  # Timestamp.value = ns
+                if tss[i] is None or tv >= tss[i]:
+                    slots[i] = allele
+                    tss[i] = tv
+        state.update((slots, tss))
         present = [s for s in slots if s is not None]
         md5 = hashlib.md5(",".join(present).encode()).hexdigest()
         yield pd.DataFrame(
@@ -229,10 +247,21 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, out_path: str) -> N
     q.awaitTermination()
 
 
-def run_available_now_memory(stream_df: DataFrame, name: str, mode: str = "update"):
+def run_available_now_memory(
+    stream_df: DataFrame,
+    name: str,
+    mode: str = "update",
+    final_by: list[str] | None = None,
+):
     """Drain into an in-memory table (update-mode sinks — e.g.
     applyInPandasWithState — can't write parquet). Returns the result
-    DataFrame registered under ``name``."""
+    DataFrame registered under ``name``.
+
+    Update-mode stateful queries emit one row per key PER MICRO-BATCH,
+    so the raw table holds stale intermediate rows (n=1, n=2, ... for
+    one key). Pass ``final_by=[key cols]`` to reduce to the final state:
+    the memory sink appends batches in completion order, so keep='last'
+    per key over that order is the last update."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -241,4 +270,9 @@ def run_available_now_memory(stream_df: DataFrame, name: str, mode: str = "updat
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    out = stream_df.sparkSession.table(name)
+    if final_by:
+        pdf = out.toPandas()
+        pdf = pdf.drop_duplicates(subset=final_by, keep="last")
+        return stream_df.sparkSession.createDataFrame(pdf, schema=out.schema)
+    return out

@@ -94,6 +94,21 @@ def test_rest_typed_errors():
         parse_search({"field.year": {"operator": "LIKE", "value": 1}}, TABLE)
     with pytest.raises(BadRequest, match="unknown search category"):
         parse_search({"bogus.key": 1}, TABLE)
+    # JSON null (or a {"operator": ...} with no value) must be a typed
+    # 400, not a predicate comparing against the string 'None'
+    with pytest.raises(BadRequest, match="missing value"):
+        parse_search({"field.country": None}, TABLE)
+    with pytest.raises(BadRequest, match="missing value"):
+        parse_search({"field.year": {"operator": ">"}}, TABLE)
+    # malformed paging / sort params are 400s, not raw ValueErrors
+    with pytest.raises(BadRequest, match="integers"):
+        parse_search({"page": "abc"}, TABLE)
+    with pytest.raises(BadRequest, match="bad sort"):
+        parse_search({"sort": 5}, TABLE)
+    with pytest.raises(BadRequest, match="unknown sort field"):
+        parse_search({"sort": "no_such_field"}, TABLE)
+    with pytest.raises(BadRequest, match="unknown sort field"):
+        parse_search({"sort": "-"}, TABLE)
 
 
 def test_paging_links():

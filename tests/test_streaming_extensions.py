@@ -46,7 +46,7 @@ def test_streaming_stateful_counts(spark, tmp_path):
     _write_events(spark, src)
     stream = read_event_stream(spark, src, max_files=16)
     counts = streaming_running_counts(stream, "event_type")
-    result = run_available_now_memory(counts, "running_counts")
+    result = run_available_now_memory(counts, "running_counts", final_by=["event_type"])
     got = {r.event_type: (r.n, r.total_value) for r in result.collect()}
     assert got["click"] == (3, 7.0)
     assert got["view"] == (1, 3.0)
@@ -143,7 +143,7 @@ def test_streaming_profile_cache_matches_batch_pivot(spark, tmp_path):
     df.coalesce(1).write.parquet(src)
     stream = read_event_stream(spark, src, max_files=16)
     cache = streaming_profile_cache(stream, ["abcZ", "adk"])
-    result = run_available_now_memory(cache, "profile_cache")
+    result = run_available_now_memory(cache, "profile_cache", final_by=["isolate_id"])
     # update mode may emit one row per batch per key: keep the last
     got = {}
     for r in result.collect():
@@ -162,6 +162,45 @@ def test_streaming_profile_cache_matches_batch_pivot(spark, tmp_path):
     }
     assert got[1]["profile_md5"] == batch[1]
     assert got[2]["profile_md5"] == batch[2]
+
+
+def test_streaming_profile_cache_late_event_cannot_overwrite(spark, tmp_path):
+    """A late designation arriving in a LATER micro-batch (inside the
+    watermark) must not overwrite a newer one: the per-slot timestamp
+    in state does the cross-batch ordering that the in-batch sort
+    cannot."""
+    import time
+
+    from bigsdb_spark.streaming.events import (
+        run_available_now_memory,
+        streaming_profile_cache,
+    )
+
+    src = tmp_path / "desig_late"
+    src.mkdir()
+
+    def write_one(name, rows):
+        df = spark.createDataFrame(
+            rows, "isolate_id long, locus string, allele_id string, ts_s string"
+        ).select(
+            "isolate_id", "locus", "allele_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        import shutil as sh
+        for f in (tmp_path / name).glob("part-*.parquet"):
+            sh.copy(f, src / f"{name}.parquet")
+
+    write_one("b1", [(1, "abcZ", "5", "2024-01-01 10:00:00")])
+    time.sleep(1.1)  # distinct mod times -> deterministic batch order
+    write_one("b2", [(1, "abcZ", "3", "2024-01-01 09:00:00")])  # late
+
+    stream = read_event_stream(spark, str(src), max_files=1)
+    cache = streaming_profile_cache(stream, ["abcZ", "adk"])
+    rows = run_available_now_memory(
+        cache, "profile_cache_late", final_by=["isolate_id"]
+    ).collect()
+    assert rows and list(rows[0]["profile"]) == ["5"]  # 10:00 wins
 
 
 def test_streaming_profile_cache_string_ids(spark, tmp_path):
@@ -183,6 +222,8 @@ def test_streaming_profile_cache_string_ids(spark, tmp_path):
     df.coalesce(1).write.parquet(src)
     stream = read_event_stream(spark, src, max_files=16)
     cache = streaming_profile_cache(stream, ["abcZ", "adk"])
-    rows = run_available_now_memory(cache, "profile_cache_str").collect()
+    rows = run_available_now_memory(
+        cache, "profile_cache_str", final_by=["isolate_id"]
+    ).collect()
     assert rows and rows[0]["isolate_id"] == "iso-A"
     assert list(rows[0]["profile"]) == ["1"] and not rows[0]["complete"]
