@@ -36,18 +36,25 @@ def is_valid_peptide(col: Column) -> Column:
 
 
 def sequence_type(col: Column) -> Column:
-    """'DNA' when >=90% of chars are ACGTN (Utils.pm:105)."""
+    """'DNA' when >=90% of chars are ACGTN (Utils.pm:105). The empty
+    string is 'peptide' (guarded: a bare length-0 division would abort
+    the whole job under ANSI mode's DIVIDE_BY_ZERO)."""
     up = F.upper(col)
     acgt = F.length(F.regexp_replace(up, "[^ACGTN]", ""))
-    return F.when(acgt / F.length(up) >= 0.9, F.lit("DNA")).otherwise(F.lit("peptide"))
+    return F.when(
+        (F.length(up) > 0) & (acgt / F.length(up) >= 0.9), F.lit("DNA")
+    ).otherwise(F.lit("peptide"))
 
 
 # F5 — composition stats (SeqbinBreakdown.pm:488-530)
 def gc_content(col: Column) -> Column:
+    """%GC over unambiguous bases; NULL when there are none (an all-N
+    masked contig is routine — ANSI mode would otherwise kill the job
+    with DIVIDE_BY_ZERO)."""
     up = F.upper(col)
     gc = F.length(F.regexp_replace(up, "[^GC]", ""))
     atgc = F.length(F.regexp_replace(up, "[^ACGT]", ""))
-    return F.round(gc / atgc * 100.0, 4)
+    return F.when(atgc > 0, F.round(gc / atgc * 100.0, 4))
 
 
 def n_count(col: Column) -> Column:

@@ -91,7 +91,14 @@ def single_linkage(pairs: DataFrame, nodes: DataFrame, max_iter: int = 50) -> Da
 def burst_slv_dlv(pair_dist: DataFrame) -> DataFrame:
     """D7: per-profile SLV/DLV/TLV counts from pair Hamming distances
     (BURST.pm:336 builds the same dismat procedurally). Founder score =
-    most SLVs, tiebreak most DLVs then smallest id (BURST.pm:637-646)."""
+    most SLVs, tiebreak most DLVs then smallest id (BURST.pm:637-646).
+
+    The founder_rank window is a GLOBAL rank — one partition for the
+    final ordering. That is the semantics (a total founder order), and
+    it is safe because BURST inputs are a selected dataset / one
+    cg-scheme group (the reference runs it on the user's result set),
+    never the whole warehouse; the heavy per-pair work is already
+    aggregated before the window sees it."""
     both = pair_dist.select("id1", "id2", "hamming").union(
         pair_dist.select(
             F.col("id2").alias("id1"), F.col("id1").alias("id2"), "hamming"

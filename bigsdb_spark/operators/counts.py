@@ -47,14 +47,20 @@ def with_count_predicate(
     ``n`` on the entities frame — so chained count predicates compose
     (each stage recomputes its own count) instead of hitting an
     ambiguous-reference error."""
-    counts = entity_counts(fact, fact_key, distinct_col).withColumnRenamed(
-        "n", "_wcp_n"
+    # the counts-side key gets a collision-proof name: df.drop drops
+    # EVERY column of that name, so dropping a bare 'entity_id' would
+    # also destroy a caller column called entity_id (including the join
+    # key itself when entity_key == 'entity_id')
+    counts = (
+        entity_counts(fact, fact_key, distinct_col)
+        .withColumnRenamed("n", "_wcp_n")
+        .withColumnRenamed("entity_id", "_wcp_key")
     )
     base = entities.drop("n")
     joined = (
-        base.join(counts, base[entity_key] == counts["entity_id"], "left")
+        base.join(counts, base[entity_key] == counts["_wcp_key"], "left")
         .withColumn("n", F.coalesce(F.col("_wcp_n"), F.lit(0)))
-        .drop("_wcp_n", "entity_id")
+        .drop("_wcp_n", "_wcp_key")
     )
     cond = {
         "=": F.col("n") == k,

@@ -28,8 +28,12 @@ def _occurrences(contigs: DataFrame, primer_col: str, primers: DataFrame,
     on an empty primer file; so do we)."""
     lengths = [r.L for r in primers.select(F.length(primer_col).alias("L")).distinct().collect()]
     if not lengths:
+        # empty frame with the contigs' REAL id type — a hardcoded long
+        # would make a per-scheme empty result un-unionable with a
+        # populated one over string-id contigs
+        id_type = dict(contigs.dtypes)[contig_id]
         return contigs.sparkSession.createDataFrame(
-            [], f"_cid long, primer_id string, {out} int"
+            [], f"_cid {id_type}, primer_id string, {out} int"
         )
     p = primers.select(
         F.col("primer_id"), F.upper(F.col(primer_col)).alias("_p"),
@@ -77,21 +81,50 @@ def insilico_pcr(
       the forward primer.
     """
 
-    def one_orientation(first, second, orientation):
-        a = primer_pairs.select(
-            F.col("pair_id").alias("primer_id"), first.alias("p")
+    # ONE window-scan over the contigs for all four primer roles (the
+    # naive shape — one _occurrences call per role — re-explodes every
+    # contig per role per primer length, 4x the dominant cost at scale,
+    # and pays four lengths-collect jobs instead of one). The role is
+    # encoded into the primer id and split back out after the scan.
+    roles = [
+        ("F", "first", F.col("forward")),
+        ("F", "second", reverse_complement(F.col("reverse"))),
+        ("R", "first", F.col("reverse")),
+        ("R", "second", reverse_complement(F.col("forward"))),
+    ]
+    prim = None
+    for orientation, role, expr in roles:
+        part = primer_pairs.select(
+            # unit-separator delimiter: cannot appear in real pair ids
+            F.concat(
+                F.col("pair_id"), F.lit(f"\x1f{orientation}\x1f{role}")
+            ).alias("primer_id"),
+            expr.alias("p"),
         )
-        b = primer_pairs.select(
-            F.col("pair_id").alias("primer_id"), second.alias("p"),
-        )
-        a_occ = _occurrences(contigs, "p", a, contig_id, contig_seq, "f_pos")
-        b_occ = _occurrences(contigs, "p", b, contig_id, contig_seq, "r_pos")
+        prim = part if prim is None else prim.unionByName(part)
+    occ = _occurrences(contigs, "p", prim, contig_id, contig_seq, "pos").select(
+        "_cid",
+        F.substring_index("primer_id", "\x1f", 1).alias("pair_id"),
+        F.substring_index(
+            F.substring_index("primer_id", "\x1f", 2), "\x1f", -1
+        ).alias("_ori"),
+        F.substring_index("primer_id", "\x1f", -1).alias("_role"),
+        "pos",
+    )
+
+    def one_orientation(orientation, second):
+        a_occ = occ.filter(
+            (F.col("_ori") == orientation) & (F.col("_role") == "first")
+        ).select("_cid", "pair_id", F.col("pos").alias("f_pos"))
+        b_occ = occ.filter(
+            (F.col("_ori") == orientation) & (F.col("_role") == "second")
+        ).select("_cid", "pair_id", F.col("pos").alias("r_pos"))
         b_len = primer_pairs.select(
-            F.col("pair_id").alias("primer_id"), F.length(second).alias("_rlen")
+            "pair_id", F.length(second).alias("_rlen")
         )
         joined = (
-            a_occ.join(b_occ, on=["_cid", "primer_id"])
-            .join(F.broadcast(b_len), on="primer_id")
+            a_occ.join(b_occ, on=["_cid", "pair_id"])
+            .join(F.broadcast(b_len), on="pair_id")
             .filter(
                 (F.col("r_pos") > F.col("f_pos"))
                 & (F.col("r_pos") + F.col("_rlen") - F.col("f_pos") <= max_product)
@@ -99,17 +132,13 @@ def insilico_pcr(
         )
         return joined.select(
             F.col("_cid").alias(contig_id),
-            F.col("primer_id").alias("pair_id"),
+            "pair_id",
             F.col("f_pos").alias("start_pos"),
             (F.col("r_pos") + F.col("_rlen") - 1).alias("end_pos"),
             (F.col("r_pos") + F.col("_rlen") - F.col("f_pos")).alias("product_len"),
             F.lit(orientation).alias("orientation"),
         )
 
-    fwd_strand = one_orientation(
-        F.col("forward"), reverse_complement(F.col("reverse")), "F"
-    )
-    rev_strand = one_orientation(
-        F.col("reverse"), reverse_complement(F.col("forward")), "R"
-    )
+    fwd_strand = one_orientation("F", reverse_complement(F.col("reverse")))
+    rev_strand = one_orientation("R", reverse_complement(F.col("forward")))
     return fwd_strand.unionByName(rev_strand)

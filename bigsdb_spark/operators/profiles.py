@@ -190,7 +190,16 @@ def assign_scheme_fields(
     # that is a near-cross-join per position. Instead:
     #   exact rows    -> equi-join on (pos, allele)   [the big path]
     #   wildcard rows -> join on pos only             [few rows by design]
-    iso = isolate_profiles.select(
+    #
+    # Positional matching REQUIRES dense warehouse-ordered vectors: one
+    # entry per scheme locus ('N' filled in for missing). A shorter
+    # vector (undesignated loci) can never reach n_match == total_loci,
+    # and a LONGER one (paralogous double designation) shifts every
+    # later position and could match spuriously — both are excluded
+    # here; paralog fan-out is the reference's per-isolate path (b)
+    # (sql/isolatedb.sql:1541-1554) and needs pre-expansion into one
+    # candidate vector per designation combination.
+    iso = isolate_profiles.filter(F.size("profile") == total_loci).select(
         "profile_key", F.posexplode("profile").alias("pos", "allele")
     )
     sch = scheme_profiles.select(
@@ -217,6 +226,7 @@ def define_new_profiles(
     scheme_profiles: DataFrame,
     max_missing: int = 0,
     start_pk: int | None = None,
+    total_loci: int | None = None,
 ) -> DataFrame:
     """Auto-define new scheme profiles from isolate designations —
     scripts/automation/define_profiles.pl:111-330: isolates whose
@@ -230,7 +240,17 @@ def define_new_profiles(
     ``isolate_profiles``/``scheme_profiles`` are build_profiles frames
     (profile_key, profile, profile_md5). ``start_pk`` overrides the
     max-existing-ST scan (pass it when scheme STs are not numeric).
+    Pass ``total_loci`` (strongly recommended): the reference's
+    get_profile always emits a FULL-LENGTH vector ('N' in every
+    undesignated slot), so a short vector here means undesignated loci
+    (not counted by ``max_missing``, which only sees explicit 'N'/'0')
+    and a long one means unresolved paralogous designations — both
+    would be defined as corrupt warehouse rows without the guard.
     Returns (st, profile, profile_md5, n_isolates, isolate_keys).
+
+    The new-ST window is a global rank (single-partition exchange):
+    fine because only the NEW profiles of one run rank here — a bounded
+    set by construction, never the whole warehouse.
     """
     missing_ct = F.aggregate(
         F.col("profile"),
@@ -238,6 +258,8 @@ def define_new_profiles(
         lambda acc, v: acc + v.isin("N", "0").cast("int"),
     )
     eligible = isolate_profiles.filter(missing_ct <= max_missing)
+    if total_loci is not None:
+        eligible = eligible.filter(F.size("profile") == total_loci)
     unmatched = eligible.join(
         scheme_profiles.select("profile_md5"), on="profile_md5", how="left_anti"
     )

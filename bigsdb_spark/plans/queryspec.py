@@ -90,6 +90,16 @@ def apply_order_page(df: DataFrame, spec: QuerySpec) -> DataFrame:
             cols.append(F.col(spec.id_col).asc())
         if cols:
             df = df.orderBy(*cols)
+        elif spec.offset or spec.limit is not None:
+            # paging over an unordered frame is nondeterministic across
+            # shuffles (pages overlap / skip rows) — the exact failure
+            # the docstring's total-order guarantee exists to prevent;
+            # refuse rather than silently degrade
+            raise ValueError(
+                "cannot page without a total order: spec has no "
+                f"order_by/tiebreak and the view has no {spec.id_col!r} "
+                "column"
+            )
     if spec.offset:
         df = df.offset(spec.offset)
     if spec.limit is not None:

@@ -16,7 +16,12 @@ def read_fasta(spark: SparkSession, path: str) -> DataFrame:
     """Distributed FASTA parse -> (seq_id, description, sequence)."""
     raw = spark.read.text(path, lineSep=">")
     rec = raw.filter(F.trim("value") != "")
-    header = F.substring_index(F.col("value"), "\n", 1)
+    # strip '\r' explicitly: CRLF files leave it on the header line and
+    # F.trim removes only spaces, so a bare-id header would yield
+    # 'id\r' and silently join-match nothing downstream
+    header = F.regexp_replace(
+        F.substring_index(F.col("value"), "\n", 1), "\r", ""
+    )
     body = F.expr("substring(value, length(substring_index(value, '\n', 1)) + 2)")
     return rec.select(
         F.substring_index(F.trim(header), " ", 1).alias("seq_id"),
@@ -26,8 +31,11 @@ def read_fasta(spark: SparkSession, path: str) -> DataFrame:
 
 
 def to_fasta(df: DataFrame, id_col: str, seq_col: str, width: int = 60) -> DataFrame:
-    """F7: format rows as FASTA records (one string column 'fasta')."""
-    wrapped = F.regexp_replace(F.col(seq_col), f"(.{{{width}}})", "$1\n")
+    """F7: format rows as FASTA records (one string column 'fasta').
+    The (?!$) guard skips the final wrap boundary so a sequence whose
+    length is an exact multiple of ``width`` does not end in a blank
+    line (strict FASTA consumers reject those)."""
+    wrapped = F.regexp_replace(F.col(seq_col), f"(.{{{width}}})(?!$)", "$1\n")
     return df.select(
         F.concat(F.lit(">"), F.col(id_col).cast("string"), F.lit("\n"), wrapped).alias(
             "fasta"

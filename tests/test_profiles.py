@@ -156,3 +156,44 @@ def test_define_new_profiles(spark):
 
     relaxed = define_new_profiles(iso, scheme, max_missing=1).collect()
     assert len(relaxed) == 3  # isolate 4's profile now eligible
+
+
+def test_define_new_profiles_rejects_short_profiles(spark):
+    """An isolate with an UNDESIGNATED locus builds a short vector that
+    max_missing cannot see (it only counts explicit 'N'/'0'); with
+    total_loci the guard keeps the corrupt short profile out of the
+    warehouse (define_profiles.pl's get_profile always emits
+    full-length vectors)."""
+    from bigsdb_spark.operators.profiles import build_profiles, define_new_profiles
+
+    iso = build_profiles(
+        spark.createDataFrame(
+            [(1, "a", "5"), (1, "b", "7")],  # locus 'c' undesignated
+            "id int, locus string, allele string",
+        ),
+        "id", "locus", "allele",
+    )
+    scheme = build_profiles(
+        spark.createDataFrame(
+            [("4", "a", "1"), ("4", "b", "2"), ("4", "c", "3")],
+            "st string, locus string, allele string",
+        ),
+        "st", "locus", "allele",
+    )
+    # without the guard the 2-allele vector would become a new ST
+    assert define_new_profiles(iso, scheme, total_loci=3).count() == 0
+
+
+def test_wildcard_assignment_excludes_misaligned_vectors(spark, designations, scheme):
+    """Positional wildcard matching requires dense vectors: isolate 6's
+    paralogous extra designation (8 entries for a 7-locus scheme) shifts
+    positions and must be excluded, not spuriously matched; isolate 5's
+    short vector likewise."""
+    prof = build_profiles(
+        designations.filter(F.col("isolate_id").isin(5, 6)),
+        "isolate_id", "locus", "allele_id",
+    )
+    got = assign_scheme_fields(
+        prof, scheme, allow_missing_loci=True, total_loci=7
+    ).collect()
+    assert got == []

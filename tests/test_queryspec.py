@@ -76,3 +76,30 @@ def test_pagination_total_order_is_implicit(spark):
     from pyspark.sql import functions as F
     with _pytest.raises(ValueError):
         _combine([F.lit(True)] * 2, "and")
+
+
+def test_pagination_refuses_unordered_frames(spark):
+    """Paging a view with no order columns and no id column would be
+    nondeterministic across shuffles — a typed error, not silent
+    wrong pages."""
+    from bigsdb_spark.plans.queryspec import QuerySpec, apply_order_page
+
+    df = spark.createDataFrame([(2000,), (2001,)], "year int")  # no 'id'
+    with pytest.raises(ValueError, match="total order"):
+        apply_order_page(df, QuerySpec(offset=1, limit=1))
+
+
+def test_count_predicate_keeps_entity_id_column(spark):
+    """An entities frame whose key is literally named 'entity_id' must
+    survive with_count_predicate (drop('entity_id') would delete every
+    column of that name, including the caller's key)."""
+    from bigsdb_spark.operators.counts import with_count_predicate
+
+    entities = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "entity_id int, name string"
+    )
+    fact = spark.createDataFrame([(1,), (1,), (2,)], "eid int")
+    got = with_count_predicate(entities, fact, "entity_id", "eid", ">=", 2)
+    assert set(got.columns) == {"entity_id", "name", "n"}
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0].entity_id == 1 and rows[0].n == 2

@@ -56,3 +56,32 @@ def test_fasta_roundtrip(spark, tmp_path):
     assert got == {"seq1": "ACGTACGT", "seq2": "TTTT"}
     out = to_fasta(df, "seq_id", "sequence").collect()
     assert any(r.fasta.startswith(">seq1\n") for r in out)
+
+
+def test_fasta_crlf_headers(spark, tmp_path):
+    """CRLF FASTA: a bare-id header must not keep its '\\r' (it would
+    silently join-match nothing downstream)."""
+    p = tmp_path / "crlf.fasta"
+    p.write_bytes(b">seq1\r\nACGT\r\n>seq2 desc here\r\nTTTT\r\n")
+    got = {r.seq_id: r.sequence for r in read_fasta(spark, str(p)).collect()}
+    assert got == {"seq1": "ACGT", "seq2": "TTTT"}
+
+
+def test_to_fasta_no_trailing_blank_line(spark):
+    """A sequence of exactly width*k chars must not wrap into a
+    trailing newline (blank record lines break strict parsers)."""
+    df = spark.createDataFrame([("s1", "ACGTACGT")], "seq_id string, sequence string")
+    rec = to_fasta(df, "seq_id", "sequence", width=4).collect()[0].fasta
+    assert rec == ">s1\nACGT\nACGT"
+
+
+def test_gc_and_type_guards(spark):
+    """All-N contigs and empty strings must not DIVIDE_BY_ZERO under
+    ANSI mode: gc is NULL without unambiguous bases, empty -> peptide."""
+    df = spark.createDataFrame([("NNNN",), ("",)], "seq string")
+    got = df.select(
+        gc_content(F.col("seq")).alias("gc"),
+        sequence_type(F.col("seq")).alias("t"),
+    ).collect()
+    assert got[0].gc is None and got[1].gc is None
+    assert [r.t for r in got] == ["DNA", "peptide"]  # NNNN is 100% ACGTN
