@@ -65,25 +65,29 @@ def _subset(spark, sf_dir):
     )
 
 
-_pairs_memo: dict = {}
+import weakref
+
+# d1/d2/d3/d4/d7 all consume the same pair-distance frame; cache it
+# once per (session, sf_dir, mode) so the self-join runs once. Keyed on
+# the SESSION OBJECT via weakref (not id(spark) — CPython reuses ids
+# after GC, so a new session could collide with a dead one's key and be
+# served a frame bound to a stopped session). Entries vanish with the
+# session, so nothing pins past sessions or their cached RDDs.
+_pairs_memo: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _pairs(spark, sf_dir, wildcard=False, exclude_wildcard=False):
-    # d1/d2/d3/d4/d7 all consume the same pair-distance frame; cache it
-    # once per (session, sf_dir, mode) so the self-join runs once.
-    # Entries from OTHER sessions are dropped first: the memo would
-    # otherwise pin every past SparkSession (and its cached RDDs) for
-    # the interpreter's lifetime.
-    key = (id(spark), sf_dir, wildcard, exclude_wildcard)
-    stale = [k for k in _pairs_memo if k[0] != id(spark)]
-    for k in stale:
-        del _pairs_memo[k]
-    if key not in _pairs_memo:
-        _pairs_memo[key] = profile_pair_distances(
+    per_session = _pairs_memo.get(spark)
+    if per_session is None:
+        per_session = {}
+        _pairs_memo[spark] = per_session
+    key = (sf_dir, wildcard, exclude_wildcard)
+    if key not in per_session:
+        per_session[key] = profile_pair_distances(
             _subset(spark, sf_dir), "l_orderkey", "l_linenumber", "l_returnflag",
             wildcard=wildcard, exclude_wildcard=exclude_wildcard,
         ).cache()
-    return _pairs_memo[key]
+    return per_session[key]
 
 
 @register(

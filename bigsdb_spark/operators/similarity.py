@@ -263,6 +263,13 @@ def cosine_topk_pairs_np(
                 # an arbitrary k among equal scores, and a dropped tie
                 # could be the globally smallest-(id1,id2) winner
                 vals = np.round(sims[flat_i, flat_j], 6)
+                # zero-norm vectors yield NaN cosines; NaN in the top
+                # partition would make vk NaN and `vals >= vk` all-False,
+                # silently emitting nothing for the task — mask them out
+                valid = ~np.isnan(vals)
+                if not valid.all():
+                    flat_i, flat_j = flat_i[valid], flat_j[valid]
+                    vals = vals[valid]
                 take = min(k, len(vals))
                 if take == 0:
                     continue

@@ -73,11 +73,16 @@ def parse_search(
         else:
             raise BadRequest(f"unknown search category: {key}")
 
-    try:
-        page = int(body.get("page", 1))
-        page_size = min(int(body.get("page_size", page_size_default)), max_page_size)
-    except (TypeError, ValueError):
-        raise BadRequest("page and page_size must be integers") from None
+    def _int_param(name: str, default: int) -> int:
+        v = body.get(name, default)
+        # strict: JSON booleans and floats are NOT paging integers
+        # (int(True) -> 1 and int(2.9) -> 2 would silently coerce)
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise BadRequest("page and page_size must be integers")
+        return v
+
+    page = _int_param("page", 1)
+    page_size = min(_int_param("page_size", page_size_default), max_page_size)
     if page < 1 or page_size < 1:
         raise BadRequest("page and page_size must be >= 1")
     order = body.get("sort", "id")

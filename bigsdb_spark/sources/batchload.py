@@ -42,8 +42,14 @@ def batch_load_csv(
         if f.name not in raw.columns:
             return F.lit(None).cast(styp).alias(f.name)
         if f.multiple:
+            # drop empty elements ('2010;;2012' has an empty interior
+            # slot meaning "not provided") BEFORE the cast — keeping
+            # them would load silent NULL slots that the element-level
+            # badcast check below deliberately does not flag
             return F.transform(
-                F.split(F.col(f.name), ";"),
+                F.filter(
+                    F.split(F.col(f.name), ";"), lambda v: F.trim(v) != ""
+                ),
                 lambda v: F.trim(v).try_cast(styp.elementType),
             ).alias(f.name)
         return F.col(f.name).try_cast(styp).alias(f.name)

@@ -110,19 +110,28 @@ def streaming_running_counts(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = f"{key_col} string, n long, total_value double"
-    state_schema = "n long, total_value double"
+    out_schema = f"{key_col} string, n long, total_value double, update_seq long"
+    state_schema = "n long, total_value double, seq long"
 
     def _update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total, seq = state.get if state.exists else (0, 0.0, 0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
         # persist the RAW total — rounding belongs on the emitted row
         # only; storing the rounded value would re-truncate every batch
         # and accumulate drift against the batch twin
-        state.update((n, total))
-        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total_value": [round(total, 2)]})
+        seq += 1  # per-key update counter: lets sinks pick the final
+        # emit without relying on batch append order
+        state.update((n, total, seq))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [n],
+                "total_value": [round(total, 2)],
+                "update_seq": [seq],
+            }
+        )
 
     return (
         stream.withWatermark(ts_col, watermark)
@@ -178,15 +187,17 @@ def streaming_profile_cache(
     id_type = stream.schema[id_col].dataType.simpleString()
     out_schema = (
         f"{id_col} {id_type}, profile array<string>, profile_md5 string, "
-        "complete boolean"
+        "complete boolean, update_seq long"
     )
-    state_schema = "alleles array<string>, tss array<long>"
+    state_schema = "alleles array<string>, tss array<long>, seq long"
 
     def _update(key, pdfs, state: GroupState):
         if state.exists:
             slots, tss = list(state.get[0]), list(state.get[1])
+            seq = state.get[2]
         else:
             slots, tss = [None] * len(loci), [None] * len(loci)
+            seq = 0
         idx = {l: i for i, l in enumerate(loci)}
         # within-batch rows arrive in partition/chunk order, not event
         # order — concatenate the key's chunks and apply in ts order so
@@ -208,7 +219,8 @@ def streaming_profile_cache(
                 if tss[i] is None or tv >= tss[i]:
                     slots[i] = allele
                     tss[i] = tv
-        state.update((slots, tss))
+        seq += 1
+        state.update((slots, tss, seq))
         present = [s for s in slots if s is not None]
         md5 = hashlib.md5(",".join(present).encode()).hexdigest()
         yield pd.DataFrame(
@@ -217,6 +229,7 @@ def streaming_profile_cache(
                 "profile": [present],
                 "profile_md5": [md5],
                 "complete": [len(present) == len(loci)],
+                "update_seq": [seq],
             }
         )
 
@@ -259,9 +272,12 @@ def run_available_now_memory(
 
     Update-mode stateful queries emit one row per key PER MICRO-BATCH,
     so the raw table holds stale intermediate rows (n=1, n=2, ... for
-    one key). Pass ``final_by=[key cols]`` to reduce to the final state:
-    the memory sink appends batches in completion order, so keep='last'
-    per key over that order is the last update."""
+    one key). Pass ``final_by=[key cols]`` to reduce to the final state.
+    When the operator emits an ``update_seq`` column (a per-key counter
+    kept in GroupState — both stateful operators here do), the reduction
+    keeps the max-seq row per key, which is order-independent; otherwise
+    it falls back to keep='last' over the sink's append order (an
+    implementation detail — emit update_seq for a guaranteed result)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -273,6 +289,18 @@ def run_available_now_memory(
     out = stream_df.sparkSession.table(name)
     if final_by:
         pdf = out.toPandas()
+        if "update_seq" in pdf.columns:
+            pdf = (
+                pdf.sort_values("update_seq", kind="stable")
+                .drop_duplicates(subset=final_by, keep="last")
+                .drop(columns=["update_seq"])
+            )
+            from pyspark.sql.types import StructType
+
+            schema = StructType(
+                [f for f in out.schema.fields if f.name != "update_seq"]
+            )
+            return stream_df.sparkSession.createDataFrame(pdf, schema=schema)
         pdf = pdf.drop_duplicates(subset=final_by, keep="last")
         return stream_df.sparkSession.createDataFrame(pdf, schema=out.schema)
     return out

@@ -212,3 +212,22 @@ def test_np_topk_deterministic_under_ties(spark):
         ).collect()
     ]
     assert got == want
+
+
+def test_np_topk_zero_norm_vectors_do_not_drop_pairs(spark):
+    """Regression (ADVICE r2): a zero-norm vector yields NaN cosines in
+    a block-pair task; an unmasked NaN landing in the top partition made
+    vk NaN and `vals >= vk` all-False — the task silently emitted
+    NOTHING, dropping real pairs. NaNs must be masked before ranking."""
+    from bigsdb_spark.operators.similarity import cosine_topk_pairs_np
+
+    rows = [(i, [float(i % 4) + 1.0, 2.0, 1.0]) for i in range(12)]
+    rows += [(100 + i, [0.0, 0.0, 0.0]) for i in range(4)]  # zero-norm
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cosine_topk_pairs_np(
+        emb, "vec_id", "embedding", k=5, block_size=4
+    ).collect()
+    assert len(got) == 5
+    assert all(r.cosine == r.cosine for r in got)  # no NaN emitted
+    # the duplicate-direction pairs (i, i+4, i+8 share a vector) top out
+    assert got[0].cosine == 1.0

@@ -172,3 +172,27 @@ def test_materialization_drops_stale_versions(spark, tmp_path):
     versions = [d for d in os.listdir(m.dir) if d.startswith("v_")]
     assert len(versions) == 2
     assert m.read().count() == 1  # pointer still valid
+
+
+def test_batchload_multiple_field_skips_empty_interior_elements(spark, tmp_path):
+    """Regression (ADVICE r2): '2010;;2012' passed element validation
+    (empty elements skipped) while the load kept a silent NULL slot in
+    the array. Empty elements mean 'not provided' — they are dropped
+    from the loaded array, and the row stays valid."""
+    from bigsdb_spark.registry import FieldDef, TableDef
+
+    table = TableDef(
+        "t",
+        [
+            FieldDef("id", "int", required=True),
+            FieldDef("years", "int", multiple=True),
+        ],
+    )
+    p = tmp_path / "multi.tsv"
+    p.write_text("id\tyears\n1\t2010;;2012\n2\t2010;x;2012\n")
+    valid, invalid = batch_load_csv(spark, str(p), table)
+    vrows = {r.id: r for r in valid.collect()}
+    assert list(vrows[1].years) == [2010, 2012]  # no NULL slot
+    bad = invalid.collect()
+    assert len(bad) == 1 and bad[0].id == 2
+    assert any("years" in e for e in bad[0].errors)

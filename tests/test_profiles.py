@@ -197,3 +197,41 @@ def test_wildcard_assignment_excludes_misaligned_vectors(spark, designations, sc
         prof, scheme, allow_missing_loci=True, total_loci=7
     ).collect()
     assert got == []
+
+
+def test_pairs_memo_keys_on_session_object_not_id(monkeypatch):
+    """Regression (ADVICE r2): the d1-d7 pair-frame memo keyed on
+    id(spark); CPython reuses ids after GC, so a new session could be
+    served a cached frame bound to a dead session. The memo is now a
+    WeakKeyDictionary on the session object: distinct sessions never
+    collide, and entries vanish with the session."""
+    import gc
+
+    from bigsdb_spark.inventory import typing as ity
+
+    calls = []
+
+    class FakeFrame:
+        def cache(self):
+            return self
+
+    class FakeSession:
+        pass
+
+    def fake_pairs(subset, *a, **kw):
+        calls.append(id(subset))  # don't hold the session alive
+        return FakeFrame()
+
+    monkeypatch.setattr(ity, "profile_pair_distances", fake_pairs)
+    monkeypatch.setattr(ity, "_subset", lambda spark, sf_dir: spark)
+    ity._pairs_memo.clear()
+
+    s1, s2 = FakeSession(), FakeSession()
+    f1 = ity._pairs(s1, "/sf")
+    assert ity._pairs(s1, "/sf") is f1  # memo hit, same session
+    f2 = ity._pairs(s2, "/sf")
+    assert f2 is not f1  # no cross-session collision
+    assert len(calls) == 2
+    del s1
+    gc.collect()
+    assert len(ity._pairs_memo) == 1  # dead session's entry evicted

@@ -216,3 +216,18 @@ def test_round2_plugins_run_inline(spark):
 
     grid = DEFAULT_REGISTRY.run_inline("GenePresence", desig, loci=["A", "B", "C"])
     assert grid.count() == 6
+
+
+def test_rest_paging_params_reject_non_integer_types():
+    """Regression (ADVICE r2): int(True) -> 1 and int(2.9) -> 2 silently
+    coerced JSON booleans/floats; paging params must be actual ints."""
+    import pytest
+
+    for bad in (True, False, 2.9, "2", [1]):
+        with pytest.raises(BadRequest):
+            parse_search({"page": bad}, TABLE)
+        with pytest.raises(BadRequest):
+            parse_search({"page_size": bad}, TABLE)
+    # actual ints still fine
+    rq = parse_search({"page": 2, "page_size": 10}, TABLE)
+    assert rq.spec.offset == 10 and rq.spec.limit == 10

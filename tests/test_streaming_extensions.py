@@ -227,3 +227,34 @@ def test_streaming_profile_cache_string_ids(spark, tmp_path):
     ).collect()
     assert rows and rows[0]["isolate_id"] == "iso-A"
     assert list(rows[0]["profile"]) == ["1"] and not rows[0]["complete"]
+
+
+def test_stateful_counts_final_state_is_order_independent(spark, tmp_path):
+    """Regression (ADVICE r2): the final_by reduction used the memory
+    sink's append order (keep='last'), an implementation detail. The
+    stateful operators now emit a per-key update_seq kept in GroupState;
+    the reduction keeps max-seq per key — order-independent — and drops
+    the helper column. Forcing one file per micro-batch produces several
+    intermediate emits per key, which must all lose to the final one."""
+    src = str(tmp_path / "src_seq")
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", "click" if i % 2 else "view", float(i))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+    df.repartition(4).write.parquet(src)
+    stream = read_event_stream(spark, src, max_files=1)  # many micro-batches
+    counts = streaming_running_counts(stream, "event_type")
+    assert "update_seq" in counts.columns
+    result = run_available_now_memory(
+        counts, "running_counts_seq", final_by=["event_type"]
+    )
+    assert "update_seq" not in result.columns
+    got = {r.event_type: (r.n, r.total_value) for r in result.collect()}
+    assert got["click"] == (4, 16.0)  # 1+3+5+7
+    assert got["view"] == (4, 12.0)   # 0+2+4+6
