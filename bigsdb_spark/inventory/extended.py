@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from bigsdb_spark.inventory._lincode_expected import LINCODE_ORACLE_SQL
 from bigsdb_spark.inventory.registry import DNA_SQL, dna_expr, register, tbl
 from bigsdb_spark.operators.lincodes import assign_lincodes
 from bigsdb_spark.operators.profiles import build_profiles
@@ -204,14 +205,21 @@ def w5_next_id(spark, sf_dir):
     )
 
 
-@register("d5_lincode_assignment")  # sequential, order-dependent -> rows-only
+@register("d5_lincode_assignment", oracle=LINCODE_ORACLE_SQL)
 def d5_lincodes(spark, sf_dir):
     """D5: LIN-code assignment over the anchored profile subset.
     Sequential by construction (each code depends on all previously
     assigned ones, lincodes.pl:177-330), so codes resolve in profile-id
     order while the distance scan vs already-coded profiles runs in
-    Spark per micro-batch (operators/lincodes.py). Verified against
-    hand fixtures in tests/test_stats_clustering.py.
+    Spark per micro-batch (operators/lincodes.py).
+
+    Value oracle: an INDEPENDENT strictly-sequential pure-Python port of
+    the reference algorithm (tools/lincode_oracle.py — no shared code
+    with the operator) emits the expected (profile_key, lincode) rows as
+    a VALUES table, discriminated by the anchor subset's (count, sum) so
+    one static SQL string is exact at both sf0.001 and sf0.01. Hand
+    fixtures in tests/test_stats_clustering.py additionally pin the
+    reference corner cases.
 
     The array-typed code is projected to a scalar '_'-joined string for
     the gate (the driver canonicalizer sorts values and cannot hash

@@ -179,20 +179,35 @@ def assign_lincodes(
     algorithm above. ``thresholds`` are the scheme's diff thresholds in
     scheme order (largest first, e.g. [4, 2, 1, 0])."""
     n_comp = len(thresholds)
-    # total ordered ids only — profiles stay distributed
-    ids = [
-        r[0]
-        for r in profiles.select(F.col(id_col).alias("k"))
-        .orderBy("k")
-        .collect()
-    ]
-    if not ids:
+
+    # stream ordered id BATCHES through toLocalIterator — the driver
+    # holds one partition of keys at a time, never the full O(n) id
+    # list (sorted output arrives in partition order = global order)
+    def _id_batches():
+        batch: list = []
+        for r in (
+            profiles.select(F.col(id_col).alias("k"))
+            .orderBy("k")
+            .toLocalIterator()
+        ):
+            batch.append(r[0])
+            if len(batch) == batch_size:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
+
+    if profiles.isEmpty():
         return spark.createDataFrame(
             [], schema=f"{id_col} string, lincode array<int>"
         )
     if locus_count is None:
-        locus_count = profiles.select(
-            F.size(profile_col).alias("n")
+        # the scheme's locus count: with ragged profile vectors the max
+        # length is the deterministic analog (head() on an unordered
+        # frame would make the normalized distances — and therefore the
+        # codes — depend on partition order)
+        locus_count = profiles.agg(
+            F.max(F.size(profile_col))
         ).head()[0]
     identity_thresholds = [
         100.0 * (locus_count - d) / locus_count for d in thresholds
@@ -235,8 +250,7 @@ def assign_lincodes(
             code.append(0)
         return code
 
-    for start in range(0, len(ids), batch_size):
-        batch_ids = ids[start:start + batch_size]
+    for batch_ids in _id_batches():
         lst = spark.createDataFrame([(i,) for i in batch_ids], ["profile_key"])
         batch_rows = {
             r[0]: r[1]

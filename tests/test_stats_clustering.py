@@ -220,3 +220,36 @@ def test_lincode_degenerate_inputs(spark):
     }
     assert got3["01"] == [0, 0]
     assert got3["02"] == [0, 1] and len(got3["02"]) == 2
+
+
+def test_lincode_independent_port_matches_operator(spark):
+    """The d5 value oracle comes from tools/lincode_oracle.py — an
+    independent, strictly sequential reimplementation. Pin the two
+    implementations to each other on a fixture exercising ragged
+    lengths, missing alleles, duplicates, and small batches (so the
+    operator's Spark-batched scan must agree with pure sequential
+    resolution)."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tools"))
+    from lincode_oracle import assign as port_assign
+
+    profs = [
+        ("01", ["A", "A", "R", "A", "R"]),
+        ("02", ["A", "A", "R", "A", "R"]),        # duplicate of 01
+        ("03", ["A", "N", "R", "A"]),             # missing + ragged
+        ("04", ["R", "R", "A", "R", "A"]),        # far from 01
+        ("05", ["A", "A", "R", "R", "R"]),        # close to 01
+        ("06", ["N", "N"]),                       # mostly missing
+        ("07", ["R", "R", "A", "R", "R"]),        # close to 04
+    ]
+    want = dict(port_assign(profs))
+    df = spark.createDataFrame(profs, "profile_key string, profile array<string>")
+    got = {
+        r.profile_key: list(r.lincode)
+        for r in assign_lincodes(
+            spark, df, thresholds=[2, 1], batch_size=2
+        ).collect()
+    }
+    assert got == want
