@@ -94,20 +94,27 @@ def main() -> None:
         _pairs_memo.clear()
         spark.sparkContext._jvm.System.gc()
 
+    # best of N runs (default 3, env-overridable): single-JVM shuffle
+    # stages show large run-to-run variance (GC / straggler noise —
+    # r2 saw ~1.8x drift on sub-2s queries at n=2); the minimum over
+    # n>=3 is the reproducible cost of the plan. The max/min spread is
+    # printed per query so noise is visible in the run log.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
     for name in HEADLINE:
-        # best of two cold runs: single-JVM shuffle stages show large
-        # run-to-run variance (GC / straggler noise); the minimum is the
-        # reproducible cost of the plan
-        best = None
-        for _ in range(2):
+        runs = []
+        for _ in range(repeats):
             t0 = time.time()
             df = (QUERIES.get(name) or EXTRA[name])(spark, sf_dir)
             n = df.count()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
+            runs.append(time.time() - t0)
             reset()
-        timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        timings[name] = round(min(runs), 3)
+        spread = max(runs) / min(runs)
+        print(
+            f"  {name}: {timings[name]}s ({n} rows, n={repeats}, "
+            f"spread {spread:.2f}x)",
+            file=sys.stderr,
+        )
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -347,18 +347,38 @@ def ivf_kmeans_ann(
 
 
 def bucketed_ann_pairs(
-    emb: DataFrame, id_col: str, vec_col: str, dims: int = 3, min_cosine: float = 0.0
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int = 3,
+    min_cosine: float = 0.0,
 ) -> DataFrame:
     """Scale path: all pairs above a similarity floor, searched only
     within sign-buckets. The bucket id is an equi-join key -> hash join,
     not a cartesian product; recall trades off against ``dims``.
+
+    Parallelism comes from the STREAM side, which is repartitioned to
+    the cluster's core count before the join: a small corpus arrives as
+    one parquet split, and with the build side broadcast the whole
+    quadratic-within-bucket pair expansion (plus the cosine filter,
+    which Catalyst pushes into the join condition) would otherwise run
+    in a SINGLE task (measured at sf0.1: one-task stage, 3.1 s min,
+    5.8x run-to-run spread — the serial task is GC-bait). Salting the
+    key instead was measured WORSE here: the build side replicates by
+    the salt factor, which bloats the broadcast 32x while the one-split
+    stream side still serializes. At cluster scale the knob is
+    ``dims`` — 2**dims buckets >> cores makes the key well-distributed
+    for the shuffle-join regime, and AQE skew-join splits residual hot
+    buckets.
 
     The cosine stays the interpreted ``zip_with``+``aggregate`` fold ON
     PURPOSE: the similarity filter is pushed into the hash-join
     condition, where a ``_dot_unrolled``-style flat expression (130+
     nodes) overflows whole-stage-codegen method limits and evaluates
     ~3x slower than the fold's single tight-loop expression node
-    (measured at sf0.1: fold 3.9 s vs unrolled 10.5 s)."""
+    (measured at sf0.1: fold 3.9 s vs unrolled 10.5 s). Filters still
+    reach the scan — repartition is not a pushdown barrier."""
+    par = emb.sparkSession.sparkContext.defaultParallelism
     withb = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("e"),
@@ -367,7 +387,7 @@ def bucketed_ann_pairs(
     )
     a = withb.select(
         F.col("id").alias("id1"), F.col("e").alias("e1"), F.col("n").alias("n1"), "bucket"
-    )
+    ).repartition(par)
     b = withb.select(
         F.col("id").alias("id2"), F.col("e").alias("e2"), F.col("n").alias("n2"), "bucket"
     )

@@ -378,3 +378,223 @@ def to_newick_upgma(
             ca + cb,
         )
     return next(iter(clusters.values()))[0] + ";\n"
+
+
+# ------------------------------------------ S6 seqbin EMBL/GFF3 exports
+
+def _orf_to_phase(orf_col):
+    """BIGSdb stores ORF as 1-6; EMBL/GFF expect frame/phase 0-2
+    (SeqbinToEMBL.pm:133-137, SeqbinToGFF3.pm:120-124): 2/5 -> 1,
+    3/6 -> 2, else 0."""
+    o = F.coalesce(orf_col.cast("int"), F.lit(0))
+    return (
+        F.when(o.isin(2, 5), F.lit(1))
+        .when(o.isin(3, 6), F.lit(2))
+        .otherwise(F.lit(0))
+    )
+
+
+def _opt(df: DataFrame, name: str, default):
+    return F.col(name) if name in df.columns else default
+
+
+def gff3_feature_lines(
+    contigs: DataFrame,
+    tags: DataFrame,
+    source: str = "bigsdb_spark",
+    igv: bool = False,
+) -> DataFrame:
+    """S6/D8: tag-annotated contig export, GFF3 feature rows
+    (SeqbinToGFF3.pm:56-150 _write_gff3). One output row per tag:
+    (seqbin_id, start_pos, line) — entirely column expressions, so the
+    rendering scales with the tag table (no driver loop, no UDF).
+
+    Reference semantics: positions clamped to [1, contig length]; ORF
+    1-6 -> phase 0-2; strand '-' when reverse; attributes
+    ``locus_tag=`` (``locus=`` for IGV), ``;incomplete=1`` when the tag
+    is partial, ``;product=`` with [;|=] -> '_', ``;Alias=`` joined
+    with ','; type CDS when the locus is a complete CDS else '.'.
+
+    ``contigs``: (seqbin_id, sequence). ``tags``: (seqbin_id, locus,
+    start_pos, end_pos, reverse, complete) + optional orf, product,
+    aliases array<string>, complete_cds.
+    """
+    lens = contigs.select(
+        F.col("seqbin_id"), F.length("sequence").alias("_seq_len")
+    )
+    t = tags.join(lens, on="seqbin_id")
+    start = F.greatest(F.col("start_pos"), F.lit(1))
+    end = F.least(F.col("end_pos"), F.col("_seq_len"))
+    product = _opt(t, "product", F.lit(None).cast("string"))
+    aliases = _opt(t, "aliases", F.lit(None).cast("array<string>"))
+    att_key = "locus" if igv else "locus_tag"
+    att = F.concat(
+        F.lit(att_key + "="), F.col("locus"),
+        F.when(~F.col("complete"), F.lit(";incomplete=1")).otherwise(F.lit("")),
+        F.when(
+            product.isNotNull(),
+            F.concat(
+                F.lit(";product="),
+                F.regexp_replace(product, "[;|=]", "_"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            product.isNotNull() & (F.size(F.coalesce(aliases, F.array())) > 0),
+            F.concat(F.lit(";Alias="), F.array_join(aliases, ",")),
+        ).otherwise(F.lit("")),
+    )
+    ftype = F.when(
+        _opt(t, "complete_cds", F.lit(False)), F.lit("CDS")
+    ).otherwise(F.lit("."))
+    line = F.concat_ws(
+        "\t",
+        F.col("seqbin_id").cast("string"),
+        F.lit(source),
+        ftype,
+        start.cast("string"),
+        end.cast("string"),
+        F.lit("."),
+        F.when(F.col("reverse"), F.lit("-")).otherwise(F.lit("+")),
+        _orf_to_phase(_opt(t, "orf", F.lit(0))).cast("string"),
+        att,
+    )
+    return t.select("seqbin_id", start.alias("start_pos"), line.alias("line"))
+
+
+def to_gff3(
+    contigs: DataFrame,
+    tags: DataFrame,
+    source: str = "bigsdb_spark",
+    igv: bool = False,
+) -> str:
+    """Assembled GFF3 document: ##gff-version 3 header, one
+    ##sequence-region per contig, features ordered by
+    (seqbin_id, start_pos) — the reference's per-isolate download
+    (SeqbinToGFF3.pm print_content). Download-sized by contract (one
+    isolate's contigs); the line rendering above is the distributed
+    part, this collects it."""
+    regions = {
+        r["seqbin_id"]: r["_seq_len"]
+        for r in contigs.select(
+            "seqbin_id", F.length("sequence").alias("_seq_len")
+        ).collect()
+    }
+    feats = gff3_feature_lines(contigs, tags, source=source, igv=igv)
+    by_contig: dict = {}
+    for r in feats.orderBy("seqbin_id", "start_pos", "line").collect():
+        by_contig.setdefault(r["seqbin_id"], []).append(r["line"])
+    out = ["##gff-version 3"]
+    for sid in sorted(regions):
+        out.append(f"##sequence-region {sid} 1 {regions[sid]}")
+        out.extend(by_contig.get(sid, []))
+    return "\n".join(out) + "\n"
+
+
+def embl_records(contigs: DataFrame, tags: DataFrame) -> DataFrame:
+    """S6: EMBL flat-file records, one per contig, rendered distributed
+    (SeqbinToEMBL.pm:107-202 _write_embl builds a Bio::Seq with one CDS
+    feature per tag and streams Bio::SeqIO embl output; here the record
+    text is assembled per contig inside an Arrow-batched applyInPandas
+    after a single tags->contig aggregation — formatting scales with
+    the seqbin table).
+
+    ``contigs``: (seqbin_id, sequence) + optional comments,
+    accessions array<string>. ``tags`` as for gff3_feature_lines.
+    Returns (seqbin_id, record).
+    """
+    import pandas as pd
+
+    t = tags.select(
+        "seqbin_id",
+        F.struct(
+            F.col("start_pos"),
+            F.col("locus"),
+            F.col("end_pos"),
+            F.col("reverse").cast("boolean").alias("reverse"),
+            _orf_to_phase(_opt(tags, "orf", F.lit(0))).alias("phase"),
+            _opt(tags, "product", F.lit(None).cast("string")).alias("product"),
+            _opt(tags, "note", F.lit(None).cast("string")).alias("note"),
+        ).alias("f"),
+    )
+    feats = t.groupBy("seqbin_id").agg(
+        F.sort_array(F.collect_list("f")).alias("features")
+    )
+    src = contigs.select(
+        "seqbin_id",
+        "sequence",
+        _opt(contigs, "comments", F.lit(None).cast("string")).alias("comments"),
+        _opt(contigs, "accessions", F.lit(None).cast("array<string>")).alias(
+            "accessions"
+        ),
+    ).join(feats, on="seqbin_id", how="left")
+
+    def _render(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_recs = [], []
+        for _, row in pdf.iterrows():
+            seq = (row["sequence"] or "").lower()
+            n = len(seq)
+            sid = row["seqbin_id"]
+            acc = [str(sid)] + [str(a) for a in (row["accessions"] or [])]
+            lines = [
+                f"ID   {sid}; SV 1; linear; unassigned DNA; STD; UNC; {n} BP.",
+                "XX",
+                f"AC   {'; '.join(acc)};",
+                "XX",
+            ]
+            if row["comments"]:
+                lines += [f"DE   {row['comments']}", "XX"]
+            lines += ["FH   Key             Location/Qualifiers", "FH"]
+            for f in row["features"] if row["features"] is not None else []:
+                start = max(int(f["start_pos"]), 1)
+                end = min(int(f["end_pos"]), n) if n else int(f["end_pos"])
+                loc = f"{start}..{end}"
+                if f["reverse"]:
+                    loc = f"complement({loc})"
+                lines.append(f"FT   CDS             {loc}")
+                lines.append(f'FT                   /gene="{f["locus"]}"')
+                lines.append(
+                    f"FT                   /codon_start={int(f['phase']) + 1}"
+                )
+                if f["product"]:
+                    lines.append(
+                        f'FT                   /product="{f["product"]}"'
+                    )
+                if f["note"]:
+                    lines.append(f'FT                   /note="{f["note"]}"')
+            counts = {b: seq.count(b) for b in "acgt"}
+            other = n - sum(counts.values())
+            lines += [
+                "XX",
+                f"SQ   Sequence {n} BP; {counts['a']} A; {counts['c']} C; "
+                f"{counts['g']} G; {counts['t']} T; {other} other;",
+            ]
+            for i in range(0, n, 60):
+                chunk = seq[i : i + 60]
+                groups = " ".join(
+                    chunk[j : j + 10] for j in range(0, len(chunk), 10)
+                )
+                pos = str(min(i + 60, n))
+                pad = 80 - 5 - len(groups) - len(pos)
+                lines.append("     " + groups + " " * max(pad, 1) + pos)
+            lines.append("//")
+            out_ids.append(sid)
+            out_recs.append("\n".join(lines) + "\n")
+        return pd.DataFrame({"seqbin_id": out_ids, "record": out_recs})
+
+    id_type = src.schema["seqbin_id"].dataType.simpleString()
+    # src is one row per contig already (tags were pre-aggregated), so
+    # mapInPandas renders in place — no extra shuffle like a
+    # groupBy().applyInPandas would add
+    return src.mapInPandas(
+        lambda batches: (_render(pdf) for pdf in batches),
+        schema=f"seqbin_id {id_type}, record string",
+    )
+
+
+def to_embl(contigs: DataFrame, tags: DataFrame) -> str:
+    """Concatenated EMBL records ordered by seqbin_id — the reference's
+    per-isolate download stream (SeqbinToEMBL.pm print_content).
+    Download-sized by contract; embl_records is the scale path."""
+    return "".join(
+        r["record"] for r in embl_records(contigs, tags).orderBy("seqbin_id").collect()
+    )

@@ -127,3 +127,105 @@ def test_upgma_labels(spark):
     )
     out = to_newick_upgma(pairs, labels={"1": "iso_one", "2": "iso_two"})
     assert out == "(iso_one:1,iso_two:1);\n"
+
+
+@pytest.fixture(scope="module")
+def seqbin(spark):
+    contigs = spark.createDataFrame(
+        [
+            (1, "atgcatgcat" * 7, "chromosome fragment", ["AB123"]),
+            (2, "acgt" * 5, None, None),
+        ],
+        "seqbin_id int, sequence string, comments string, "
+        "accessions array<string>",
+    )
+    tags = spark.createDataFrame(
+        [
+            (1, "abcZ", 5, 25, False, True, 2,
+             "alcohol dehydrogenase", ["adh1"], True),
+            (1, "adk", -3, 200, True, False, 1, None, None, False),
+            (2, "pgm", 2, 10, False, True, 6,
+             "phospho;glucomutase", ["pgm2", "pgmA"], True),
+        ],
+        "seqbin_id int, locus string, start_pos int, end_pos int, "
+        "reverse boolean, complete boolean, orf int, product string, "
+        "aliases array<string>, complete_cds boolean",
+    )
+    return contigs, tags
+
+
+def test_gff3_golden(seqbin):
+    """SeqbinToGFF3.pm semantics: position clamping, ORF 1-6 -> phase,
+    strand, incomplete flag, product sanitization, Alias list, CDS vs
+    '.' type, per-contig ##sequence-region headers."""
+    from bigsdb_spark.sources.sinks import to_gff3
+
+    contigs, tags = seqbin
+    assert to_gff3(contigs, tags, source="src") == (
+        "##gff-version 3\n"
+        "##sequence-region 1 1 70\n"
+        "1\tsrc\t.\t1\t70\t.\t-\t0\tlocus_tag=adk;incomplete=1\n"
+        "1\tsrc\tCDS\t5\t25\t.\t+\t1\t"
+        "locus_tag=abcZ;product=alcohol dehydrogenase;Alias=adh1\n"
+        "##sequence-region 2 1 20\n"
+        "2\tsrc\tCDS\t2\t10\t.\t+\t2\t"
+        "locus_tag=pgm;product=phospho_glucomutase;Alias=pgm2,pgmA\n"
+    )
+
+
+def test_gff3_igv_attribute_key(seqbin):
+    from bigsdb_spark.sources.sinks import to_gff3
+
+    contigs, tags = seqbin
+    out = to_gff3(contigs, tags, igv=True)
+    assert "locus=adk" in out and "locus_tag" not in out
+
+
+def test_embl_golden_small_contig(seqbin):
+    """Byte-stable EMBL record: ID/AC/FH skeleton, CDS feature with
+    gene + codon_start (ORF 6 -> phase 2 -> codon_start 3), base-count
+    SQ header, 60-base lines with right-aligned position column."""
+    from bigsdb_spark.sources.sinks import embl_records
+
+    contigs, tags = seqbin
+    recs = {
+        r["seqbin_id"]: r["record"] for r in embl_records(contigs, tags).collect()
+    }
+    pad = " " * (80 - 5 - 21 - 2)
+    assert recs[2] == (
+        "ID   2; SV 1; linear; unassigned DNA; STD; UNC; 20 BP.\n"
+        "XX\n"
+        "AC   2;\n"
+        "XX\n"
+        "FH   Key             Location/Qualifiers\n"
+        "FH\n"
+        "FT   CDS             2..10\n"
+        'FT                   /gene="pgm"\n'
+        "FT                   /codon_start=3\n"
+        'FT                   /product="phospho;glucomutase"\n'
+        "XX\n"
+        "SQ   Sequence 20 BP; 5 A; 5 C; 5 G; 5 T; 0 other;\n"
+        f"     acgtacgtac gtacgtacgt{pad}20\n"
+        "//\n"
+    )
+
+
+def test_embl_clamping_strand_and_accessions(seqbin):
+    from bigsdb_spark.sources.sinks import embl_records, to_embl
+
+    contigs, tags = seqbin
+    recs = {
+        r["seqbin_id"]: r["record"] for r in embl_records(contigs, tags).collect()
+    }
+    r1 = recs[1]
+    assert "AC   1; AB123;" in r1
+    assert "DE   chromosome fragment" in r1
+    assert "FT   CDS             complement(1..70)" in r1  # clamped + reverse
+    assert 'FT                   /gene="abcZ"' in r1
+    assert "SQ   Sequence 70 BP; 21 A; 14 C; 14 G; 21 T; 0 other;" in r1
+    # every sequence line is exactly 80 chars wide
+    seq_lines = [l for l in r1.splitlines() if l.startswith("     ")]
+    assert seq_lines and all(len(l) == 80 for l in seq_lines)
+    # concatenated stream is ordered by seqbin_id
+    full = to_embl(contigs, tags)
+    assert full.index("ID   1;") < full.index("ID   2;")
