@@ -120,3 +120,158 @@ def paging_links(page: int, page_size: int, total: int) -> dict:
     if page < last:
         links["next"] = page + 1
     return links
+
+
+class NotFound(ValueError):
+    """Maps to HTTP 404 — unknown isolate/scheme id
+    (REST/Interface.pm check_isolate_is_valid error shape)."""
+
+
+def route_isolates_list(
+    view,
+    base: str,
+    page: int = 1,
+    page_size: int = 100,
+    id_col: str = "id",
+    date_entered_col: str | None = None,
+    datestamp_col: str | None = None,
+) -> dict:
+    """GET /db/:db/isolates (REST/Routes/Isolates.pm:41-66
+    _get_isolates): count + max dates in ONE aggregate pass over the
+    role-filtered view, then the page of ids ordered by id with
+    offset/limit, returned as record URIs under the paging envelope.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if date_entered_col and date_entered_col in view.columns:
+        aggs.append(F.max(date_entered_col).alias("_added"))
+    if datestamp_col and datestamp_col in view.columns:
+        aggs.append(F.max(datestamp_col).alias("_updated"))
+    head = view.agg(*aggs).collect()[0]
+    total = head["_n"]
+    values: dict = {"records": int(total)}
+    if date_entered_col and date_entered_col in view.columns and head["_added"]:
+        values["last_added"] = str(head["_added"])
+    if datestamp_col and datestamp_col in view.columns and head["_updated"]:
+        values["last_updated"] = str(head["_updated"])
+    ids = (
+        view.select(id_col)
+        .orderBy(id_col)
+        .offset((page - 1) * page_size)
+        .limit(page_size)
+        .collect()
+    )
+    values["paging"] = paging_links(page, page_size, int(total))
+    values["isolates"] = [f"{base}/isolates/{r[0]}" for r in ids]
+    return values
+
+
+def route_isolate_record(
+    view,
+    table: TableDef,
+    isolate_id,
+    base: str,
+    seqbin_stats=None,
+    designations=None,
+    id_col: str = "id",
+) -> dict:
+    """GET /db/:db/isolates/:id (REST/Routes/Isolates.pm:115-204
+    _get_isolate): provenance from the view row (int fields as ints,
+    sender/curator as user URIs, NULLs omitted), seqbin summary from
+    the stats frame, designation count + sub-resource links. Unknown
+    id -> NotFound (the reference's 404)."""
+    from pyspark.sql import functions as F
+
+    rows = view.filter(F.col(id_col) == isolate_id).limit(1).collect()
+    if not rows:
+        raise NotFound(f"isolate {isolate_id} does not exist")
+    row = rows[0].asDict()
+    provenance: dict = {}
+    for f in table.fields:
+        if f.name not in row or row[f.name] is None:
+            continue
+        if f.name in ("sender", "curator"):
+            provenance[f.name] = f"{base}/users/{row[f.name]}"
+        elif f.type == "int":
+            provenance[f.name] = int(row[f.name])
+        else:
+            provenance[f.name] = row[f.name]
+    values: dict = {"provenance": provenance}
+    if seqbin_stats is not None:
+        sb = (
+            seqbin_stats.filter(F.col("isolate_id") == isolate_id)
+            .limit(1)
+            .collect()
+        )
+        if sb:
+            s = sb[0].asDict()
+            seqbin = {
+                "contig_count": int(s["contigs"]),
+                "total_length": int(s["total_length"]),
+                "contigs": f"{base}/isolates/{isolate_id}/contigs",
+                "contigs_fasta": f"{base}/isolates/{isolate_id}/contigs_fasta",
+            }
+            if s.get("n50") is not None:
+                seqbin["N50"] = int(s["n50"])
+            if s.get("l50") is not None:
+                seqbin["L50"] = int(s["l50"])
+            values["sequence_bin"] = seqbin
+    if designations is not None:
+        n = designations.filter(F.col("isolate_id") == isolate_id).count()
+        if n:
+            values["allele_designations"] = {
+                "designation_count": int(n),
+                "full_designations": (
+                    f"{base}/isolates/{isolate_id}/allele_designations"
+                ),
+                "allele_ids": f"{base}/isolates/{isolate_id}/allele_ids",
+            }
+    return values
+
+
+def route_fields(table: TableDef, base: str) -> list[dict]:
+    """GET /db/:db/fields (REST/Routes/Fields.pm:39-67 _get_fields):
+    one entry per registry field with type/required/min/max/regex,
+    allowed_values for optlists, and values/breakdown URIs."""
+    out = []
+    for f in table.fields:
+        entry: dict = {
+            "name": f.name,
+            "type": f.type,
+            "required": bool(f.required),
+        }
+        if f.min is not None:
+            entry["min"] = int(f.min) if f.type == "int" else f.min
+        if f.max is not None:
+            entry["max"] = int(f.max) if f.type == "int" else f.max
+        if f.regex:
+            entry["regex"] = f.regex
+        if f.optlist:
+            entry["allowed_values"] = list(f.optlist)
+        entry["values"] = f"{base}/fields/{f.name}"
+        entry["breakdown"] = f"{base}/fields/{f.name}/breakdown"
+        out.append(entry)
+    return out
+
+
+def route_scheme(
+    scheme_id: int,
+    description: str,
+    loci: list[str],
+    base: str,
+    profiles=None,
+) -> dict:
+    """GET /db/:db/schemes/:id (REST/Routes/Schemes.pm shape): scheme
+    description, locus count + locus URIs, and the profile count when a
+    profiles frame is supplied."""
+    values: dict = {
+        "id": int(scheme_id),
+        "description": description,
+        "locus_count": len(loci),
+        "loci": [f"{base}/loci/{locus}" for locus in sorted(loci)],
+    }
+    if profiles is not None:
+        values["profile_count"] = profiles.count()
+        values["profiles"] = f"{base}/schemes/{scheme_id}/profiles"
+    return values

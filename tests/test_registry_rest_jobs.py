@@ -231,3 +231,94 @@ def test_rest_paging_params_reject_non_integer_types():
     # actual ints still fine
     rq = parse_search({"page": 2, "page_size": 10}, TABLE)
     assert rq.spec.offset == 10 and rq.spec.limit == 10
+
+
+def test_rest_isolates_list_route(spark):
+    from bigsdb_spark.plans.rest import route_isolates_list
+
+    view = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 27) + 1:02d}") for i in range(1, 36)],
+        "id int, datestamp string",
+    )
+    got = route_isolates_list(
+        view, "/db/test", page=2, page_size=10, datestamp_col="datestamp"
+    )
+    assert got["records"] == 35
+    assert got["last_updated"] == "2024-01-27"
+    assert got["paging"] == {
+        "records": 35, "page": 2, "pages": 4, "previous": 1, "next": 3,
+    }
+    # page 2 of ids ordered by id
+    assert got["isolates"][0] == "/db/test/isolates/11"
+    assert len(got["isolates"]) == 10
+
+
+def test_rest_isolate_record_route(spark):
+    from bigsdb_spark.plans.rest import NotFound, route_isolate_record
+
+    view = spark.createDataFrame(
+        [(1, "France", 2020, 5, None), (2, None, 2021, 6, "x")],
+        "id int, country string, year int, sender int, note string",
+    )
+    table = TableDef(
+        "iso",
+        [
+            FieldDef("id", "int", required=True),
+            FieldDef("country"),
+            FieldDef("year", "int"),
+            FieldDef("sender", "int"),
+            FieldDef("note"),
+        ],
+    )
+    sb = spark.createDataFrame(
+        [(1, 12, 34567, 2200, 4)],
+        "isolate_id int, contigs int, total_length long, n50 int, l50 int",
+    )
+    desig = spark.createDataFrame(
+        [(1, "abcZ", "1"), (1, "adk", "2")],
+        "isolate_id int, locus string, allele_id string",
+    )
+    got = route_isolate_record(
+        view, table, 1, "/db/test", seqbin_stats=sb, designations=desig
+    )
+    assert got["provenance"] == {
+        "id": 1,
+        "country": "France",
+        "year": 2020,
+        "sender": "/db/test/users/5",  # user URI, not the raw int
+        # note is NULL -> omitted
+    }
+    assert got["sequence_bin"]["contig_count"] == 12
+    assert got["sequence_bin"]["N50"] == 2200
+    assert got["allele_designations"]["designation_count"] == 2
+    # record without seqbin rows omits the section
+    got2 = route_isolate_record(
+        view, table, 2, "/db/test", seqbin_stats=sb, designations=desig
+    )
+    assert "sequence_bin" not in got2 and "allele_designations" not in got2
+    with pytest.raises(NotFound):
+        route_isolate_record(view, table, 99, "/db/test")
+
+
+def test_rest_fields_route():
+    from bigsdb_spark.plans.rest import route_fields
+
+    got = route_fields(TABLE, "/db/test")
+    by_name = {e["name"]: e for e in got}
+    assert by_name["id"]["required"] is True
+    assert by_name["year"]["min"] == 1900 and by_name["year"]["max"] == 2030
+    assert by_name["country"]["allowed_values"] == [
+        "France", "UK [England]", "UK [Scotland]",
+    ]
+    assert by_name["isolate"]["regex"] == "^iso-"
+    assert by_name["year"]["breakdown"] == "/db/test/fields/year/breakdown"
+
+
+def test_rest_scheme_route(spark):
+    from bigsdb_spark.plans.rest import route_scheme
+
+    profs = spark.createDataFrame([(1,), (2,), (3,)], "profile_key int")
+    got = route_scheme(1, "MLST", ["adk", "abcZ"], "/db/test", profiles=profs)
+    assert got["locus_count"] == 2
+    assert got["loci"] == ["/db/test/loci/abcZ", "/db/test/loci/adk"]
+    assert got["profile_count"] == 3
