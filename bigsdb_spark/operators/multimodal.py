@@ -69,20 +69,76 @@ def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feats
 
 
-def extract_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+def _decode_pil(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real decode path (same contract as ``_decode_stub``): PIL image
+    open + an 8-dim deterministic feature (mean brightness over a 2x4
+    grid of the grayscale image, 4dp). Only reachable when PIL is
+    importable — feature-detected by ``pick_decoder``."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    img.load()
+    width, height = img.size
+    arr = np.asarray(img.convert("L"), dtype=np.float64) / 255.0
+    gh, gw = 2, 4
+    feats = []
+    for i in range(gh):
+        for j in range(gw):
+            cell = arr[
+                i * arr.shape[0] // gh : (i + 1) * arr.shape[0] // gh,
+                j * arr.shape[1] // gw : (j + 1) * arr.shape[1] // gw,
+            ]
+            feats.append(round(float(cell.mean()) if cell.size else 0.0, 4))
+    return width, height, feats
+
+
+def pick_decoder(codec: str = "stub"):
+    """Decoder dispatch: ``stub`` (default — the deterministic,
+    oracle-checkable fake), ``pil`` (require the real codec; raises
+    when PIL is absent), ``auto`` (real codec when importable, stub
+    otherwise). The returned callable is serialized into the Spark
+    task, so the import check runs where the decision is made — pass
+    ``auto`` only when the driver and executors share an environment
+    (true for this project's deployment model)."""
+    if codec == "stub":
+        return _decode_stub
+    try:
+        import PIL.Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if codec == "pil":
+        if not have_pil:
+            raise ImportError("codec='pil' requested but PIL is not installed")
+        return _decode_pil
+    if codec == "auto":
+        return _decode_pil if have_pil else _decode_stub
+    raise ValueError(f"unknown codec: {codec}")
+
+
+def extract_features(
+    df: DataFrame, id_col: str, payload_col: str, codec: str = "stub"
+) -> DataFrame:
     """Arrow-batched decode/feature-extract over partitions.
 
     mapInPandas keeps the per-batch Python overhead amortized (one
     Arrow RecordBatch per ~10k rows) — this is the sanctioned pattern
-    for any per-payload Python work at 100 TB scale.
+    for any per-payload Python work at 100 TB scale. ``codec`` picks
+    the decoder via ``pick_decoder``; the default stays the
+    deterministic stub so the driver-gate oracle path is unchanged.
     """
+    decode = pick_decoder(codec)
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
-                width, height, feats = _decode_stub(data)
+                width, height, feats = decode(data)
                 rows.append((doc_id, len(data), width, height, feats))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_bytes", "width", "height", "features"]

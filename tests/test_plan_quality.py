@@ -191,3 +191,74 @@ def test_np_topk_no_driver_materialization(spark):
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_export_dataset_wide_table_joins_are_equi(spark):
+    """Export-plugin wide table: the locus pivot is one groupBy and the
+    provenance/scheme attachments are equi left-joins — no nested-loop
+    or cartesian anywhere in the wide-table plan."""
+    from bigsdb_spark.operators.export_dataset import dataset_export
+
+    iso = spark.createDataFrame(
+        [(i, f"c{i % 3}", 2000 + i % 20) for i in range(50)],
+        "isolate_id int, country string, year int",
+    )
+    desig = spark.createDataFrame(
+        [(i % 50, f"L{j}", str((i + j) % 9)) for i in range(200) for j in range(3)],
+        "isolate_id int, locus string, allele_id string",
+    )
+    cache = spark.createDataFrame(
+        [(i, f"ST-{i % 7}") for i in range(50)], "isolate_id int, ST string"
+    )
+    out = dataset_export(
+        iso, ["country", "year"], designations=desig,
+        loci=["L0", "L1", "L2"], scheme_cache=cache, scheme_fields=["ST"],
+    )
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_discover_new_alleles_joins_are_equi(spark):
+    """F11 discovery: the k-mer seed join, the md5 anti-join and the
+    sub/super-sequence containment join all key on (locus, ...) equi
+    columns — the containment predicate is a filter AFTER a locus hash
+    join, never a nested-loop over the full candidate x allele space."""
+    from bigsdb_spark.operators.seqmatch import discover_new_alleles
+
+    contigs = spark.createDataFrame(
+        [(1, "GATCGATCGATCGATCGATCAAGG"), (2, "TTGATCGATCGATCGATCGATCAA")],
+        "id long, sequence string",
+    )
+    alleles = spark.createDataFrame(
+        [("abcZ", "1", "GATCGATCGATCGATCGATC")],
+        "locus string, allele_id string, sequence string",
+    )
+    plan = plan_of(discover_new_alleles(contigs, alleles, k=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_streaming_profile_cache_is_single_stateful_operator(spark, tmp_path):
+    """The incremental scheme cache must plan as ONE
+    applyInPandasWithState stateful operator over a single key shuffle
+    — no join against a static profile table per micro-batch."""
+    from bigsdb_spark.streaming.events import (
+        read_event_stream,
+        streaming_profile_cache,
+    )
+
+    src = str(tmp_path / "plan_src")
+    spark.createDataFrame(
+        [(1, "abcZ", "1", "2024-01-01 00:00:00")],
+        "isolate_id long, locus string, allele_id string, ts_s string",
+    ).select(
+        "isolate_id", "locus", "allele_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+    ).write.parquet(src)
+    cache = streaming_profile_cache(
+        read_event_stream(spark, src), ["abcZ", "adk"]
+    )
+    logical = cache._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" in logical
+    assert "Join" not in logical

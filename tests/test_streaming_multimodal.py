@@ -67,3 +67,33 @@ def test_multimodal_plumbing(spark):
     # deterministic stub: same payload -> same features
     again = {r.doc_id: r for r in extract_features(df, "doc_id", "payload").collect()}
     assert feats[1].features == again[1].features
+
+
+def test_multimodal_decoder_dispatch(monkeypatch):
+    """codec='stub' always returns the deterministic stub; 'pil'
+    requires the real codec; 'auto' falls back to the stub when PIL is
+    missing and picks the real decoder when importable."""
+    import sys
+    import types
+
+    import pytest
+
+    from bigsdb_spark.operators import multimodal as mm
+
+    assert mm.pick_decoder("stub") is mm._decode_stub
+    with pytest.raises(ValueError):
+        mm.pick_decoder("webp")
+
+    if "PIL" not in sys.modules:
+        # container has no PIL: auto -> stub, pil -> ImportError
+        assert mm.pick_decoder("auto") is mm._decode_stub
+        with pytest.raises(ImportError):
+            mm.pick_decoder("pil")
+    # fake PIL module -> auto and pil pick the real decoder
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.ModuleType("PIL.Image")
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil.Image)
+    assert mm.pick_decoder("auto") is mm._decode_pil
+    assert mm.pick_decoder("pil") is mm._decode_pil
+    assert mm.pick_decoder("stub") is mm._decode_stub
