@@ -104,3 +104,33 @@ def test_partial_tier_excludes_exactly_matched_loci(parsed):
     # abcZ matched exactly -> all its partial records drop (Blast.pm:464)
     assert got.filter("locus = 'abcZ'").count() == 0
     assert got.filter("locus = 'adk'").count() == 1
+
+
+def test_external_tool_to_parser_end_to_end(spark, tmp_path):
+    """Full adapter chain with a real subprocess: a fake blastn
+    executable (emits recorded outfmt-6 lines for any stdin, the shape
+    a real BLAST+ run produces) -> ExternalTool.pipe_lines -> tabular
+    parser -> match records. Exercises available(), the mapPartitions
+    subprocess pipe, and the parse contract in one path — only the
+    binary is fake."""
+    import os
+    import stat
+
+    from bigsdb_spark.operators.seqmatch import ExternalTool
+
+    exe = tmp_path / "fake-blastn"
+    exe.write_text("#!/bin/sh\ncat %s\n" % FIXTURE)
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+
+    tool = ExternalTool(command=[str(exe)])
+    assert tool.available()
+    queries = spark.createDataFrame(
+        [(">contig1",), ("GATTACA",)], "line string"
+    ).coalesce(1)
+    out = tool.pipe_lines(queries, "line")
+    parsed = parse_blast_tabular(out)
+    assert parsed.count() == 7
+    exact = {
+        (r.locus, r.allele) for r in blast_exact_matches(parsed).collect()
+    }
+    assert exact == {("abcZ", "1"), ("abcZ", "2")}
