@@ -203,5 +203,20 @@ def _register_builtins() -> None:
         "fields (Export.pm)",
     )
 
+    from bigsdb_spark.sources.sinks import to_embl, to_gff3
+
+    def _seqbin_export(df, tags, fmt="embl", **kw):
+        if fmt == "gff3":
+            return to_gff3(df, tags, **kw)
+        return to_embl(df, tags, fmt=fmt)
+
+    DEFAULT_REGISTRY.register_plugin(
+        "SeqbinExport", "export",
+        _seqbin_export,
+        description="tag-annotated contig export: EMBL / GenBank / GFF3 "
+        "(SeqbinToEMBL.pm, SeqbinToGFF3.pm)",
+        requires=("seqbin_id", "sequence"),
+    )
+
 
 _register_builtins()

@@ -490,19 +490,25 @@ def to_gff3(
     return "\n".join(out) + "\n"
 
 
-def embl_records(contigs: DataFrame, tags: DataFrame) -> DataFrame:
-    """S6: EMBL flat-file records, one per contig, rendered distributed
-    (SeqbinToEMBL.pm:107-202 _write_embl builds a Bio::Seq with one CDS
-    feature per tag and streams Bio::SeqIO embl output; here the record
-    text is assembled per contig inside an Arrow-batched applyInPandas
-    after a single tags->contig aggregation — formatting scales with
-    the seqbin table).
+def embl_records(
+    contigs: DataFrame, tags: DataFrame, fmt: str = "embl"
+) -> DataFrame:
+    """S6: EMBL or GenBank flat-file records, one per contig, rendered
+    distributed (SeqbinToEMBL.pm:107-202 _write_embl builds a Bio::Seq
+    with one CDS feature per tag and streams Bio::SeqIO output in the
+    requested format — ``format=genbank`` selects GenBank, :33-37; here
+    the record text is assembled per contig inside an Arrow-batched
+    mapInPandas after a single tags->contig aggregation — formatting
+    scales with the seqbin table).
 
     ``contigs``: (seqbin_id, sequence) + optional comments,
     accessions array<string>. ``tags`` as for gff3_feature_lines.
     Returns (seqbin_id, record).
     """
     import pandas as pd
+
+    if fmt not in ("embl", "genbank"):
+        raise ValueError(f"unknown format: {fmt}")
 
     t = tags.select(
         "seqbin_id",
@@ -528,6 +534,23 @@ def embl_records(contigs: DataFrame, tags: DataFrame) -> DataFrame:
         ),
     ).join(feats, on="seqbin_id", how="left")
 
+    def _feature_lines(row, n, key_pad, qual_pad):
+        lines = []
+        for f in row["features"] if row["features"] is not None else []:
+            start = max(int(f["start_pos"]), 1)
+            end = min(int(f["end_pos"]), n) if n else int(f["end_pos"])
+            loc = f"{start}..{end}"
+            if f["reverse"]:
+                loc = f"complement({loc})"
+            lines.append(f"{key_pad}CDS             {loc}")
+            lines.append(f'{qual_pad}/gene="{f["locus"]}"')
+            lines.append(f"{qual_pad}/codon_start={int(f['phase']) + 1}")
+            if f["product"]:
+                lines.append(f'{qual_pad}/product="{f["product"]}"')
+            if f["note"]:
+                lines.append(f'{qual_pad}/note="{f["note"]}"')
+        return lines
+
     def _render(pdf: pd.DataFrame) -> pd.DataFrame:
         out_ids, out_recs = [], []
         for _, row in pdf.iterrows():
@@ -535,47 +558,52 @@ def embl_records(contigs: DataFrame, tags: DataFrame) -> DataFrame:
             n = len(seq)
             sid = row["seqbin_id"]
             acc = [str(sid)] + [str(a) for a in (row["accessions"] or [])]
-            lines = [
-                f"ID   {sid}; SV 1; linear; unassigned DNA; STD; UNC; {n} BP.",
-                "XX",
-                f"AC   {'; '.join(acc)};",
-                "XX",
-            ]
-            if row["comments"]:
-                lines += [f"DE   {row['comments']}", "XX"]
-            lines += ["FH   Key             Location/Qualifiers", "FH"]
-            for f in row["features"] if row["features"] is not None else []:
-                start = max(int(f["start_pos"]), 1)
-                end = min(int(f["end_pos"]), n) if n else int(f["end_pos"])
-                loc = f"{start}..{end}"
-                if f["reverse"]:
-                    loc = f"complement({loc})"
-                lines.append(f"FT   CDS             {loc}")
-                lines.append(f'FT                   /gene="{f["locus"]}"')
-                lines.append(
-                    f"FT                   /codon_start={int(f['phase']) + 1}"
+            if fmt == "embl":
+                lines = [
+                    f"ID   {sid}; SV 1; linear; unassigned DNA; STD; UNC; {n} BP.",
+                    "XX",
+                    f"AC   {'; '.join(acc)};",
+                    "XX",
+                ]
+                if row["comments"]:
+                    lines += [f"DE   {row['comments']}", "XX"]
+                lines += ["FH   Key             Location/Qualifiers", "FH"]
+                lines += _feature_lines(
+                    row, n, "FT   ", "FT                   "
                 )
-                if f["product"]:
-                    lines.append(
-                        f'FT                   /product="{f["product"]}"'
+                counts = {b: seq.count(b) for b in "acgt"}
+                other = n - sum(counts.values())
+                lines += [
+                    "XX",
+                    f"SQ   Sequence {n} BP; {counts['a']} A; {counts['c']} C; "
+                    f"{counts['g']} G; {counts['t']} T; {other} other;",
+                ]
+                for i in range(0, n, 60):
+                    chunk = seq[i : i + 60]
+                    groups = " ".join(
+                        chunk[j : j + 10] for j in range(0, len(chunk), 10)
                     )
-                if f["note"]:
-                    lines.append(f'FT                   /note="{f["note"]}"')
-            counts = {b: seq.count(b) for b in "acgt"}
-            other = n - sum(counts.values())
-            lines += [
-                "XX",
-                f"SQ   Sequence {n} BP; {counts['a']} A; {counts['c']} C; "
-                f"{counts['g']} G; {counts['t']} T; {other} other;",
-            ]
-            for i in range(0, n, 60):
-                chunk = seq[i : i + 60]
-                groups = " ".join(
-                    chunk[j : j + 10] for j in range(0, len(chunk), 10)
+                    pos = str(min(i + 60, n))
+                    pad = 80 - 5 - len(groups) - len(pos)
+                    lines.append("     " + groups + " " * max(pad, 1) + pos)
+            else:  # genbank
+                lines = [
+                    f"LOCUS       {sid} {n} bp    DNA     linear   UNC",
+                ]
+                if row["comments"]:
+                    lines.append(f"DEFINITION  {row['comments']}.")
+                lines.append(f"ACCESSION   {' '.join(acc)}")
+                lines.append("FEATURES             Location/Qualifiers")
+                lines += _feature_lines(
+                    row, n, "     ", "                     "
                 )
-                pos = str(min(i + 60, n))
-                pad = 80 - 5 - len(groups) - len(pos)
-                lines.append("     " + groups + " " * max(pad, 1) + pos)
+                lines.append("ORIGIN      ")
+                for i in range(0, n, 60):
+                    chunk = seq[i : i + 60]
+                    groups = " ".join(
+                        chunk[j : j + 10] for j in range(0, len(chunk), 10)
+                    )
+                    lines.append(f"{i + 1:>9} {groups}")
             lines.append("//")
             out_ids.append(sid)
             out_recs.append("\n".join(lines) + "\n")
@@ -591,10 +619,14 @@ def embl_records(contigs: DataFrame, tags: DataFrame) -> DataFrame:
     )
 
 
-def to_embl(contigs: DataFrame, tags: DataFrame) -> str:
-    """Concatenated EMBL records ordered by seqbin_id — the reference's
-    per-isolate download stream (SeqbinToEMBL.pm print_content).
-    Download-sized by contract; embl_records is the scale path."""
+def to_embl(contigs: DataFrame, tags: DataFrame, fmt: str = "embl") -> str:
+    """Concatenated EMBL/GenBank records ordered by seqbin_id — the
+    reference's per-isolate download stream (SeqbinToEMBL.pm
+    print_content; ``format=genbank`` selects GenBank). Download-sized
+    by contract; embl_records is the scale path."""
     return "".join(
-        r["record"] for r in embl_records(contigs, tags).orderBy("seqbin_id").collect()
+        r["record"]
+        for r in embl_records(contigs, tags, fmt=fmt)
+        .orderBy("seqbin_id")
+        .collect()
     )

@@ -229,3 +229,43 @@ def test_embl_clamping_strand_and_accessions(seqbin):
     # concatenated stream is ordered by seqbin_id
     full = to_embl(contigs, tags)
     assert full.index("ID   1;") < full.index("ID   2;")
+
+
+def test_genbank_golden_small_contig(seqbin):
+    """format=genbank (SeqbinToEMBL.pm:33-37): LOCUS/ACCESSION skeleton,
+    FEATURES block with the same qualifiers, ORIGIN with numbered
+    60-base lines."""
+    from bigsdb_spark.sources.sinks import embl_records
+
+    contigs, tags = seqbin
+    recs = {
+        r["seqbin_id"]: r["record"]
+        for r in embl_records(contigs, tags, fmt="genbank").collect()
+    }
+    assert recs[2] == (
+        "LOCUS       2 20 bp    DNA     linear   UNC\n"
+        "ACCESSION   2\n"
+        "FEATURES             Location/Qualifiers\n"
+        "     CDS             2..10\n"
+        '                     /gene="pgm"\n'
+        "                     /codon_start=3\n"
+        '                     /product="phospho;glucomutase"\n'
+        "ORIGIN      \n"
+        "        1 acgtacgtac gtacgtacgt\n"
+        "//\n"
+    )
+    assert "DEFINITION  chromosome fragment." in recs[1]
+    import pytest
+
+    with pytest.raises(ValueError):
+        embl_records(contigs, tags, fmt="xml")
+
+
+def test_seqbin_export_plugin_dispatch(seqbin):
+    from bigsdb_spark.plugins import DEFAULT_REGISTRY
+
+    contigs, tags = seqbin
+    gff = DEFAULT_REGISTRY.run_inline("SeqbinExport", contigs, tags=tags, fmt="gff3")
+    assert gff.startswith("##gff-version 3")
+    gb = DEFAULT_REGISTRY.run_inline("SeqbinExport", contigs, tags=tags, fmt="genbank")
+    assert gb.startswith("LOCUS")
