@@ -208,6 +208,8 @@ def _register_builtins() -> None:
     def _seqbin_export(df, tags, fmt="embl", **kw):
         if fmt == "gff3":
             return to_gff3(df, tags, **kw)
+        if kw:  # gff3-only options (source/igv) or typos: loud, not silent
+            raise TypeError(f"unexpected options for format {fmt!r}: {sorted(kw)}")
         return to_embl(df, tags, fmt=fmt)
 
     DEFAULT_REGISTRY.register_plugin(

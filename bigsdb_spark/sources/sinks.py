@@ -414,6 +414,10 @@ def gff3_feature_lines(
     ``locus_tag=`` (``locus=`` for IGV), ``;incomplete=1`` when the tag
     is partial, ``;product=`` with [;|=] -> '_', ``;Alias=`` joined
     with ','; type CDS when the locus is a complete CDS else '.'.
+    Reference quirk kept deliberately: Alias is nested under the
+    product branch (SeqbinToGFF3.pm:133-138 only appends ``;Alias=``
+    inside ``if ($locus_desc->{'product'})``), so a tag with aliases
+    but no product emits no Alias attribute — pinned by test.
 
     ``contigs``: (seqbin_id, sequence). ``tags``: (seqbin_id, locus,
     start_pos, end_pos, reverse, complete) + optional orf, product,
@@ -557,7 +561,14 @@ def embl_records(
             seq = (row["sequence"] or "").lower()
             n = len(seq)
             sid = row["seqbin_id"]
-            acc = [str(sid)] + [str(a) for a in (row["accessions"] or [])]
+            # Arrow hands array<string> cells to pandas as numpy arrays,
+            # whose truth value is ambiguous for len >= 2 — an
+            # `arr or []` here would crash the worker on any contig
+            # with two accessions; test None/length explicitly
+            accs = row["accessions"]
+            acc = [str(sid)] + (
+                [str(a) for a in accs] if accs is not None and len(accs) else []
+            )
             if fmt == "embl":
                 lines = [
                     f"ID   {sid}; SV 1; linear; unassigned DNA; STD; UNC; {n} BP.",

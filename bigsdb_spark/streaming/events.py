@@ -114,7 +114,15 @@ def streaming_running_counts(
     state_schema = "n long, total_value double, seq long"
 
     def _update(key, pdfs, state: GroupState):
-        n, total, seq = state.get if state.exists else (0, 0.0, 0)
+        if state.exists:
+            stored = tuple(state.get)
+            # checkpoints written before the update_seq column carry a
+            # 2-field state; widen in place instead of crashing the
+            # stream on restart
+            n, total = stored[0], stored[1]
+            seq = stored[2] if len(stored) > 2 else 0
+        else:
+            n, total, seq = 0, 0.0, 0
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
@@ -193,8 +201,11 @@ def streaming_profile_cache(
 
     def _update(key, pdfs, state: GroupState):
         if state.exists:
-            slots, tss = list(state.get[0]), list(state.get[1])
-            seq = state.get[2]
+            stored = tuple(state.get)
+            slots, tss = list(stored[0]), list(stored[1])
+            # pre-update_seq checkpoints carry 2-field state; widen
+            # instead of crashing the restarted stream
+            seq = stored[2] if len(stored) > 2 else 0
         else:
             slots, tss = [None] * len(loci), [None] * len(loci)
             seq = 0

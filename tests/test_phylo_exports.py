@@ -269,3 +269,49 @@ def test_seqbin_export_plugin_dispatch(seqbin):
     assert gff.startswith("##gff-version 3")
     gb = DEFAULT_REGISTRY.run_inline("SeqbinExport", contigs, tags=tags, fmt="genbank")
     assert gb.startswith("LOCUS")
+
+
+def test_embl_multiple_accessions_do_not_crash_worker(spark, seqbin):
+    """Regression (r3 review): `ndarray or []` on the accessions cell
+    raised ValueError (ambiguous truth value) inside mapInPandas for
+    any contig with 2+ accessions — Arrow hands array columns to
+    pandas as numpy arrays."""
+    from bigsdb_spark.sources.sinks import embl_records
+
+    _, tags = seqbin
+    contigs = spark.createDataFrame(
+        [(1, "acgt" * 5, None, ["AB1", "AB2", "AB3"])],
+        "seqbin_id int, sequence string, comments string, "
+        "accessions array<string>",
+    )
+    recs = embl_records(contigs, tags.filter("seqbin_id = 1")).collect()
+    assert "AC   1; AB1; AB2; AB3;" in recs[0]["record"]
+
+
+def test_gff3_alias_nested_under_product_reference_quirk(spark):
+    """Reference parity (SeqbinToGFF3.pm:133-138): Alias is only
+    appended inside the product branch, so aliases WITHOUT a product
+    emit no Alias attribute."""
+    from bigsdb_spark.sources.sinks import to_gff3
+
+    contigs = spark.createDataFrame(
+        [(1, "acgt" * 5)], "seqbin_id int, sequence string"
+    )
+    tags = spark.createDataFrame(
+        [(1, "adk", 1, 8, False, True, 1, None, ["adk2"], True)],
+        "seqbin_id int, locus string, start_pos int, end_pos int, "
+        "reverse boolean, complete boolean, orf int, product string, "
+        "aliases array<string>, complete_cds boolean",
+    )
+    out = to_gff3(contigs, tags)
+    assert "Alias" not in out and "locus_tag=adk" in out
+
+
+def test_seqbin_export_plugin_rejects_stray_options(seqbin):
+    from bigsdb_spark.plugins import DEFAULT_REGISTRY
+
+    contigs, tags = seqbin
+    with pytest.raises(TypeError):
+        DEFAULT_REGISTRY.run_inline(
+            "SeqbinExport", contigs, tags=tags, fmt="embl", igv=True
+        )

@@ -84,8 +84,10 @@ def test_multimodal_decoder_dispatch(monkeypatch):
     with pytest.raises(ValueError):
         mm.pick_decoder("webp")
 
-    if "PIL" not in sys.modules:
-        # container has no PIL: auto -> stub, pil -> ImportError
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        # no PIL installed: auto -> stub, pil -> ImportError
         assert mm.pick_decoder("auto") is mm._decode_stub
         with pytest.raises(ImportError):
             mm.pick_decoder("pil")

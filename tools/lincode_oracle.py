@@ -178,7 +178,13 @@ def main(sf_dirs: list[str]) -> None:
         ")\n"
         "SELECT profile_key, lincode FROM _exp JOIN _disc USING (c, s)"
     )
-    with open("bigsdb_spark/inventory/_lincode_expected.py", "w") as f:
+    import pathlib
+
+    out_path = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "bigsdb_spark" / "inventory" / "_lincode_expected.py"
+    )
+    with open(out_path, "w") as f:
         f.write(
             '"""GENERATED by tools/lincode_oracle.py — do not edit by hand.\n\n'
             "Expected d5 LIN-code assignments from the independent sequential\n"
@@ -188,7 +194,7 @@ def main(sf_dirs: list[str]) -> None:
             'also run sf0.001).\n"""\n\n'
             f"LINCODE_ORACLE_SQL = '''{sql}'''\n"
         )
-    print("wrote bigsdb_spark/inventory/_lincode_expected.py")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
