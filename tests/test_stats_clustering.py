@@ -253,3 +253,44 @@ def test_lincode_independent_port_matches_operator(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_lincode_port_agreement_randomized(spark):
+    """Randomized cross-validation of the d5 oracle claim: seeded
+    random profile corpora (ragged lengths, missing-allele density,
+    duplicates) must produce IDENTICAL codes from the Spark-batched
+    operator (several batch sizes) and the independent sequential port.
+    Any batching bug or semantic drift between the two implementations
+    shows up here before it shows up in the gate."""
+    import pathlib
+    import random
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tools"))
+    from lincode_oracle import assign as port_assign
+
+    for seed, batch_size in [(7, 3), (11, 5), (42, 64)]:
+        rng = random.Random(seed)
+        profs = []
+        for i in range(40):
+            n = rng.randint(2, 7)
+            vec = [
+                rng.choice(["A", "R", "N", "1", "2", "0"]) for _ in range(n)
+            ]
+            profs.append((f"{i:02d}", vec))
+        # plant exact duplicates
+        profs.append(("90", list(profs[3][1])))
+        profs.append(("91", list(profs[17][1])))
+        want = dict(port_assign(profs))
+        df = spark.createDataFrame(
+            profs, "profile_key string, profile array<string>"
+        )
+        got = {
+            r.profile_key: list(r.lincode)
+            for r in assign_lincodes(
+                spark, df, thresholds=[2, 1], batch_size=batch_size
+            ).collect()
+        }
+        assert got == want, f"divergence at seed={seed} batch={batch_size}"
+        # planted duplicates share their original's code
+        assert got["90"] == got["03"] and got["91"] == got["17"]
