@@ -641,3 +641,30 @@ def to_embl(contigs: DataFrame, tags: DataFrame, fmt: str = "embl") -> str:
         .orderBy("seqbin_id")
         .collect()
     )
+
+
+def write_gff3(
+    contigs: DataFrame,
+    tags: DataFrame,
+    path: str,
+    source: str = "bigsdb_spark",
+    igv: bool = False,
+) -> None:
+    """Distributed GFF3 write — the scale path for bulk tag-annotated
+    export (the string ``to_gff3`` is the per-isolate download). Feature
+    lines land partitioned by rendering task; readers that need
+    per-contig grouping sort on (seqbin_id, start_pos), which the line
+    columns carry."""
+    gff3_feature_lines(contigs, tags, source=source, igv=igv).select(
+        "line"
+    ).write.mode("overwrite").text(path)
+
+
+def write_embl(
+    contigs: DataFrame, tags: DataFrame, path: str, fmt: str = "embl"
+) -> None:
+    """Distributed EMBL/GenBank write: one flat-file record per contig,
+    one output row per record (records contain newlines; stored as a
+    single text column per contig in parquet so the record boundary
+    survives — plain .text would split on the internal newlines)."""
+    embl_records(contigs, tags, fmt=fmt).write.mode("overwrite").parquet(path)

@@ -315,3 +315,23 @@ def test_seqbin_export_plugin_rejects_stray_options(seqbin):
         DEFAULT_REGISTRY.run_inline(
             "SeqbinExport", contigs, tags=tags, fmt="embl", igv=True
         )
+
+
+def test_distributed_gff3_and_embl_writers(spark, tmp_path, seqbin):
+    """Scale-path writers: GFF3 feature lines land as text; EMBL
+    records keep their internal newlines by writing parquet (one row
+    per contig record)."""
+    from bigsdb_spark.sources.sinks import write_embl, write_gff3
+
+    contigs, tags = seqbin
+    gff_path = str(tmp_path / "out_gff3")
+    write_gff3(contigs, tags, gff_path)
+    lines = [r.value for r in spark.read.text(gff_path).collect()]
+    assert len(lines) == 3 and all("\t" in l for l in lines)
+
+    embl_path = str(tmp_path / "out_embl")
+    write_embl(contigs, tags, embl_path, fmt="genbank")
+    back = spark.read.parquet(embl_path)
+    assert back.count() == 2
+    rec = back.filter("seqbin_id = 2").collect()[0]["record"]
+    assert rec.startswith("LOCUS") and rec.endswith("//\n")
