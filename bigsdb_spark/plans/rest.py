@@ -275,3 +275,37 @@ def route_scheme(
         values["profile_count"] = profiles.count()
         values["profiles"] = f"{base}/schemes/{scheme_id}/profiles"
     return values
+
+
+def route_genomes_list(
+    view,
+    seqbin_stats,
+    base: str,
+    page: int = 1,
+    page_size: int = 100,
+    min_genome_size: int = 1_000_000,
+    id_col: str = "id",
+    date_entered_col: str | None = None,
+    datestamp_col: str | None = None,
+) -> dict:
+    """GET /db/:db/genomes (REST/Routes/Isolates.pm:73-113
+    _get_genomes): the isolates route restricted to records whose
+    sequence bin reaches the minimum genome size (default
+    MIN_GENOME_SIZE = 1 Mbp, Constants.pm:42-43) — one semi-join
+    against the seqbin stats frame, then the same count/paging/links
+    envelope."""
+    from pyspark.sql import functions as F
+
+    big_enough = seqbin_stats.filter(
+        F.col("total_length") >= min_genome_size
+    ).select(F.col("isolate_id").alias(id_col)).distinct()
+    genomes = view.join(big_enough, on=id_col, how="left_semi")
+    return route_isolates_list(
+        genomes,
+        base,
+        page=page,
+        page_size=page_size,
+        id_col=id_col,
+        date_entered_col=date_entered_col,
+        datestamp_col=datestamp_col,
+    )

@@ -322,3 +322,21 @@ def test_rest_scheme_route(spark):
     assert got["locus_count"] == 2
     assert got["loci"] == ["/db/test/loci/abcZ", "/db/test/loci/adk"]
     assert got["profile_count"] == 3
+
+
+def test_rest_genomes_list_route(spark):
+    from bigsdb_spark.plans.rest import route_genomes_list
+
+    view = spark.createDataFrame(
+        [(i,) for i in range(1, 11)], "id int"
+    )
+    sb = spark.createDataFrame(
+        [(i, 2_000_000 if i % 2 == 0 else 50_000) for i in range(1, 11)],
+        "isolate_id int, total_length long",
+    )
+    got = route_genomes_list(view, sb, "/db/test", page=1, page_size=3)
+    assert got["records"] == 5  # even ids only
+    assert got["isolates"] == [
+        "/db/test/isolates/2", "/db/test/isolates/4", "/db/test/isolates/6",
+    ]
+    assert got["paging"]["pages"] == 2
