@@ -306,15 +306,27 @@ def ivf_kmeans_ann(
     n_centroids: int = 16,
     top_k: int = 5,
     seed: int = 42,
+    n_probe: int = 1,
 ) -> DataFrame:
     """True IVF: k-means|| coarse centroids (Spark MLlib) partition the
-    corpus; per-query search runs only inside the query's own cell.
+    corpus into inverted lists; each query searches its ``n_probe``
+    closest cells (standard multi-probe IVF — ``n_probe=1`` is the
+    classic own-cell search, ``n_probe=n_centroids`` degrades to exact
+    brute force over every list).
 
-    Returns per-vector top-k neighbours within its cell:
-    (qid, nn_id, cosine, centroid). Recall/cost trades with
-    ``n_centroids`` — the standard IVF knob. The centroid assignment is
-    one MLlib transform; the search is a self-equi-join on the centroid
-    id (hash join), never a cross join.
+    Returns per-vector top-k neighbours within the probed cells:
+    (qid, nn_id, cosine, centroid). Recall/cost trades with BOTH knobs:
+    more centroids = smaller lists (cheaper, lower recall); more probes
+    = more lists per query (costlier, higher recall). The corpus side
+    keeps its single k-means assignment (the inverted lists); the probe
+    list is computed per query as a pure expression — squared-L2 to
+    each broadcast centroid literal, array_sort, slice — so probing
+    adds no Python and no extra shuffle beyond the (exploded) query
+    rows. The search stays a self-equi-join on the centroid id (hash
+    join), never a cross join; the query side is repartitioned so the
+    per-cell expansion does not serialize when the build side is
+    broadcast and the corpus arrives as one parquet split (same lesson
+    as bucketed_ann_pairs).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -330,10 +342,35 @@ def ivf_kmeans_ann(
     assigned = model.transform(feat).select(
         "id", "e", F.col("prediction").alias("centroid"), _norm(F.col("e")).alias("n")
     )
+    n_probe = max(1, min(n_probe, n_centroids))
+    # (squared-L2-to-centroid, cid) structs; array_sort orders by the
+    # first struct field, so slicing gives the n_probe closest cells
+    probe_structs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("e"),
+                        F.array(*[F.lit(float(x)) for x in center]),
+                        lambda x, y: (x.cast("double") - y)
+                        * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                F.lit(ci).alias("cid"),
+            )
+            for ci, center in enumerate(model.clusterCenters())
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(probe_structs), 1, n_probe), lambda s: s["cid"]
+    )
+    par = emb.sparkSession.sparkContext.defaultParallelism
     a = assigned.select(
         F.col("id").alias("qid"), F.col("e").alias("e1"),
-        F.col("n").alias("n1"), "centroid",
-    )
+        F.col("n").alias("n1"), F.explode(probes).alias("centroid"),
+    ).repartition(par)
     b = assigned.select(
         F.col("id").alias("nn_id"), F.col("e").alias("e2"),
         F.col("n").alias("n2"), "centroid",

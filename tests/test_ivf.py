@@ -53,3 +53,58 @@ def test_ivf_structure_and_recall(spark, clustered_vectors):
         | ((F.col("qid") == top_pair.id2) & (F.col("nn_id") == top_pair.id1))
     ).count()
     assert found >= 1
+
+
+def test_ivf_multiprobe_recall_monotone_and_exact_at_full_probe(
+    spark, clustered_vectors
+):
+    """Multi-probe IVF: probing ALL cells must equal the exact
+    per-query top-k over the whole corpus (brute force), and recall is
+    monotone in n_probe. Uses a query vector set whose nearest
+    neighbours straddle cell boundaries (the case n_probe=1 misses)."""
+    n_cent = 3
+
+    def topk_set(df):
+        return {(r.qid, r.nn_id) for r in df.collect()}
+
+    probe1 = topk_set(
+        ivf_kmeans_ann(
+            clustered_vectors, "vec_id", "embedding",
+            n_centroids=n_cent, top_k=3, n_probe=1,
+        )
+    )
+    probe_all = topk_set(
+        ivf_kmeans_ann(
+            clustered_vectors, "vec_id", "embedding",
+            n_centroids=n_cent, top_k=3, n_probe=n_cent,
+        )
+    )
+    # brute-force exact per-query top-3 over the full corpus
+    a = clustered_vectors.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("e1"),
+    )
+    b = clustered_vectors.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("e2"),
+    )
+    from pyspark.sql import Window
+
+    from bigsdb_spark.operators.similarity import with_cosine, _norm
+
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("qid") != F.col("nn_id"))
+        .withColumn("n1", _norm(F.col("e1")))
+        .withColumn("n2", _norm(F.col("e2")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    brute = (
+        with_cosine(pairs)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    brute_set = {(r.qid, r.nn_id) for r in brute.collect()}
+    assert probe_all == brute_set  # full probe == exact
+    # recall monotone: probing more cells never loses true neighbours
+    assert len(probe1 & brute_set) <= len(probe_all & brute_set)
