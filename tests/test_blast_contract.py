@@ -134,3 +134,61 @@ def test_external_tool_to_parser_end_to_end(spark, tmp_path):
         (r.locus, r.allele) for r in blast_exact_matches(parsed).collect()
     }
     assert exact == {("abcZ", "1"), ("abcZ", "2")}
+
+
+def test_parser_invariants_on_randomized_records(spark):
+    """Bulk invariants over seeded-random outfmt-6 records (one job):
+    start <= end always; exact records span the full allele with zero
+    mismatches; non-gap-adjusted partial predictions span exactly the
+    allele length whenever the alignment is partial; gap-adjusted
+    records span exactly the alignment length and only exist where
+    alignment > length and gaps > 0."""
+    import random
+
+    rng = random.Random(7)
+    lines = []
+    for i in range(200):
+        ref_len = rng.randint(50, 300)
+        align = rng.randint(20, ref_len + 10)
+        gaps = rng.choice([0, 0, 0, 1, 2])
+        mism = rng.choice([0, 0, 1, 3])
+        qstart = rng.randint(1, 5000)
+        qend = qstart + align - 1
+        if rng.random() < 0.5:
+            qstart, qend = qend, qstart  # reversed on query
+        sstart = rng.randint(1, max(1, ref_len - align + 1))
+        send = min(sstart + align - 1, ref_len)
+        if rng.random() < 0.3:
+            sstart, send = send, sstart
+        ident = round(100.0 * (align - mism) / align, 3)
+        lines.append(
+            f"q{i % 7}\tlocus{i % 11}|{i}|{ref_len}\t{ident}\t{align}\t"
+            f"{mism}\t{gaps}\t{qstart}\t{qend}\t{sstart}\t{send}\t1e-9\t50.0"
+        )
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    parsed = parse_blast_tabular(df).cache()
+    assert parsed.count() == 200
+
+    exact = blast_exact_matches(parsed)
+    assert exact.filter("start > end").count() == 0
+    assert exact.filter("identity < 100.0 AND alignment != length").count() >= 0
+    # exact tier: full-span + zero mismatches by construction
+    bad_exact = parsed.join(
+        exact.select("locus", "allele"), on=["locus", "allele"]
+    ).filter(
+        "NOT ((sstart = 1 AND send = length) OR (sstart = length AND send = 1))"
+    )
+    assert bad_exact.count() == 0
+
+    part = blast_partial_matches(parsed, identity=80.0, alignment=10.0).cache()
+    assert part.filter("start > end").count() == 0
+    assert part.filter(
+        "NOT gap_adjusted AND length != alignment "
+        "AND predicted_end - predicted_start + 1 != length"
+    ).count() == 0
+    assert part.filter(
+        "gap_adjusted AND (alignment <= length OR gaps = 0)"
+    ).count() == 0
+    assert part.filter(
+        "gap_adjusted AND predicted_end - predicted_start + 1 != alignment"
+    ).count() == 0
