@@ -111,13 +111,15 @@ def translate_dna(col: Column) -> Column:
     return _translate_udf(col)
 
 
-def is_complete_cds(col: Column) -> Column:
+def is_complete_cds(col: Column, peptide: Column | None = None) -> Column:
     """F3: starts with a start codon, ends with a stop codon, length % 3
-    == 0, no internal stop (checked on the translation)."""
+    == 0, no internal stop (checked on the translation). Pass
+    ``peptide`` when the translation is already materialized in the
+    plan to avoid a second pandas-UDF pass over the same sequence."""
     up = F.upper(col)
     starts = F.substring(up, 1, 3).isin(*START_CODONS)
     ends = F.substring(up, -3, 3).isin(*STOP_CODONS)
     len_ok = F.length(up) % 3 == 0
-    pep = translate_dna(up)
+    pep = translate_dna(up) if peptide is None else peptide
     no_internal_stop = ~F.substr(pep, F.lit(1), F.length(pep) - 1).contains("*")
     return starts & ends & len_ok & no_internal_stop

@@ -88,12 +88,21 @@ def s8_list_semijoin(spark, sf_dir):
     UNION ALL
     SELECT 'not_null_inclusive' AS kind, p_partkey AS entity_id FROM part
     WHERE NOT (upper(p_brand) = upper('brand#33')) OR p_brand IS NULL
+    UNION ALL
+    SELECT 'contains' AS kind, p_partkey AS entity_id FROM part
+    WHERE contains(upper(p_name), 'RED')
+    UNION ALL
+    SELECT 'starts_ends' AS kind, p_partkey AS entity_id FROM part
+    WHERE starts_with(upper(p_name), 'SMALL') AND ends_with(upper(p_type), 'OMY')
     """,
 )
 def p1_p2(spark, sf_dir):
-    """P1 + P2: '=' is UPPER(f)=UPPER(v) (IsolateQueryPage.pm:2471-2532)
-    and NOT keeps NULL rows — deliberately not SQL 3VL
-    (IsolateQueryPage.pm:2329-2332)."""
+    """P1-P4 predicate suite: '=' is UPPER(f)=UPPER(v)
+    (IsolateQueryPage.pm:2471-2532); NOT keeps NULL rows — deliberately
+    not SQL 3VL (:2329-2332); contains == ILIKE '%v%' (:2545-2593);
+    'starts with'/'ends with' (:2337-2344). Consolidated from the r2
+    entries p1_p2_null_semantics + p3_p4_substring (same (kind, key)
+    shape) to free a gate slot for the f11_f12_d11 scan suite."""
     c = tbl(spark, sf_dir, "customer")
     p = tbl(spark, sf_dir, "part")
     eq = c.filter(build_predicate(F.col("c_mktsegment"), "=", "building")).select(
@@ -103,31 +112,16 @@ def p1_p2(spark, sf_dir):
         F.lit("not_null_inclusive").alias("kind"),
         F.col("p_partkey").alias("entity_id"),
     )
-    return eq.unionByName(nn)
-
-
-@register(
-    "p3_p4_substring",
-    oracle="""
-    SELECT 'contains' AS kind, p_partkey FROM part
-    WHERE contains(upper(p_name), 'RED')
-    UNION ALL
-    SELECT 'starts_ends' AS kind, p_partkey FROM part
-    WHERE starts_with(upper(p_name), 'SMALL') AND ends_with(upper(p_type), 'OMY')
-    """,
-)
-def p3_p4(spark, sf_dir):
-    """P3 + P4: contains == ILIKE '%v%' (IsolateQueryPage.pm:2545-2593);
-    'starts with'/'ends with' (:2337-2344)."""
-    p = tbl(spark, sf_dir, "part")
     c3 = p.filter(build_predicate(F.col("p_name"), "contains", "RED")).select(
-        F.lit("contains").alias("kind"), "p_partkey"
+        F.lit("contains").alias("kind"), F.col("p_partkey").alias("entity_id")
     )
     c4 = p.filter(
         build_predicate(F.col("p_name"), "starts with", "small")
         & build_predicate(F.col("p_type"), "ends with", "omy")
-    ).select(F.lit("starts_ends").alias("kind"), "p_partkey")
-    return c3.unionByName(c4)
+    ).select(
+        F.lit("starts_ends").alias("kind"), F.col("p_partkey").alias("entity_id")
+    )
+    return eq.unionByName(nn).unionByName(c3).unionByName(c4)
 
 
 @register(

@@ -262,3 +262,14 @@ def test_streaming_profile_cache_is_single_stateful_operator(spark, tmp_path):
     logical = cache._jdf.queryExecution().analyzed().toString()
     assert "FlatMapGroupsInPandasWithState" in logical
     assert "Join" not in logical
+
+
+def test_scan_suite_joins_are_hash_joins(spark):
+    """F11/F12/D11 scan suite: window->allele and primer-occurrence
+    pairing are equi-joins (the md5-window / primer-window keys), never
+    a cartesian sequence comparison; the small allele/primer/mutation
+    dims broadcast."""
+    plan = plan_of(QUERIES["f11_f12_d11_scan_suite"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
