@@ -143,8 +143,6 @@ def a4_dashboard(spark, sf_dir):
     (DashboardPage.pm:1524) and the chart top-N labels (NULL coalesced
     to 'No value', :2196) plus an 'Others' bucket rolling up the tail
     (:2242)."""
-    from pyspark.sql import Window
-
     hist = histogram(tbl(spark, sf_dir, "orders"), "o_totalprice", 25000.0).select(
         F.lit("hist").alias("kind"),
         F.col("bin").cast("string").alias("label"),
@@ -155,14 +153,23 @@ def a4_dashboard(spark, sf_dir):
     counts = e.groupBy(
         F.coalesce(F.col("event_type"), F.lit("No value")).alias("label")
     ).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.desc("n"), F.asc("label"))
-    ranked = counts.withColumn("rnk", F.row_number().over(w))
-    top = ranked.filter(F.col("rnk") <= 3).select("label", "n")
+    # top-3 via global sort+limit (TakeOrderedAndProject: per-partition
+    # top-N then a driver merge of N-row heads — no single-partition
+    # Window shuffle); the 'Others' tail is total minus top, two
+    # singleton aggregates. The (n desc, label asc) order is total
+    # (labels unique), so limit(3) selects exactly the row_number()<=3
+    # rows.
+    top = counts.orderBy(F.desc("n"), F.asc("label")).limit(3).select("label", "n")
+    totals = counts.agg(
+        F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_n_labels")
+    )
     others = (
-        ranked.filter(F.col("rnk") > 3)
-        .agg(F.sum("n").alias("n"))
-        .filter(F.col("n").isNotNull())
-        .select(F.lit("Others").alias("label"), F.col("n").cast("long").alias("n"))
+        totals.crossJoin(top.agg(F.sum("n").alias("_top")))
+        .filter(F.col("_n_labels") > 3)
+        .select(
+            F.lit("Others").alias("label"),
+            (F.col("_total") - F.col("_top")).cast("long").alias("n"),
+        )
     )
     topn = top.unionByName(others).select(
         F.lit("topn").alias("kind"),
