@@ -44,7 +44,20 @@ def _sim_ivf(spark, sf_dir):
     )
 
 
-EXTRA = {"sim_brute_topk_np": _sim_topk_np, "sim_ivf_kmeans": _sim_ivf}
+def _dedup_minhash(spark, sf_dir):
+    # un-gated in r3 (its pair set is exactly dedup_ngram_jaccard's
+    # oracle-checked row set) but still benched: candidate generation
+    # without the verify join is the cost that matters at corpus scale
+    from bigsdb_spark.inventory.llm import dedup_minhash
+
+    return dedup_minhash(spark, sf_dir)
+
+
+EXTRA = {
+    "sim_brute_topk_np": _sim_topk_np,
+    "sim_ivf_kmeans": _sim_ivf,
+    "dedup_minhash_lsh": _dedup_minhash,
+}
 
 HEADLINE = [
     "s1_view_scan",
@@ -67,6 +80,7 @@ HEADLINE = [
     "sim_brute_topk_np",
     "sim_bucketed_ann",
     "t_text_suite",
+    "t_policy_suite",
     "stream_sessionize",
 ]
 

@@ -254,14 +254,16 @@ _LSH_CTE = f"""
 """
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"WITH {_LSH_CTE} SELECT doc1, doc2 FROM cand",
-)
 def dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup candidates: shingle -> md5-minhash signature
     (8 hashes) -> 4 bands of 2 -> bucket equi-join. The join key is the
-    band bucket, so candidate generation is a hash join, never O(n²)."""
+    band bucket, so candidate generation is a hash join, never O(n²).
+
+    Benched (bench.py EXTRA, name dedup_minhash_lsh) but no longer a
+    separate gate entry: its output is exactly the (doc1, doc2) pair
+    set of dedup_ngram_jaccard, whose oracle recomputes the SAME
+    candidate CTE — the value check is subsumed row-for-row, and the
+    freed slot funds t_policy_suite."""
     sh = word_shingles(tbl(spark, sf_dir, "documents"), "doc_id", "text", k=3)
     sig = minhash_signatures(sh, n_hashes=8)
     return lsh_candidate_pairs(sig, n_hashes=8, band_size=2)
@@ -440,3 +442,152 @@ def mm_suite(spark, sf_dir):
         ],
     )
     return meta.join(feats, on="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus-policy suite fixtures — the PII plant is single-sourced SQL
+# (documents carry no natural PII, so deterministic addresses/IPs/phones
+# are appended to every 10th doc; both engines evaluate this exact
+# spelling, implicit bigint->string casts included).
+_PII_PLANT_SQL = (
+    "concat(text, ' email a', doc_id, '@ex.com ip 10.1.', doc_id % 250, '.9',"
+    " CASE WHEN doc_id % 20 = 0"
+    " THEN concat(' second b', doc_id, '@ex.org phone 555-123-4567')"
+    " ELSE '' END)"
+)
+
+
+def _policy_oracle() -> str:
+    from bigsdb_spark.operators.corpus import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               length(replace(text, ' ', '')) AS chars
+        FROM documents),
+    g2 AS (
+        SELECT doc_id, chars,
+               array_to_string(list_slice(t, CAST(u.i AS INT),
+                                          CAST(u.i + 1 AS INT)), ' ') AS gram
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+    c2 AS (SELECT doc_id, chars, gram, count(*) AS c,
+                  length(replace(gram, ' ', '')) AS gc
+           FROM g2 GROUP BY 1, 2, 3),
+    t2 AS (SELECT doc_id, max(c * gc) AS topw FROM c2 GROUP BY 1),
+    g5 AS (
+        SELECT doc_id, chars,
+               array_to_string(list_slice(t, CAST(u.i AS INT),
+                                          CAST(u.i + 4 AS INT)), ' ') AS gram
+        FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)),
+    c5 AS (SELECT doc_id, chars, gram, count(*) AS c,
+                  length(replace(gram, ' ', '')) AS gc
+           FROM g5 GROUP BY 1, 2, 3),
+    d5 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c * gc ELSE 0 END) AS dupw
+           FROM c5 GROUP BY 1),
+    rep AS (
+        SELECT tk.doc_id,
+               CASE WHEN chars > 0
+                    THEN round(coalesce(topw, 0) / chars, 6) ELSE 0.0 END AS f_top2,
+               CASE WHEN chars > 0
+                    THEN round(coalesce(dupw, 0) / chars, 6) ELSE 0.0 END AS f_dup5
+        FROM toks tk
+        LEFT JOIN t2 ON t2.doc_id = tk.doc_id
+        LEFT JOIN d5 ON d5.doc_id = tk.doc_id),
+    dg AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(t, CAST(u.i AS INT),
+                                             CAST(u.i + 4 AS INT)), ' ') AS gram
+           FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)),
+    bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 40 = 0),
+    contam AS (
+        SELECT dg.doc_id, count(*) AS n_hits
+        FROM dg JOIN bg ON bg.gram = dg.gram GROUP BY 1),
+    pii AS (
+        SELECT doc_id, {_PII_PLANT_SQL} AS ptext FROM documents
+        WHERE doc_id % 10 = 0)
+    SELECT 'rep' AS kind, CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN f_top2 <= 0.20 AND f_dup5 <= 0.15
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS n_a,
+           CAST(NULL AS BIGINT) AS n_b, CAST(NULL AS BIGINT) AS n_c,
+           f_top2 AS f_a, f_dup5 AS f_b, CAST(NULL AS VARCHAR) AS s
+    FROM rep
+    UNION ALL
+    SELECT 'contam', CAST(doc_id AS BIGINT), CAST(n_hits AS BIGINT),
+           NULL, NULL, NULL, NULL, NULL
+    FROM contam
+    UNION ALL
+    SELECT 'pii', CAST(doc_id AS BIGINT),
+           CAST(len(regexp_extract_all(ptext, '{EMAIL_RE}')) AS BIGINT),
+           CAST(len(regexp_extract_all(ptext, '{IPV4_RE}')) AS BIGINT),
+           CAST(len(regexp_extract_all(ptext, '{PHONE_RE}')) AS BIGINT),
+           NULL, NULL,
+           md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+               '{EMAIL_RE}', '[EMAIL]', 'g'),
+               '{PHONE_RE}', '[PHONE]', 'g'),
+               '{IPV4_RE}', '[IP]', 'g'))
+    FROM pii
+    """
+
+
+@register("t_policy_suite", oracle=_policy_oracle())
+def t_policy_suite(spark, sf_dir):
+    """Corpus-policy suite (operators/corpus.py): Gopher-style
+    repetition fractions + keep/drop flag (top-2-gram and duplicated-
+    5-gram character fractions; Rae et al. 2021 §A1.1 re-expressed as
+    explode + combinable groupBy), benchmark decontamination (distinct
+    5-gram equi-join against a planted benchmark subset — the broadcast
+    train/test overlap scrub), and PII count + redaction (regexp
+    expressions over deterministically planted addresses; the redacted
+    text is value-checked via md5 against an independent DuckDB regex
+    engine)."""
+    from bigsdb_spark.operators.corpus import (
+        benchmark_ngram_hits,
+        gopher_repetition_flags,
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    nul_l = F.lit(None).cast("long")
+    nul_d = F.lit(None).cast("double")
+    nul_s = F.lit(None).cast("string")
+
+    rep = gopher_repetition_flags(docs, "doc_id", "text").select(
+        F.lit("rep").alias("kind"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rep_ok").cast("long").alias("n_a"),
+        nul_l.alias("n_b"),
+        nul_l.alias("n_c"),
+        F.col("top2_frac").alias("f_a"),
+        F.col("dup5_frac").alias("f_b"),
+        nul_s.alias("s"),
+    )
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    contam = benchmark_ngram_hits(docs, bench, "doc_id", "text", n=5).select(
+        F.lit("contam").alias("kind"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_hits").alias("n_a"),
+        nul_l.alias("n_b"),
+        nul_l.alias("n_c"),
+        nul_d.alias("f_a"),
+        nul_d.alias("f_b"),
+        nul_s.alias("s"),
+    )
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.expr(_PII_PLANT_SQL).alias("text")
+    )
+    pii = pii_counts(planted, "doc_id", "text").join(
+        planted.select(
+            "doc_id", F.md5(redact_pii(F.col("text"))).alias("red_md5")
+        ),
+        on="doc_id",
+    ).select(
+        F.lit("pii").alias("kind"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_email").alias("n_a"),
+        F.col("n_ipv4").alias("n_b"),
+        F.col("n_phone").alias("n_c"),
+        nul_d.alias("f_a"),
+        nul_d.alias("f_b"),
+        F.col("red_md5").alias("s"),
+    )
+    return rep.unionByName(contam).unionByName(pii)

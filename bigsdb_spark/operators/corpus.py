@@ -1,0 +1,302 @@
+"""Corpus-policy operators for training-data pipelines: repetition
+quality filters, PII detection/redaction, benchmark decontamination,
+and deterministic sampling/mixing.
+
+All hot paths are JVM-side expressions or hash equi-joins:
+
+- repetition stats explode word n-grams and aggregate per document —
+  one shuffle on (doc, gram), map-side combinable, linear in corpus
+  size (the Gopher-style repetition filters of Rae et al. 2021 §A1.1,
+  re-expressed relationally; thresholds differ — see
+  ``gopher_repetition_flags``);
+- PII counting/redaction is ``regexp_count``/``regexp_replace`` —
+  pure codegen expressions, zero shuffle;
+- decontamination is the standard train/test n-gram-overlap scrub
+  (as published for GPT-3/Llama dataset preparation): distinct
+  benchmark n-grams equi-joined against document n-grams. The
+  benchmark side is tiny relative to the corpus, so Spark broadcasts
+  it and the scan stays one pass over the corpus;
+- sampling is deterministic hashing (xxhash64) — no shuffle, no RNG
+  state, reproducible across runs and executors, and stable under
+  repartitioning (the property driver-side ``df.sample`` lacks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# word n-grams (whitespace tokens — the corpus-policy family works on
+# the raw text spelling; the dedup family's normalized_text shingles
+# stay separate because policy filters must see original casing /
+# punctuation)
+
+
+def word_tokens(text_col: Column) -> Column:
+    return F.split(text_col, " ")
+
+
+def word_ngram_array(text_col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams; empty when the document has
+    fewer than ``n`` tokens (guarded — F.sequence(1, 0) would produce a
+    DESCENDING [1, 0])."""
+    toks = word_tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _gram_counts(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram, cnt, gram_chars) — one explode + one combinable
+    groupBy; gram_chars excludes the joining spaces."""
+    ex = df.select(
+        F.col(id_col),
+        F.explode(word_ngram_array(F.col(text_col), n)).alias("gram"),
+    )
+    return ex.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first(F.length(F.regexp_replace("gram", " ", ""))).alias("gram_chars"),
+    )
+
+
+def _doc_chars(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.length(F.regexp_replace(F.col(text_col), " ", "")).alias("_chars"),
+    )
+
+
+def top_ngram_char_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Per document: (occurrences x characters) of the heaviest word
+    n-gram, as a fraction of the document's non-space characters
+    (the max is over cnt*chars directly, so ties need no ordering
+    tiebreak). Documents with fewer than ``n`` tokens score 0.0.
+
+    Returns (id, frac) with frac rounded to 6dp.
+    """
+    heaviest = (
+        _gram_counts(df, id_col, text_col, n)
+        .groupBy(id_col)
+        .agg(F.max(F.col("cnt") * F.col("gram_chars")).alias("_top"))
+    )
+    return (
+        _doc_chars(df, id_col, text_col)
+        .join(heaviest, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("_chars") > 0,
+                F.round(F.coalesce(F.col("_top"), F.lit(0)) / F.col("_chars"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("frac"),
+        )
+    )
+
+
+def dup_ngram_char_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Per document: characters inside word n-grams that occur more than
+    once, as a fraction of non-space characters (every occurrence of a
+    repeated gram counts — the relational analogue of the duplicated
+    n-gram filters; overlap-free span accounting would need a
+    sequential pass and changes thresholds, not ordering).
+
+    Returns (id, frac), 6dp.
+    """
+    dup = (
+        _gram_counts(df, id_col, text_col, n)
+        .filter(F.col("cnt") >= 2)
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("gram_chars")).alias("_dup"))
+    )
+    return (
+        _doc_chars(df, id_col, text_col)
+        .join(dup, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("_chars") > 0,
+                F.round(F.coalesce(F.col("_dup"), F.lit(0)) / F.col("_chars"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("frac"),
+        )
+    )
+
+
+def gopher_repetition_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_top2_frac: float = 0.20,
+    max_dup5_frac: float = 0.15,
+) -> DataFrame:
+    """Join the two repetition fractions and flag documents that pass
+    both bounds — the composable keep/drop decision a corpus pass
+    filters on. Returns (id, top2_frac, dup5_frac, rep_ok)."""
+    top2 = top_ngram_char_fraction(df, id_col, text_col, 2).withColumnRenamed(
+        "frac", "top2_frac"
+    )
+    dup5 = dup_ngram_char_fraction(df, id_col, text_col, 5).withColumnRenamed(
+        "frac", "dup5_frac"
+    )
+    return top2.join(dup5, on=id_col).select(
+        F.col(id_col),
+        "top2_frac",
+        "dup5_frac",
+        (
+            (F.col("top2_frac") <= max_top2_frac)
+            & (F.col("dup5_frac") <= max_dup5_frac)
+        )
+        .cast("int")
+        .alias("rep_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII — regex patterns shared verbatim with the DuckDB oracle (both
+# engines speak this subset identically; no backrefs, no lookarounds)
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b"
+PHONE_RE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+
+def pii_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_email, n_ipv4, n_phone) — regexp_count expressions, one
+    scan, no shuffle."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phone"),
+    )
+
+
+def redact_pii(text_col: Column) -> Column:
+    """Replace emails -> [EMAIL], phones -> [PHONE], IPv4 -> [IP].
+    Email first (its local part may contain digit runs), then the more
+    specific phone shape, then bare IPs — a fixed order so redaction is
+    deterministic."""
+    out = F.regexp_replace(text_col, EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, PHONE_RE, "[PHONE]")
+    return F.regexp_replace(out, IPV4_RE, "[IP]")
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+
+
+def benchmark_ngram_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """Documents sharing at least one word ``n``-gram with the benchmark
+    set -> (id, n_hits) where n_hits counts DISTINCT contaminated grams
+    (occurrence multiplicity is irrelevant to the keep/drop decision).
+
+    Plan shape: distinct benchmark grams (small — benchmarks are a few
+    thousand documents against a multi-billion-document corpus) hash-
+    joined against distinct per-document grams; Spark broadcasts the
+    benchmark side under AQE, so the corpus is scanned once with no
+    corpus-side shuffle before the per-document count.
+    """
+    bcol = bench_text_col or text_col
+    bench_grams = benchmark.select(
+        F.explode(word_ngram_array(F.col(bcol), n)).alias("gram")
+    ).distinct()
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(word_ngram_array(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    return (
+        doc_grams.join(bench_grams, on="gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop documents with >= min_hits contaminated n-grams (left-anti
+    join against the hit list)."""
+    hits = benchmark_ngram_hits(
+        docs, benchmark, id_col, text_col, bench_text_col, n
+    ).filter(F.col("n_hits") >= min_hits)
+    return docs.join(hits.select(id_col), on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / corpus mixing
+
+_BUCKETS = 1_000_000
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float, seed: int = 0) -> DataFrame:
+    """Keep ~rate of rows by hashing the key — deterministic (same rows
+    every run and after any repartition), no shuffle, no RNG state; the
+    sampling decision is a pure filter expression so it pushes into the
+    scan stage."""
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(_BUCKETS))
+    return df.filter(bucket < int(rate * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rates: dict,
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum hash sampling with a literal rate map — the corpus
+    mixing primitive (e.g. downsample web text, keep all reference
+    text). Still a single filter expression: no shuffle, no join."""
+    pairs = []
+    for k, v in rates.items():
+        pairs.extend([F.lit(k), F.lit(int(v * _BUCKETS))])
+    limit = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col)),
+        F.lit(int(default_rate * _BUCKETS)),
+    )
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(_BUCKETS))
+    return df.filter(bucket < limit)
+
+
+def temperature_weights(
+    counts: DataFrame, group_col: str, n_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-based mixture weights w_i = n_i^alpha / sum(n^alpha)
+    (the multilingual/multi-source sampling scheme of the XLM-R /
+    multilingual-BERT lineage). ``counts`` is one row per source —
+    dimension-sized — so the normalizer is a singleton aggregate
+    cross-joined back (broadcast)."""
+    powed = counts.select(
+        F.col(group_col), F.pow(F.col(n_col), F.lit(alpha)).alias("_p")
+    )
+    total = powed.agg(F.sum("_p").alias("_z"))
+    return powed.crossJoin(F.broadcast(total)).select(
+        F.col(group_col),
+        F.round(F.col("_p") / F.col("_z"), 6).alias("weight"),
+    )

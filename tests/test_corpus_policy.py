@@ -1,0 +1,227 @@
+"""Corpus-policy operators (operators/corpus.py) cross-checked against
+DuckDB recomputations on the driver testdata plus hand-built PII
+fixtures: repetition fractions, PII count/redaction, benchmark
+decontamination, and deterministic hash sampling (determinism, rate,
+and plan shape — the sample filter must not introduce an Exchange).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bigsdb_spark.operators.corpus import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    benchmark_ngram_hits,
+    decontaminate,
+    dup_ngram_char_fraction,
+    gopher_repetition_flags,
+    hash_sample,
+    pii_counts,
+    redact_pii,
+    stratified_sample,
+    temperature_weights,
+    top_ngram_char_fraction,
+    word_ngram_array,
+)
+from bigsdb_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"{SF}/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").select("doc_id", "text")
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def _frac_sql(n: int) -> str:
+    last = n - 1
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               length(replace(text, ' ', '')) AS chars
+        FROM documents),
+    grams AS (
+        SELECT doc_id, chars,
+               array_to_string(list_slice(t, CAST(u.i AS INT),
+                                          CAST(u.i + {last} AS INT)), ' ') AS gram
+        FROM toks, UNNEST(range(1, len(t) - {last} + 1)) AS u(i)),
+    cnt AS (
+        SELECT doc_id, chars, gram, count(*) AS c,
+               length(replace(gram, ' ', '')) AS gc
+        FROM grams GROUP BY 1, 2, 3),
+    top AS (SELECT doc_id, max(c * gc) AS topw,
+                   sum(CASE WHEN c >= 2 THEN c * gc ELSE 0 END) AS dupw
+            FROM cnt GROUP BY 1)
+    SELECT tk.doc_id,
+           CASE WHEN chars > 0
+                THEN round(coalesce(topw, 0) / chars, 6) ELSE 0.0 END,
+           CASE WHEN chars > 0
+                THEN round(coalesce(dupw, 0) / chars, 6) ELSE 0.0 END
+    FROM toks tk LEFT JOIN top ON top.doc_id = tk.doc_id
+    """
+
+
+def test_repetition_fractions_match_duckdb(spark, docs):
+    top2 = {
+        r["doc_id"]: r["frac"]
+        for r in top_ngram_char_fraction(docs, "doc_id", "text", 2).collect()
+    }
+    dup5 = {
+        r["doc_id"]: r["frac"]
+        for r in dup_ngram_char_fraction(docs, "doc_id", "text", 5).collect()
+    }
+    exp2 = {d: (t, u) for d, t, u in _duck(_frac_sql(2))}
+    exp5 = {d: (t, u) for d, t, u in _duck(_frac_sql(5))}
+    assert set(top2) == set(exp2) and set(dup5) == set(exp5)
+    for d in top2:
+        assert abs(top2[d] - exp2[d][0]) <= 1e-6, d
+        assert abs(dup5[d] - exp5[d][1]) <= 1e-6, d
+
+
+def test_repetition_flags_compose(spark, docs):
+    flags = gopher_repetition_flags(docs, "doc_id", "text").collect()
+    assert len(flags) == docs.count()
+    for r in flags:
+        expected = int(r["top2_frac"] <= 0.20 and r["dup5_frac"] <= 0.15)
+        assert r["rep_ok"] == expected
+
+
+PII_FIXTURE = [
+    (1, "reach me at alice.smith+work@example.co.uk or 10.0.42.7 thanks"),
+    (2, "call 555-123-4567 or 555-987-6543 (backup bob@corp.io)"),
+    (3, "no pii here, just 1.2 version numbers and a dot."),
+    (4, "two mails a@b.com c.d@e.org one ip 192.168.0.1 one phone 111-222-3333"),
+]
+
+
+def test_pii_counts_match_duckdb(spark):
+    df = spark.createDataFrame(PII_FIXTURE, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_counts(df, "doc_id", "text").collect()}
+    con = duckdb.connect()
+    for doc_id, text in PII_FIXTURE:
+        e, i, p = con.execute(
+            "SELECT len(regexp_extract_all(?, ?)), len(regexp_extract_all(?, ?)),"
+            " len(regexp_extract_all(?, ?))",
+            [text, EMAIL_RE, text, IPV4_RE, text, PHONE_RE],
+        ).fetchone()
+        assert got[doc_id]["n_email"] == e, doc_id
+        assert got[doc_id]["n_ipv4"] == i, doc_id
+        assert got[doc_id]["n_phone"] == p, doc_id
+    con.close()
+    # sanity anchors (catch a regex that matches nothing everywhere)
+    assert got[1]["n_email"] == 1 and got[1]["n_ipv4"] == 1
+    assert got[2]["n_phone"] == 2 and got[4]["n_email"] == 2
+
+
+def test_redact_pii_matches_duckdb_and_is_clean(spark):
+    df = spark.createDataFrame(PII_FIXTURE, "doc_id long, text string")
+    red = df.select("doc_id", redact_pii(F.col("text")).alias("red"))
+    got = {r["doc_id"]: r["red"] for r in red.collect()}
+    con = duckdb.connect()
+    for doc_id, text in PII_FIXTURE:
+        (exp,) = con.execute(
+            "SELECT regexp_replace(regexp_replace(regexp_replace("
+            "?, ?, '[EMAIL]', 'g'), ?, '[PHONE]', 'g'), ?, '[IP]', 'g')",
+            [text, EMAIL_RE, PHONE_RE, IPV4_RE],
+        ).fetchone()
+        assert got[doc_id] == exp, doc_id
+    con.close()
+    # redacted text carries no residual PII
+    residual = pii_counts(
+        red.withColumnRenamed("red", "text"), "doc_id", "text"
+    ).agg(F.sum(F.col("n_email") + F.col("n_ipv4") + F.col("n_phone"))).head()[0]
+    assert residual == 0
+
+
+def test_decontamination_matches_duckdb(spark, docs):
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    hits = benchmark_ngram_hits(docs, bench, "doc_id", "text", n=5)
+    got = {r["doc_id"]: r["n_hits"] for r in hits.collect()}
+    exp = dict(
+        _duck("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(t, CAST(u.i AS INT),
+                                              CAST(u.i + 4 AS INT)), ' ') AS gram
+            FROM toks, UNNEST(range(1, len(t) - 4 + 1)) AS u(i)),
+        dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+        bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 40 = 0)
+        SELECT dg.doc_id, count(*) FROM dg JOIN bg ON bg.gram = dg.gram
+        GROUP BY 1
+        """)
+    )
+    assert got == exp
+    # benchmark members are fully self-contaminated and get scrubbed
+    bench_ids = {r["doc_id"] for r in bench.collect()}
+    assert bench_ids <= set(got)
+    clean = decontaminate(docs, bench, "doc_id", "text", n=5)
+    clean_ids = {r["doc_id"] for r in clean.collect()}
+    assert clean_ids == {
+        r["doc_id"] for r in docs.collect()
+    } - set(got)
+
+
+def test_ngram_array_short_docs_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a",), ("",)], "text string")
+    rows = df.select(F.size(word_ngram_array(F.col("text"), 3)).alias("n")).collect()
+    assert [r["n"] for r in rows] == [0, 0, 0]
+
+
+def test_hash_sample_deterministic_rate_and_plan(spark, docs):
+    s1 = hash_sample(docs, "doc_id", 0.3, seed=7)
+    s2 = hash_sample(docs, "doc_id", 0.3, seed=7)
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in s2.collect())
+    n, total = len(ids1), docs.count()
+    assert 0.15 <= n / total <= 0.45  # 500 docs — loose binomial band
+    # different seed -> different (deterministic) subset
+    ids3 = sorted(r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3, seed=8).collect())
+    assert ids3 != ids1
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure filter: no shuffle introduced
+
+
+def test_stratified_sample_rates_per_stratum(spark):
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("stratum"),
+    )
+    out = stratified_sample(df, "stratum", "k", {"s0": 0.5, "s1": 0.05}, seed=3)
+    counts = {
+        r["stratum"]: r["n"]
+        for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    assert 4500 <= counts["s0"] <= 5500  # 10k keys at 50%
+    assert 300 <= counts["s1"] <= 700  # 10k keys at 5%
+    # unknown stratum with default_rate=0 drops everything
+    df2 = df.withColumn("stratum", F.lit("s9"))
+    assert stratified_sample(df2, "stratum", "k", {"s0": 0.5}).count() == 0
+
+
+def test_temperature_weights_normalize(spark):
+    counts = spark.createDataFrame(
+        [("web", 1000000), ("books", 10000), ("code", 90000)],
+        "source string, n long",
+    )
+    w = {r["source"]: r["weight"] for r in temperature_weights(counts, "source", "n", 0.5).collect()}
+    z = 1000000**0.5 + 10000**0.5 + 90000**0.5
+    for src, n in [("web", 1000000), ("books", 10000), ("code", 90000)]:
+        assert abs(w[src] - n**0.5 / z) <= 1e-6
+    assert abs(sum(w.values()) - 1.0) <= 2e-6
+    # flattening: alpha<1 upweights small sources vs their raw share
+    assert w["books"] > 10000 / 1100000

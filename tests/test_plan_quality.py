@@ -35,7 +35,9 @@ def test_dimension_joins_broadcast(spark):
 
 
 def test_lsh_join_is_hash_join(spark):
-    plan = plan_of(QUERIES["dedup_minhash_lsh"](spark, SF))
+    from bigsdb_spark.inventory.llm import dedup_minhash
+
+    plan = plan_of(dedup_minhash(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
