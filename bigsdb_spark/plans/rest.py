@@ -309,3 +309,326 @@ def route_genomes_list(
         date_entered_col=date_entered_col,
         datestamp_col=datestamp_col,
     )
+
+
+def _paged(df, order_cols, page: int, page_size: int):
+    """One count + one page collect — every list route's access pattern
+    (the reference does the same COUNT(*) + OFFSET/LIMIT pair; a page of
+    ids is serving-sized by construction)."""
+    total = df.count()
+    rows = (
+        df.orderBy(*order_cols)
+        .offset((page - 1) * page_size)
+        .limit(page_size)
+        .collect()
+    )
+    return int(total), rows
+
+
+def route_sequences_overview(locus_stats, base: str) -> dict:
+    """GET /db/:db/sequences (REST/Routes/Sequences.pm:36-77, the
+    unfiltered fast path): total allele count + last update from ONE
+    aggregate over the locus_stats materialization — the reference
+    reads its locus_stats cache table for exactly this reason."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.sum("allele_count").alias("_n")]
+    has_date = "datestamp" in locus_stats.columns
+    if has_date:
+        aggs.append(F.max("datestamp").alias("_updated"))
+    head = locus_stats.agg(*aggs).collect()[0]
+    values: dict = {
+        "records": int(head["_n"] or 0),
+        "loci": f"{base}/loci",
+        "fields": f"{base}/sequences/fields",
+    }
+    if has_date and head["_updated"] is not None:
+        values["last_updated"] = str(head["_updated"])
+    return values
+
+
+def route_loci_list(
+    locus_stats, base: str, page: int = 1, page_size: int = 100
+) -> dict:
+    """GET /db/:db/loci (REST/Routes/Loci.pm list shape): paged locus
+    URIs under the paging envelope."""
+    total, rows = _paged(locus_stats.select("locus"), ["locus"], page, page_size)
+    return {
+        "records": total,
+        "paging": paging_links(page, page_size, total),
+        "loci": [f"{base}/loci/{r['locus']}" for r in rows],
+    }
+
+
+def route_locus_record(locus_stats, locus: str, base: str) -> dict:
+    """GET /db/:db/loci/:locus (REST/Routes/Loci.pm record shape —
+    the data-derived subset: allele count/length stats from the
+    locus_stats frame plus the alleles sub-resource URI; deployment
+    config fields live in the registry, not here)."""
+    from pyspark.sql import functions as F
+
+    rows = locus_stats.filter(F.col("locus") == locus).limit(1).collect()
+    if not rows:
+        raise NotFound(f"Locus {locus} does not exist.")
+    r = rows[0].asDict()
+    values: dict = {"id": locus, "alleles": f"{base}/loci/{locus}/alleles"}
+    for col, key in (
+        ("allele_count", "allele_count"),
+        ("min_length", "min_length"),
+        ("max_length", "max_length"),
+    ):
+        if col in r and r[col] is not None:
+            values[key] = int(r[col])
+    if r.get("datestamp") is not None:
+        values["last_updated"] = str(r["datestamp"])
+    return values
+
+
+def route_alleles_list(
+    alleles, locus: str, base: str, page: int = 1, page_size: int = 100
+) -> dict:
+    """GET /db/:db/loci/:locus/alleles (REST/Routes/Sequences.pm allele
+    list shape): paged allele record URIs, numeric allele ids ordered
+    numerically (the reference CASTs when the id is an integer)."""
+    from pyspark.sql import functions as F
+
+    mine = alleles.filter(F.col("locus") == locus).select("allele_id")
+    ordered = mine.select(
+        "allele_id",
+        F.col("allele_id").try_cast("long").alias("_num"),
+    )
+    total, rows = _paged(
+        ordered, [F.col("_num").asc_nulls_last(), "allele_id"], page, page_size
+    )
+    return {
+        "records": total,
+        "paging": paging_links(page, page_size, total),
+        "alleles": [
+            f"{base}/loci/{locus}/alleles/{r['allele_id']}" for r in rows
+        ],
+    }
+
+
+def route_profiles_list(
+    profiles,
+    scheme_id: int,
+    base: str,
+    pk_col: str,
+    pk_type: str = "integer",
+    page: int = 1,
+    page_size: int = 100,
+) -> dict:
+    """GET /db/:db/schemes/:id/profiles (REST/Routes/Profiles.pm:51-103):
+    count + max(datestamp) in one aggregate over the scheme warehouse
+    frame, then a page of primary keys — CAST to int for ordering when
+    the pk is an integer field (Profiles.pm:77-82) — as record URIs."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    has_date = "datestamp" in profiles.columns
+    if has_date:
+        aggs.append(F.max("datestamp").alias("_updated"))
+    head = profiles.agg(*aggs).collect()[0]
+    total = int(head["_n"])
+    order = (
+        F.col(pk_col).cast("long") if pk_type == "integer" else F.col(pk_col)
+    )
+    rows = (
+        profiles.select(pk_col)
+        .orderBy(order)
+        .offset((page - 1) * page_size)
+        .limit(page_size)
+        .collect()
+    )
+    values: dict = {
+        "records": total,
+        "paging": paging_links(page, page_size, total),
+        "profiles": [
+            f"{base}/schemes/{scheme_id}/profiles/{r[pk_col]}" for r in rows
+        ],
+    }
+    if has_date and head["_updated"] is not None:
+        values["last_updated"] = str(head["_updated"])
+    return values
+
+
+def route_profile_record(
+    profiles,
+    scheme_id: int,
+    profile_id,
+    loci: list[str],
+    base: str,
+    pk_col: str,
+    int_fields: tuple = (),
+) -> dict:
+    """GET /db/:db/schemes/:id/profiles/:profile_id
+    (REST/Routes/Profiles.pm:326-430): the warehouse row's allele array
+    mapped to per-locus allele URIs via the scheme's locus order
+    (locus_indices), scheme fields int-cast per field info, and
+    sender/curator as user URIs. Unknown pk -> 404 NotFound."""
+    from pyspark.sql import functions as F
+
+    rows = profiles.filter(F.col(pk_col) == profile_id).limit(1).collect()
+    if not rows:
+        raise NotFound(f"Profile {pk_col}-{profile_id} does not exist.")
+    r = rows[0].asDict()
+    profile = r.get("profile") or []
+    values: dict = {
+        "alleles": [
+            f"{base}/loci/{locus}/alleles/{profile[i]}"
+            for i, locus in enumerate(loci)
+            if i < len(profile)
+        ]
+    }
+    for col, v in r.items():
+        if col in ("profile", "profile_md5") or v is None:
+            continue
+        if col in ("sender", "curator"):
+            values[col] = f"{base}/users/{v}"
+        elif col in int_fields or col == pk_col:
+            try:
+                values[col] = int(v)
+            except (TypeError, ValueError):
+                values[col] = v
+        elif col in ("date_entered", "datestamp"):
+            values[col] = str(v)
+        else:
+            values[col] = v
+    return values
+
+
+def route_allele_designations(
+    designations,
+    isolate_id,
+    base: str,
+    page: int = 1,
+    page_size: int = 100,
+) -> dict:
+    """GET /db/:db/isolates/:id/allele_designations
+    (REST/Routes/AlleleDesignations.pm:39-69): distinct designated loci,
+    ordered, as per-locus sub-resource URIs."""
+    from pyspark.sql import functions as F
+
+    loci = designations.filter(
+        F.col("isolate_id") == isolate_id
+    ).select("locus").distinct()
+    total, rows = _paged(loci, ["locus"], page, page_size)
+    return {
+        "records": total,
+        "paging": paging_links(page, page_size, total),
+        "allele_designations": [
+            f"{base}/isolates/{isolate_id}/allele_designations/{r['locus']}"
+            for r in rows
+        ],
+    }
+
+
+def route_allele_ids(
+    designations,
+    isolate_id,
+    base: str,
+    page: int = 1,
+    page_size: int = 100,
+) -> dict:
+    """GET /db/:db/isolates/:id/allele_ids
+    (REST/Routes/AlleleDesignations.pm:114-161): one {locus: allele_id}
+    object per designation, locus-ordered, paged."""
+    from pyspark.sql import functions as F
+
+    mine = designations.filter(F.col("isolate_id") == isolate_id).select(
+        "locus", "allele_id"
+    )
+    total, rows = _paged(mine, ["locus", "allele_id"], page, page_size)
+    return {
+        "records": total,
+        "paging": paging_links(page, page_size, total),
+        "allele_ids": [{r["locus"]: r["allele_id"]} for r in rows],
+    }
+
+
+def route_classification_groups(
+    group_profiles,
+    cscheme_id: int,
+    base: str,
+    page: int = 1,
+    page_size: int = 100,
+) -> dict:
+    """GET /db/:db/classification_schemes/:id/groups
+    (REST/Routes/ClassificationSchemes.pm:84-109): distinct group ids of
+    the classification scheme (here: the single-linkage cluster
+    assignment frame from operators/clustering.py), paged as group
+    URIs."""
+    from pyspark.sql import functions as F
+
+    groups = group_profiles.filter(
+        F.col("cg_scheme_id") == cscheme_id
+    ).select("group_id").distinct()
+    total, rows = _paged(groups, ["group_id"], page, page_size)
+    path = f"{base}/classification_schemes/{cscheme_id}/groups"
+    return {
+        "records": total,
+        "paging": paging_links(page, page_size, total),
+        "groups": [f"{path}/{r['group_id']}" for r in rows],
+    }
+
+
+def route_classification_group_profiles(
+    group_profiles,
+    cscheme_id: int,
+    group_id,
+    scheme_id: int,
+    base: str,
+    pk_type: str = "integer",
+    page: int = 1,
+    page_size: int = 100,
+) -> dict:
+    """GET /db/:db/classification_schemes/:id/groups/:group
+    (REST/Routes/ClassificationSchemes.pm:109-143): the group's profile
+    ids (int-ordered when the scheme pk is an integer) as profile record
+    URIs."""
+    from pyspark.sql import functions as F
+
+    mine = group_profiles.filter(
+        (F.col("cg_scheme_id") == cscheme_id) & (F.col("group_id") == group_id)
+    ).select("profile_id")
+    order = (
+        F.col("profile_id").cast("long")
+        if pk_type == "integer"
+        else F.col("profile_id")
+    )
+    total = mine.count()
+    rows = (
+        mine.orderBy(order)
+        .offset((page - 1) * page_size)
+        .limit(page_size)
+        .collect()
+    )
+    return {
+        "records": total,
+        "paging": paging_links(page, page_size, total),
+        "profiles": [
+            f"{base}/schemes/{scheme_id}/profiles/{r['profile_id']}"
+            for r in rows
+        ],
+    }
+
+
+def route_contigs_list(
+    seqbin,
+    isolate_id,
+    base: str,
+    page: int = 1,
+    page_size: int = 100,
+    id_col: str = "id",
+) -> dict:
+    """GET /db/:db/isolates/:id/contigs (REST/Routes/Contigs.pm list
+    shape): the isolate's contig record URIs, id-ordered, paged."""
+    from pyspark.sql import functions as F
+
+    mine = seqbin.filter(F.col("isolate_id") == isolate_id).select(id_col)
+    total, rows = _paged(mine, [id_col], page, page_size)
+    return {
+        "records": total,
+        "paging": paging_links(page, page_size, total),
+        "contigs": [f"{base}/contigs/{r[id_col]}" for r in rows],
+    }

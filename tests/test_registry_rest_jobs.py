@@ -340,3 +340,145 @@ def test_rest_genomes_list_route(spark):
         "/db/test/isolates/2", "/db/test/isolates/4", "/db/test/isolates/6",
     ]
     assert got["paging"]["pages"] == 2
+
+
+def test_rest_sequences_overview_and_loci(spark):
+    from bigsdb_spark.plans.rest import (
+        NotFound,
+        route_alleles_list,
+        route_loci_list,
+        route_locus_record,
+        route_sequences_overview,
+    )
+
+    ls = spark.createDataFrame(
+        [
+            ("abcZ", 120, 400, 480, "2024-03-01"),
+            ("adk", 95, 410, 470, "2024-05-02"),
+            ("aroE", 200, 390, 460, "2024-04-15"),
+        ],
+        "locus string, allele_count long, min_length long, max_length long,"
+        " datestamp string",
+    )
+    got = route_sequences_overview(ls, "/db/test")
+    assert got["records"] == 415
+    assert got["last_updated"] == "2024-05-02"
+    assert got["loci"] == "/db/test/loci"
+
+    lst = route_loci_list(ls, "/db/test", page=1, page_size=2)
+    assert lst["records"] == 3 and lst["paging"]["next"] == 2
+    assert lst["loci"] == ["/db/test/loci/abcZ", "/db/test/loci/adk"]
+
+    rec = route_locus_record(ls, "adk", "/db/test")
+    assert rec["allele_count"] == 95 and rec["min_length"] == 410
+    assert rec["alleles"] == "/db/test/loci/adk/alleles"
+    import pytest as _pytest
+
+    with _pytest.raises(NotFound):
+        route_locus_record(ls, "nope", "/db/test")
+
+    al = spark.createDataFrame(
+        [("adk", "2"), ("adk", "10"), ("adk", "1"), ("abcZ", "1")],
+        "locus string, allele_id string",
+    )
+    alst = route_alleles_list(al, "adk", "/db/test", page_size=10)
+    # numeric ordering, not lexicographic ('10' after '2')
+    assert alst["alleles"] == [
+        "/db/test/loci/adk/alleles/1",
+        "/db/test/loci/adk/alleles/2",
+        "/db/test/loci/adk/alleles/10",
+    ]
+
+
+def test_rest_profiles_routes(spark):
+    from bigsdb_spark.plans.rest import (
+        NotFound,
+        route_profile_record,
+        route_profiles_list,
+    )
+
+    profs = spark.createDataFrame(
+        [
+            ("10", ["1", "2"], "clonal_complex_A", 5, "2024-01-01"),
+            ("2", ["1", "3"], None, 7, "2024-02-01"),
+            ("1", ["4", "2"], "clonal_complex_B", 5, "2024-03-01"),
+        ],
+        "ST string, profile array<string>, clonal_complex string,"
+        " sender long, datestamp string",
+    )
+    lst = route_profiles_list(profs, 1, "/db/test", pk_col="ST", page_size=2)
+    assert lst["records"] == 3
+    assert lst["last_updated"] == "2024-03-01"
+    # integer pk ordering: 1, 2 (not '1', '10')
+    assert lst["profiles"] == [
+        "/db/test/schemes/1/profiles/1",
+        "/db/test/schemes/1/profiles/2",
+    ]
+
+    rec = route_profile_record(
+        profs, 1, "10", ["adk", "abcZ"], "/db/test", pk_col="ST"
+    )
+    assert rec["alleles"] == [
+        "/db/test/loci/adk/alleles/1",
+        "/db/test/loci/abcZ/alleles/2",
+    ]
+    assert rec["ST"] == 10  # pk int-cast
+    assert rec["sender"] == "/db/test/users/5"
+    assert rec["clonal_complex"] == "clonal_complex_A"
+    import pytest as _pytest
+
+    with _pytest.raises(NotFound):
+        route_profile_record(profs, 1, "99", ["adk"], "/db/test", pk_col="ST")
+
+
+def test_rest_designation_and_group_routes(spark):
+    from bigsdb_spark.plans.rest import (
+        route_allele_designations,
+        route_allele_ids,
+        route_classification_group_profiles,
+        route_classification_groups,
+        route_contigs_list,
+    )
+
+    des = spark.createDataFrame(
+        [(7, "adk", "2"), (7, "abcZ", "1"), (7, "adk", "3"), (8, "adk", "1")],
+        "isolate_id long, locus string, allele_id string",
+    )
+    d = route_allele_designations(des, 7, "/db/test")
+    assert d["records"] == 2  # distinct loci
+    assert d["allele_designations"] == [
+        "/db/test/isolates/7/allele_designations/abcZ",
+        "/db/test/isolates/7/allele_designations/adk",
+    ]
+    ids = route_allele_ids(des, 7, "/db/test")
+    assert ids["records"] == 3
+    assert ids["allele_ids"] == [
+        {"abcZ": "1"},
+        {"adk": "2"},
+        {"adk": "3"},
+    ]
+
+    cgp = spark.createDataFrame(
+        [(1, 4, "10"), (1, 4, "2"), (1, 9, "7"), (2, 1, "1")],
+        "cg_scheme_id long, group_id long, profile_id string",
+    )
+    g = route_classification_groups(cgp, 1, "/db/test")
+    assert g["records"] == 2
+    assert g["groups"] == [
+        "/db/test/classification_schemes/1/groups/4",
+        "/db/test/classification_schemes/1/groups/9",
+    ]
+    gp = route_classification_group_profiles(cgp, 1, 4, 1, "/db/test")
+    assert gp["records"] == 2
+    # integer ordering of profile ids: 2 before 10
+    assert gp["profiles"] == [
+        "/db/test/schemes/1/profiles/2",
+        "/db/test/schemes/1/profiles/10",
+    ]
+
+    sb = spark.createDataFrame(
+        [(100, 7), (101, 7), (102, 8)], "id long, isolate_id long"
+    )
+    c = route_contigs_list(sb, 7, "/db/test")
+    assert c["records"] == 2
+    assert c["contigs"] == ["/db/test/contigs/100", "/db/test/contigs/101"]
