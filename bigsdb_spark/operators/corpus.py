@@ -259,7 +259,9 @@ def hash_sample(df: DataFrame, key_col: str, rate: float, seed: int = 0) -> Data
     sampling decision is a pure filter expression so it pushes into the
     scan stage."""
     bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(_BUCKETS))
-    return df.filter(bucket < int(rate * _BUCKETS))
+    # round, not int(): 0.3 * 1e6 is 299999.99999999994 — truncation
+    # would permanently exclude the boundary bucket from the sample
+    return df.filter(bucket < round(rate * _BUCKETS))
 
 
 def stratified_sample(
@@ -275,10 +277,10 @@ def stratified_sample(
     text). Still a single filter expression: no shuffle, no join."""
     pairs = []
     for k, v in rates.items():
-        pairs.extend([F.lit(k), F.lit(int(v * _BUCKETS))])
+        pairs.extend([F.lit(k), F.lit(round(v * _BUCKETS))])
     limit = F.coalesce(
         F.element_at(F.create_map(*pairs), F.col(strata_col)),
-        F.lit(int(default_rate * _BUCKETS)),
+        F.lit(round(default_rate * _BUCKETS)),
     )
     bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(_BUCKETS))
     return df.filter(bucket < limit)

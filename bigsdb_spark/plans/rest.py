@@ -430,12 +430,16 @@ def route_profiles_list(
         aggs.append(F.max("datestamp").alias("_updated"))
     head = profiles.agg(*aggs).collect()[0]
     total = int(head["_n"])
+    # try_cast: ANSI mode is on (Spark 4 default) — a stray non-numeric
+    # pk must sort last, not abort the whole request with a cast error
     order = (
-        F.col(pk_col).cast("long") if pk_type == "integer" else F.col(pk_col)
+        [F.col(pk_col).try_cast("long").asc_nulls_last(), F.col(pk_col)]
+        if pk_type == "integer"
+        else [F.col(pk_col)]
     )
     rows = (
         profiles.select(pk_col)
-        .orderBy(order)
+        .orderBy(*order)
         .offset((page - 1) * page_size)
         .limit(page_size)
         .collect()
@@ -468,7 +472,15 @@ def route_profile_record(
     sender/curator as user URIs. Unknown pk -> 404 NotFound."""
     from pyspark.sql import functions as F
 
-    rows = profiles.filter(F.col(pk_col) == profile_id).limit(1).collect()
+    # compare as strings: an int profile_id against a string pk column
+    # would coerce the COLUMN to bigint, and under ANSI mode (Spark 4
+    # default) one non-numeric pk row aborts the whole request instead
+    # of missing the match
+    rows = (
+        profiles.filter(F.col(pk_col).cast("string") == str(profile_id))
+        .limit(1)
+        .collect()
+    )
     if not rows:
         raise NotFound(f"Profile {pk_col}-{profile_id} does not exist.")
     r = rows[0].asDict()
@@ -497,18 +509,34 @@ def route_profile_record(
     return values
 
 
+def _check_isolate_exists(view, isolate_id, id_col: str) -> None:
+    """The reference's check_isolate_is_valid: a sub-resource request
+    for an unknown isolate is a 404, not an empty 200 — callers cannot
+    otherwise tell 'no designations' from 'no such isolate'."""
+    from pyspark.sql import functions as F
+
+    if view is not None and not view.filter(
+        F.col(id_col) == isolate_id
+    ).limit(1).collect():
+        raise NotFound(f"Isolate {isolate_id} does not exist.")
+
+
 def route_allele_designations(
     designations,
     isolate_id,
     base: str,
     page: int = 1,
     page_size: int = 100,
+    view=None,
+    id_col: str = "id",
 ) -> dict:
     """GET /db/:db/isolates/:id/allele_designations
     (REST/Routes/AlleleDesignations.pm:39-69): distinct designated loci,
-    ordered, as per-locus sub-resource URIs."""
+    ordered, as per-locus sub-resource URIs. Pass the role-filtered
+    isolates ``view`` to get the reference's 404 on unknown ids."""
     from pyspark.sql import functions as F
 
+    _check_isolate_exists(view, isolate_id, id_col)
     loci = designations.filter(
         F.col("isolate_id") == isolate_id
     ).select("locus").distinct()
@@ -529,16 +557,30 @@ def route_allele_ids(
     base: str,
     page: int = 1,
     page_size: int = 100,
+    view=None,
+    id_col: str = "id",
 ) -> dict:
     """GET /db/:db/isolates/:id/allele_ids
     (REST/Routes/AlleleDesignations.pm:114-161): one {locus: allele_id}
-    object per designation, locus-ordered, paged."""
+    object per designation, locus-ordered with numeric allele ids in
+    numeric order (same collation as the /loci/:locus/alleles route),
+    paged."""
     from pyspark.sql import functions as F
 
+    _check_isolate_exists(view, isolate_id, id_col)
     mine = designations.filter(F.col("isolate_id") == isolate_id).select(
         "locus", "allele_id"
     )
-    total, rows = _paged(mine, ["locus", "allele_id"], page, page_size)
+    total, rows = _paged(
+        mine,
+        [
+            "locus",
+            F.col("allele_id").try_cast("long").asc_nulls_last(),
+            "allele_id",
+        ],
+        page,
+        page_size,
+    )
     return {
         "records": total,
         "paging": paging_links(page, page_size, total),
@@ -592,17 +634,11 @@ def route_classification_group_profiles(
         (F.col("cg_scheme_id") == cscheme_id) & (F.col("group_id") == group_id)
     ).select("profile_id")
     order = (
-        F.col("profile_id").cast("long")
+        [F.col("profile_id").try_cast("long").asc_nulls_last(), F.col("profile_id")]
         if pk_type == "integer"
-        else F.col("profile_id")
+        else [F.col("profile_id")]
     )
-    total = mine.count()
-    rows = (
-        mine.orderBy(order)
-        .offset((page - 1) * page_size)
-        .limit(page_size)
-        .collect()
-    )
+    total, rows = _paged(mine, order, page, page_size)
     return {
         "records": total,
         "paging": paging_links(page, page_size, total),
@@ -620,11 +656,15 @@ def route_contigs_list(
     page: int = 1,
     page_size: int = 100,
     id_col: str = "id",
+    view=None,
+    view_id_col: str = "id",
 ) -> dict:
     """GET /db/:db/isolates/:id/contigs (REST/Routes/Contigs.pm list
-    shape): the isolate's contig record URIs, id-ordered, paged."""
+    shape): the isolate's contig record URIs, id-ordered, paged. Pass
+    ``view`` for the reference's 404 on unknown isolate ids."""
     from pyspark.sql import functions as F
 
+    _check_isolate_exists(view, isolate_id, view_id_col)
     mine = seqbin.filter(F.col("isolate_id") == isolate_id).select(id_col)
     total, rows = _paged(mine, [id_col], page, page_size)
     return {

@@ -441,22 +441,38 @@ def test_rest_designation_and_group_routes(spark):
     )
 
     des = spark.createDataFrame(
-        [(7, "adk", "2"), (7, "abcZ", "1"), (7, "adk", "3"), (8, "adk", "1")],
+        [
+            (7, "adk", "2"),
+            (7, "abcZ", "1"),
+            (7, "adk", "10"),
+            (8, "adk", "1"),
+        ],
         "isolate_id long, locus string, allele_id string",
     )
-    d = route_allele_designations(des, 7, "/db/test")
+    view = spark.createDataFrame([(7,), (8,)], "id long")
+    d = route_allele_designations(des, 7, "/db/test", view=view)
     assert d["records"] == 2  # distinct loci
     assert d["allele_designations"] == [
         "/db/test/isolates/7/allele_designations/abcZ",
         "/db/test/isolates/7/allele_designations/adk",
     ]
-    ids = route_allele_ids(des, 7, "/db/test")
+    ids = route_allele_ids(des, 7, "/db/test", view=view)
     assert ids["records"] == 3
+    # numeric allele ordering within a locus: 2 before 10
     assert ids["allele_ids"] == [
         {"abcZ": "1"},
         {"adk": "2"},
-        {"adk": "3"},
+        {"adk": "10"},
     ]
+    # unknown isolate against the view -> the reference's 404
+    import pytest as _pytest
+
+    from bigsdb_spark.plans.rest import NotFound
+
+    with _pytest.raises(NotFound):
+        route_allele_designations(des, 999, "/db/test", view=view)
+    with _pytest.raises(NotFound):
+        route_allele_ids(des, 999, "/db/test", view=view)
 
     cgp = spark.createDataFrame(
         [(1, 4, "10"), (1, 4, "2"), (1, 9, "7"), (2, 1, "1")],
@@ -479,6 +495,25 @@ def test_rest_designation_and_group_routes(spark):
     sb = spark.createDataFrame(
         [(100, 7), (101, 7), (102, 8)], "id long, isolate_id long"
     )
-    c = route_contigs_list(sb, 7, "/db/test")
+    c = route_contigs_list(sb, 7, "/db/test", view=view)
     assert c["records"] == 2
     assert c["contigs"] == ["/db/test/contigs/100", "/db/test/contigs/101"]
+    with _pytest.raises(NotFound):
+        route_contigs_list(sb, 999, "/db/test", view=view)
+
+
+def test_rest_profile_record_mixed_pk_types(spark):
+    # an int profile_id against a string pk column with a non-numeric
+    # row must match (string compare), not abort under ANSI mode
+    from bigsdb_spark.plans.rest import route_profile_record
+
+    profs = spark.createDataFrame(
+        [("10", ["1"]), ("ST-old", ["2"])],
+        "ST string, profile array<string>",
+    )
+    rec = route_profile_record(profs, 1, 10, ["adk"], "/db/test", pk_col="ST")
+    assert rec["ST"] == 10
+    rec2 = route_profile_record(
+        profs, 1, "ST-old", ["adk"], "/db/test", pk_col="ST"
+    )
+    assert rec2["ST"] == "ST-old"
