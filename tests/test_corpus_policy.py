@@ -98,6 +98,19 @@ def test_repetition_flags_compose(spark, docs):
     for r in flags:
         expected = int(r["top2_frac"] <= 0.20 and r["dup5_frac"] <= 0.15)
         assert r["rep_ok"] == expected
+    # the single-pass flags must agree with the independent
+    # single-metric operators (different plan, same values)
+    top2 = {
+        r["doc_id"]: r["frac"]
+        for r in top_ngram_char_fraction(docs, "doc_id", "text", 2).collect()
+    }
+    dup5 = {
+        r["doc_id"]: r["frac"]
+        for r in dup_ngram_char_fraction(docs, "doc_id", "text", 5).collect()
+    }
+    for r in flags:
+        assert r["top2_frac"] == top2[r["doc_id"]]
+        assert r["dup5_frac"] == dup5[r["doc_id"]]
 
 
 PII_FIXTURE = [

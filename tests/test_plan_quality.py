@@ -275,3 +275,19 @@ def test_scan_suite_joins_are_hash_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontamination_join_is_broadcast(spark):
+    """The corpus side of the decontamination join must NOT shuffle
+    before the match: benchmark grams broadcast, corpus grams stream
+    through map-side; only the matched set pays a shuffle."""
+    from pyspark.sql import functions as F
+
+    from bigsdb_spark.operators.corpus import benchmark_ngram_hits
+    from bigsdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    plan = plan_of(benchmark_ngram_hits(docs, bench, "doc_id", "text", n=5))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
