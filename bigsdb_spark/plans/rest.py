@@ -672,3 +672,64 @@ def route_contigs_list(
         "paging": paging_links(page, page_size, total),
         "contigs": [f"{base}/contigs/{r[id_col]}" for r in rows],
     }
+
+
+def route_field_values(
+    view,
+    table: TableDef,
+    field: str,
+    page: int = 1,
+    page_size: int = 100,
+) -> dict:
+    """GET /db/:db/fields/:field (REST/Routes/Fields.pm:91-121): the
+    distinct non-NULL values of a provenance field over the
+    role-filtered view, ordered and paged. Unknown field -> 404."""
+    from pyspark.sql import functions as F
+
+    try:
+        table.field(field)
+    except KeyError:
+        raise NotFound(f"Field {field} does not exist.") from None
+    vals = view.filter(F.col(field).isNotNull()).select(field).distinct()
+    total, rows = _paged(vals, [field], page, page_size)
+    return {
+        "records": total,
+        "paging": paging_links(page, page_size, total),
+        "values": [r[field] for r in rows],
+    }
+
+
+def route_field_breakdown(
+    view,
+    table: TableDef,
+    field: str,
+    seqbin_stats=None,
+    genomes: bool = False,
+    min_genome_size: int = 1_000_000,
+    id_col: str = "id",
+) -> dict:
+    """GET /db/:db/fields/:field/breakdown (REST/Routes/Fields.pm:
+    163-207): {value: count} over non-NULL field values of the view —
+    the A1 frequency aggregate served as a map; with ``genomes`` the
+    count is restricted to isolates whose sequence bin reaches
+    ``min_genome_size`` (one semi-join against the stats frame, the
+    same shape as the /genomes route). Unknown field -> 404."""
+    from pyspark.sql import functions as F
+
+    try:
+        table.field(field)
+    except KeyError:
+        raise NotFound(f"Field {field} does not exist.") from None
+    base = view
+    if genomes and seqbin_stats is not None:
+        big = seqbin_stats.filter(
+            F.col("total_length") >= min_genome_size
+        ).select(F.col("isolate_id").alias(id_col)).distinct()
+        base = base.join(big, on=id_col, how="left_semi")
+    counts = (
+        base.filter(F.col(field).isNotNull())
+        .groupBy(field)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {str(r[field]): int(r["n"]) for r in counts}

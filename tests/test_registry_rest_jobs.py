@@ -517,3 +517,43 @@ def test_rest_profile_record_mixed_pk_types(spark):
         profs, 1, "ST-old", ["adk"], "/db/test", pk_col="ST"
     )
     assert rec2["ST"] == "ST-old"
+
+
+def test_rest_field_values_and_breakdown(spark):
+    from bigsdb_spark.plans.rest import (
+        NotFound,
+        route_field_breakdown,
+        route_field_values,
+    )
+
+    view = spark.createDataFrame(
+        [
+            (1, "France"),
+            (2, "UK [England]"),
+            (3, "France"),
+            (4, None),
+            (5, "France"),
+        ],
+        "id int, country string",
+    )
+    vals = route_field_values(view, TABLE, "country")
+    assert vals["records"] == 2  # distinct non-NULL values
+    assert vals["values"] == ["France", "UK [England]"]
+
+    bd = route_field_breakdown(view, TABLE, "country")
+    assert bd == {"France": 3, "UK [England]": 1}  # NULLs excluded
+
+    # genomes=True: restrict to isolates with a big-enough sequence bin
+    sb = spark.createDataFrame(
+        [(1, 2_000_000), (2, 500), (3, 1_500_000)],
+        "isolate_id int, total_length long",
+    )
+    bd2 = route_field_breakdown(view, TABLE, "country", seqbin_stats=sb, genomes=True)
+    assert bd2 == {"France": 2}
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotFound):
+        route_field_values(view, TABLE, "nope")
+    with _pytest.raises(NotFound):
+        route_field_breakdown(view, TABLE, "nope")
