@@ -487,9 +487,11 @@ def _policy_oracle() -> str:
     rep AS (
         SELECT tk.doc_id,
                CASE WHEN chars > 0
-                    THEN round(coalesce(topw, 0) / chars, 6) ELSE 0.0 END AS f_top2,
+                    THEN least(1.0, round(coalesce(topw, 0) / chars, 6))
+                    ELSE 0.0 END AS f_top2,
                CASE WHEN chars > 0
-                    THEN round(coalesce(dupw, 0) / chars, 6) ELSE 0.0 END AS f_dup5
+                    THEN least(1.0, round(coalesce(dupw, 0) / chars, 6))
+                    ELSE 0.0 END AS f_dup5
         FROM toks tk
         LEFT JOIN t2 ON t2.doc_id = tk.doc_id
         LEFT JOIN d5 ON d5.doc_id = tk.doc_id),

@@ -77,7 +77,9 @@ def top_ngram_char_fraction(
     """Per document: (occurrences x characters) of the heaviest word
     n-gram, as a fraction of the document's non-space characters
     (the max is over cnt*chars directly, so ties need no ordering
-    tiebreak). Documents with fewer than ``n`` tokens score 0.0.
+    tiebreak). Documents with fewer than ``n`` tokens score 0.0;
+    overlapping occurrences can overcount characters, so the value
+    saturates at 1.0.
 
     Returns (id, frac) with frac rounded to 6dp.
     """
@@ -93,7 +95,12 @@ def top_ngram_char_fraction(
             F.col(id_col),
             F.when(
                 F.col("_chars") > 0,
-                F.round(F.coalesce(F.col("_top"), F.lit(0)) / F.col("_chars"), 6),
+                F.least(
+                    F.lit(1.0),
+                    F.round(
+                        F.coalesce(F.col("_top"), F.lit(0)) / F.col("_chars"), 6
+                    ),
+                ),
             )
             .otherwise(F.lit(0.0))
             .alias("frac"),
@@ -108,7 +115,8 @@ def dup_ngram_char_fraction(
     once, as a fraction of non-space characters (every occurrence of a
     repeated gram counts — the relational analogue of the duplicated
     n-gram filters; overlap-free span accounting would need a
-    sequential pass and changes thresholds, not ordering).
+    sequential pass and changes thresholds, not ordering). Saturates at
+    1.0 for the same reason as top_ngram_char_fraction.
 
     Returns (id, frac), 6dp.
     """
@@ -125,7 +133,12 @@ def dup_ngram_char_fraction(
             F.col(id_col),
             F.when(
                 F.col("_chars") > 0,
-                F.round(F.coalesce(F.col("_dup"), F.lit(0)) / F.col("_chars"), 6),
+                F.least(
+                    F.lit(1.0),
+                    F.round(
+                        F.coalesce(F.col("_dup"), F.lit(0)) / F.col("_chars"), 6
+                    ),
+                ),
             )
             .otherwise(F.lit(0.0))
             .alias("frac"),
@@ -177,10 +190,17 @@ def gopher_repetition_flags(
     )
 
     def _frac(raw):
+        # least(1.0, ...): overlapping occurrences of a repeated gram
+        # overcount characters, so the raw ratio can exceed 1 ('a a a'
+        # has two overlapping identical 2-grams covering 4 gram-chars
+        # over 3 text-chars); saturate so the value stays a fraction
         return (
             F.when(
                 F.col("_chars") > 0,
-                F.round(F.coalesce(raw, F.lit(0)) / F.col("_chars"), 6),
+                F.least(
+                    F.lit(1.0),
+                    F.round(F.coalesce(raw, F.lit(0)) / F.col("_chars"), 6),
+                ),
             )
             .otherwise(F.lit(0.0))
         )

@@ -68,9 +68,9 @@ def _frac_sql(n: int) -> str:
             FROM cnt GROUP BY 1)
     SELECT tk.doc_id,
            CASE WHEN chars > 0
-                THEN round(coalesce(topw, 0) / chars, 6) ELSE 0.0 END,
+                THEN least(1.0, round(coalesce(topw, 0) / chars, 6)) ELSE 0.0 END,
            CASE WHEN chars > 0
-                THEN round(coalesce(dupw, 0) / chars, 6) ELSE 0.0 END
+                THEN least(1.0, round(coalesce(dupw, 0) / chars, 6)) ELSE 0.0 END
     FROM toks tk LEFT JOIN top ON top.doc_id = tk.doc_id
     """
 

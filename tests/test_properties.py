@@ -108,3 +108,94 @@ def test_banded_align_agrees_with_sequence_diffs(spark, seq, positions):
     assert aligned["gaps"] == 0
     assert aligned["mismatches"] == n_diffs == len(positions)
     assert aligned["alignment"] == len(seq)
+
+
+# ---------------------------------------------------------------------------
+# corpus-policy invariants (operators/corpus.py)
+
+PII_TEXT = st.text(
+    alphabet="abc @.-0123456789\n", min_size=0, max_size=60
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(PII_TEXT, min_size=1, max_size=8))
+def test_redact_pii_idempotent_and_clean(spark, texts):
+    """Redaction is idempotent (a second pass changes nothing) and the
+    redacted text never counts residual PII — whatever adversarial
+    near-PII strings hypothesis generates."""
+    from bigsdb_spark.operators.corpus import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = df.select(
+        "doc_id", redact_pii(F.col("text")).alias("text")
+    )
+    twice = once.select("doc_id", redact_pii(F.col("text")).alias("text2"))
+    joined = once.join(twice.withColumnRenamed("text2", "t2"), on="doc_id")
+    for r in joined.collect():
+        assert r["text"] == r["t2"]
+    residual = (
+        pii_counts(once, "doc_id", "text")
+        .agg(F.sum(F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")))
+        .head()[0]
+    )
+    assert residual == 0
+
+
+def test_hash_sample_partition_and_nesting(spark):
+    """rate=1 keeps everything; complementary-looking rates partition
+    nothing (hash buckets are shared, so a 0.3 sample is a SUBSET of
+    the 0.7 sample at the same seed — nesting, the property that makes
+    growing a sample reproducible)."""
+    from bigsdb_spark.operators.corpus import hash_sample
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    assert hash_sample(df, "k", 1.0, seed=11).count() == 5000
+    assert hash_sample(df, "k", 0.0, seed=11).count() == 0
+    small = {r["k"] for r in hash_sample(df, "k", 0.3, seed=11).collect()}
+    big = {r["k"] for r in hash_sample(df, "k", 0.7, seed=11).collect()}
+    assert small <= big
+
+
+def test_decontaminate_partitions_corpus(spark):
+    """decontaminate(docs) ∪ hit-docs == docs, disjointly — no document
+    is both kept and flagged, none vanishes."""
+    from bigsdb_spark.operators.corpus import (
+        benchmark_ngram_hits,
+        decontaminate,
+    )
+    from bigsdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    hits = {
+        r["doc_id"]
+        for r in benchmark_ngram_hits(docs, bench, "doc_id", "text", n=5).collect()
+    }
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, "doc_id", "text", n=5).collect()}
+    everything = {r["doc_id"] for r in docs.collect()}
+    assert kept | hits == everything
+    assert not (kept & hits)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=6
+    )
+)
+def test_repetition_fractions_bounded(spark, texts):
+    """Both repetition fractions live in [0, 1] for arbitrary token
+    streams (repeated words, empty docs, single tokens)."""
+    from bigsdb_spark.operators.corpus import gopher_repetition_flags
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in gopher_repetition_flags(df, "doc_id", "text").collect():
+        assert 0.0 <= r["top2_frac"] <= 1.0, r
+        assert 0.0 <= r["dup5_frac"] <= 1.0, r
