@@ -88,9 +88,15 @@ def test_reverse_complement_involution(spark, seq):
     positions=st.sets(st.integers(min_value=0, max_value=9), max_size=3),
 )
 def test_banded_align_agrees_with_sequence_diffs(spark, seq, positions):
-    """Cross-validation of two independent implementations: for
-    same-length substitution-only pairs the banded aligner must report
-    gaps=0 and the same mismatch count sequence_diffs explodes."""
+    """Cross-validation of two independent implementations on
+    same-length substitution-only pairs. The aligner minimizes edit
+    cost, and planted substitutions can make a GAPPED alignment
+    strictly cheaper (hypothesis found 'AAAAAAACGA' with flips at
+    {6,7,8}: the flipped run re-aligns with 2 gaps / 0 mismatches,
+    cost 2 < 3 substitutions) — so the sound properties are the
+    optimality bound (edit cost never exceeds the substitution count,
+    since the ungapped alignment is one candidate) plus exact
+    agreement with sequence_diffs whenever the optimum is ungapped."""
     from bigsdb_spark.operators.seqmatch import banded_align, sequence_diffs
 
     flip = {"A": "C", "C": "G", "G": "T", "T": "A"}
@@ -105,9 +111,14 @@ def test_banded_align_agrees_with_sequence_diffs(spark, seq, positions):
     n_diffs = sequence_diffs(
         pairs, seq1="qseq", seq2="aseq"
     ).count()
-    assert aligned["gaps"] == 0
-    assert aligned["mismatches"] == n_diffs == len(positions)
-    assert aligned["alignment"] == len(seq)
+    assert n_diffs == len(positions)
+    assert aligned["mismatches"] + aligned["gaps"] <= len(positions)
+    # equal-length global alignment: insertions == deletions, each gap
+    # column lengthens the alignment by half a gap pair
+    assert aligned["alignment"] == len(seq) + aligned["gaps"] // 2
+    if aligned["gaps"] == 0:
+        assert aligned["mismatches"] == n_diffs
+        assert aligned["alignment"] == len(seq)
 
 
 # ---------------------------------------------------------------------------
