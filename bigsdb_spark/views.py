@@ -83,3 +83,123 @@ def make_view(
             visible = visible | F.col("_in_project").isNotNull()
     out = df.filter(visible)
     return out.drop("_priv_id", "_priv_owner", "_priv_embargo", "_in_project")
+
+
+def date_restriction_filter(
+    view: DataFrame,
+    user: UserContext,
+    date_restriction: str | None,
+    date_col: str = "date_entered",
+) -> DataFrame:
+    """login_to_show_after_date (Datastore.pm:3809 get_date_restriction;
+    applied in the REST routes, e.g. Profiles.pm:65-68): ANONYMOUS
+    sessions see only records entered on/before the configured date;
+    any logged-in user sees everything. No-op when unconfigured or the
+    frame has no date column.
+
+    try_cast keeps a malformed date from aborting the query under ANSI
+    mode — such rows compare NULL and stay hidden from anonymous users,
+    the conservative direction for an access filter."""
+    if (
+        user.user_id is not None
+        or user.admin
+        or not date_restriction
+        or date_col not in view.columns
+    ):
+        return view
+    return view.filter(
+        F.col(date_col).try_cast("date")
+        <= F.lit(date_restriction).cast("date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# set system (sql/seqdef.sql:785-826 set_loci/set_schemes): a "set" is a
+# curated subset of loci and schemes a deployment exposes to a user
+# group; every locus/scheme-keyed query then runs against the subset.
+
+
+def set_visible_loci(
+    set_id: int,
+    set_loci: DataFrame,
+    set_schemes: DataFrame | None = None,
+    scheme_members: DataFrame | None = None,
+) -> DataFrame:
+    """Distinct locus names visible in a set: the directly assigned
+    set_loci UNION the members of every scheme in set_schemes
+    (Datastore.pm:1137 is_locus_in_set checks exactly these two ways;
+    the REST routes' set_clause is the same union in SQL,
+    REST/Routes/Sequences.pm:44-47). Returns a 1-column ``locus``
+    frame, dimension-sized."""
+    direct = set_loci.filter(F.col("set_id") == set_id).select("locus")
+    if set_schemes is not None and scheme_members is not None:
+        via = (
+            set_schemes.filter(F.col("set_id") == set_id)
+            .select("scheme_id")
+            .join(scheme_members, on="scheme_id")
+            .select("locus")
+        )
+        direct = direct.union(via)
+    return direct.distinct()
+
+
+def apply_set_loci(
+    df: DataFrame,
+    set_id: int | None,
+    set_loci: DataFrame,
+    set_schemes: DataFrame | None = None,
+    scheme_members: DataFrame | None = None,
+    locus_col: str = "locus",
+) -> DataFrame:
+    """Restrict any locus-keyed frame (designations, tags, locus stats,
+    allele definitions) to the set's visible loci — a broadcast
+    left-semi join, so the fact side never shuffles. ``set_id=None``
+    means no set is active (the reference's behaviour when get_set_id
+    returns undef): passthrough."""
+    if set_id is None:
+        return df
+    vis = set_visible_loci(set_id, set_loci, set_schemes, scheme_members)
+    if locus_col != "locus":
+        vis = vis.withColumnRenamed("locus", locus_col)
+    return df.join(F.broadcast(vis), on=locus_col, how="left_semi")
+
+
+def apply_set_schemes(
+    df: DataFrame,
+    set_id: int | None,
+    set_schemes: DataFrame,
+    scheme_id_col: str = "scheme_id",
+) -> DataFrame:
+    """Restrict a scheme-keyed frame to the set's schemes (the scheme
+    dropdowns / REST scheme lists under a set)."""
+    if set_id is None:
+        return df
+    vis = set_schemes.filter(F.col("set_id") == set_id).select(
+        F.col("scheme_id").alias(scheme_id_col)
+    ).distinct()
+    return df.join(F.broadcast(vis), on=scheme_id_col, how="left_semi")
+
+
+def set_locus_display_names(
+    df: DataFrame,
+    set_id: int | None,
+    set_loci: DataFrame,
+    locus_col: str = "locus",
+) -> DataFrame:
+    """Attach the set's display name for each locus:
+    ``display_name = coalesce(set_name, locus)`` — the inverse of
+    Datastore.pm:1127 get_set_locus_real_id (which maps a set alias
+    back to the real id). Left join against the dimension-sized
+    set_loci; frames outside a set keep their real names."""
+    if set_id is None:
+        return df.withColumn("display_name", F.col(locus_col))
+    names = set_loci.filter(F.col("set_id") == set_id).select(
+        F.col("locus").alias(locus_col), F.col("set_name").alias("_set_name")
+    )
+    return (
+        df.join(F.broadcast(names), on=locus_col, how="left")
+        .withColumn(
+            "display_name", F.coalesce(F.col("_set_name"), F.col(locus_col))
+        )
+        .drop("_set_name")
+    )

@@ -471,3 +471,70 @@ def test_curate_allele_submissions_tiers(spark):
     assert got["seq4"]["allele_id"] == "6"
     assert got["seq5"]["status"] == "rejected"
     assert got["seq5"]["reason"] == "not complete CDS"
+
+
+def test_date_restriction_hides_recent_from_anonymous(spark):
+    from bigsdb_spark.views import UserContext, date_restriction_filter
+
+    view = spark.createDataFrame(
+        [(1, "2020-01-01"), (2, "2024-06-01"), (3, None), (4, "garbage")],
+        "id int, date_entered string",
+    )
+    anon = date_restriction_filter(view, UserContext(), "2022-01-01")
+    # only the pre-restriction record is visible; NULL and malformed
+    # dates stay hidden (conservative for an access filter)
+    assert [r.id for r in anon.collect()] == [1]
+    # any logged-in user sees everything; unconfigured = passthrough
+    logged = date_restriction_filter(view, UserContext(user_id=7), "2022-01-01")
+    assert logged.count() == 4
+    assert date_restriction_filter(view, UserContext(), None).count() == 4
+
+
+def test_set_system_restricts_loci_and_schemes(spark):
+    from bigsdb_spark.views import (
+        apply_set_loci,
+        apply_set_schemes,
+        set_locus_display_names,
+        set_visible_loci,
+    )
+
+    set_loci = spark.createDataFrame(
+        [(1, "abcZ", "abcZ_v1"), (1, "adk", None), (2, "aroE", None)],
+        "set_id int, locus string, set_name string",
+    )
+    set_schemes = spark.createDataFrame(
+        [(1, 10), (2, 11)], "set_id int, scheme_id int"
+    )
+    scheme_members = spark.createDataFrame(
+        [(10, "fumC"), (10, "adk"), (11, "gdh")], "scheme_id int, locus string"
+    )
+    vis = {
+        r.locus
+        for r in set_visible_loci(1, set_loci, set_schemes, scheme_members).collect()
+    }
+    # direct set loci UNION loci of the set's schemes — deduped
+    assert vis == {"abcZ", "adk", "fumC"}
+
+    desig = spark.createDataFrame(
+        [(7, "abcZ", "1"), (7, "gdh", "2"), (8, "fumC", "3")],
+        "isolate_id int, locus string, allele_id string",
+    )
+    in_set = apply_set_loci(desig, 1, set_loci, set_schemes, scheme_members)
+    assert {(r.isolate_id, r.locus) for r in in_set.collect()} == {
+        (7, "abcZ"), (8, "fumC"),
+    }
+    # set_id=None: passthrough (no set active)
+    assert apply_set_loci(desig, None, set_loci).count() == 3
+
+    schemes = spark.createDataFrame(
+        [(10, "MLST"), (11, "cgMLST"), (12, "rMLST")],
+        "scheme_id int, description string",
+    )
+    assert [
+        r.scheme_id for r in apply_set_schemes(schemes, 1, set_schemes).collect()
+    ] == [10]
+
+    named = set_locus_display_names(desig, 1, set_loci)
+    got = {r.locus: r.display_name for r in named.collect()}
+    # aliased where the set names it, real id otherwise
+    assert got == {"abcZ": "abcZ_v1", "gdh": "gdh", "fumC": "fumC"}
