@@ -668,3 +668,165 @@ def write_embl(
     single text column per contig in parquet so the record boundary
     survives — plain .text would split on the internal newlines)."""
     embl_records(contigs, tags, fmt=fmt).write.mode("overwrite").parquet(path)
+
+
+# --------------------------------------------- profile / allele table exports
+
+def profile_export_frame(
+    profiles: DataFrame,
+    loci: list[str],
+    field_cols: list[str] | None = None,
+    class_groups: DataFrame | None = None,
+    cg_scheme_names: list[str] | None = None,
+    lincodes: DataFrame | None = None,
+    lincode_prefixes: DataFrame | None = None,
+    lincode_field_types: dict[str, str] | None = None,
+    id_col: str = "profile_key",
+    profile_col: str = "profile",
+) -> DataFrame:
+    """ProfileExport plugin parity (Plugins/ProfileExport.pm:180-280):
+    one wide row per profile — pk, per-locus allele columns, scheme
+    fields, one column per classification scheme (group id or empty),
+    the ``LINcode`` joined with ``_`` and one column per LIN-code
+    prefix field (distinct typed-sorted values joined with ``; `` —
+    _get_lincode_values, :339-375).
+
+    Unlike the reference's per-profile query loop this is a single
+    declarative plan: the profile array fans out to columns in the
+    projection, classification groups and LIN codes attach by
+    broadcast joins (both are profile-keyed metadata, orders of
+    magnitude smaller than 100 TB fact data), and the prefix match is
+    a broadcast theta-join against the bounded prefix registry —
+    exactly the reference's LIKE-prefix SQL (:349-352), but evaluated
+    once for all profiles instead of once per profile.
+    """
+    field_cols = field_cols or []
+    out = profiles.select(
+        F.col(id_col),
+        *[F.col(profile_col)[i].alias(locus) for i, locus in enumerate(loci)],
+        *[F.col(c) for c in field_cols],
+    )
+    if class_groups is not None:
+        # (cg_name, group_id, profile_id) -> one column per cg scheme
+        names = cg_scheme_names or [
+            r[0]
+            for r in class_groups.select("cg_name").distinct().orderBy("cg_name").collect()
+        ]
+        cg_wide = (
+            class_groups.groupBy(F.col("profile_id").alias("_cg_pid"))
+            .pivot("cg_name", names)
+            .agg(F.first("group_id"))
+        )
+        out = out.join(
+            F.broadcast(cg_wide), out[id_col] == cg_wide["_cg_pid"], "left"
+        ).drop("_cg_pid")
+    if lincodes is not None:
+        lc = lincodes.select(
+            F.col("profile_id").alias("_lc_pid"),
+            F.array_join("lincode", "_").alias("LINcode"),
+        )
+        out = out.join(F.broadcast(lc), out[id_col] == lc["_lc_pid"], "left").drop(
+            "_lc_pid"
+        )
+        if lincode_prefixes is not None:
+            types = lincode_field_types or {}
+            fields = [
+                r[0]
+                for r in lincode_prefixes.select("field").distinct().orderBy("field").collect()
+            ]
+            # prefix matches when the code equals it or extends it at a
+            # "_" boundary (ProfileExport.pm:349-352's LIKE with escaped _)
+            pm = lc.join(
+                F.broadcast(lincode_prefixes),
+                (F.col("LINcode") == F.col("prefix"))
+                | F.col("LINcode").startswith(F.concat(F.col("prefix"), F.lit("_"))),
+                "inner",
+            )
+            per_field = []
+            for fld in fields:
+                is_int = types.get(fld) == "integer"
+                val = F.col("value").cast("int") if is_int else F.col("value")
+                vals = (
+                    pm.filter(F.col("field") == fld)
+                    .groupBy("_lc_pid")
+                    .agg(
+                        F.array_join(
+                            F.transform(
+                                F.array_sort(F.collect_set(val)), lambda v: v.cast("string")
+                            ),
+                            "; ",
+                        ).alias(fld)
+                    )
+                )
+                per_field.append(vals)
+            for vals in per_field:
+                out = out.join(
+                    F.broadcast(vals), out[id_col] == vals["_lc_pid"], "left"
+                ).drop("_lc_pid")
+    return out.orderBy(id_col)
+
+
+def allele_table_frame(
+    sequences: DataFrame,
+    ext_attributes: DataFrame | None = None,
+    flags: DataFrame | None = None,
+    refs: DataFrame | None = None,
+    locus: str | None = None,
+) -> DataFrame:
+    """SeqTableExport plugin parity (Plugins/SeqTableExport.pm:100-127):
+    the allele attribute table — core columns plus sequence length
+    (:149), one column per extended attribute (:169), semicolon-joined
+    PubMed ids (:125) and space-joined allele flags (:127).
+
+    ``sequences``: (locus, allele_id, sequence, status, ...);
+    ``ext_attributes``: (locus, allele_id, attribute, value);
+    ``flags``: (locus, allele_id, flag); ``refs``: (locus, allele_id,
+    pubmed_id).  The three annotation sides are allele-keyed metadata
+    — broadcast joins; the pivot's column set comes from the bounded
+    attribute registry, not the data.
+    """
+    df = sequences
+    if locus is not None:
+        df = df.filter(F.col("locus") == locus)
+    out = df.withColumn("length", F.length("sequence"))
+    key = ["locus", "allele_id"]
+    if ext_attributes is not None:
+        attrs = [
+            r[0]
+            for r in ext_attributes.select("attribute").distinct().orderBy("attribute").collect()
+        ]
+        wide = (
+            ext_attributes.groupBy(
+                F.col("locus").alias("_ea_locus"), F.col("allele_id").alias("_ea_aid")
+            )
+            .pivot("attribute", attrs)
+            .agg(F.first("value"))
+        )
+        out = out.join(
+            F.broadcast(wide),
+            (out["locus"] == wide["_ea_locus"]) & (out["allele_id"] == wide["_ea_aid"]),
+            "left",
+        ).drop("_ea_locus", "_ea_aid")
+    if refs is not None:
+        pm = refs.groupBy(
+            F.col("locus").alias("_r_locus"), F.col("allele_id").alias("_r_aid")
+        ).agg(
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("pubmed_id").cast("string"))), "; "
+            ).alias("PubMed")
+        )
+        out = out.join(
+            F.broadcast(pm),
+            (out["locus"] == pm["_r_locus"]) & (out["allele_id"] == pm["_r_aid"]),
+            "left",
+        ).drop("_r_locus", "_r_aid")
+    if flags is not None:
+        fl = flags.groupBy(
+            F.col("locus").alias("_f_locus"), F.col("allele_id").alias("_f_aid")
+        ).agg(F.array_join(F.array_sort(F.collect_set("flag")), " ").alias("flags"))
+        out = out.join(
+            F.broadcast(fl),
+            (out["locus"] == fl["_f_locus"]) & (out["allele_id"] == fl["_f_aid"]),
+            "left",
+        ).drop("_f_locus", "_f_aid")
+    return out.orderBy(*key)

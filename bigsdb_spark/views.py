@@ -113,6 +113,45 @@ def date_restriction_filter(
     )
 
 
+def publish_embargoed(
+    private_records: DataFrame,
+    today: str,
+) -> dict[str, DataFrame]:
+    """Embargo lifecycle sweep (scripts/maintenance/check_embargoes.pl
+    :95-125): records whose embargo date has been reached leave the
+    private set and gain an audit row.
+
+    Returns three frames from ONE shared split of ``private_records``:
+    ``published`` (isolate_id, owner_id — the publish list, ordered by
+    owner then id as the script prints it), ``remaining_private`` (the
+    replacement private_records table) and ``history`` (the
+    ``embargo_history`` append: action text and curator 0 exactly as
+    the script writes them, embargo set NULL).  Pure partition-local
+    filters — no shuffle; callers overwrite/append the tables.
+    """
+    due = F.col("embargo_date").isNotNull() & (
+        F.col("embargo_date") <= F.lit(today).cast("date")
+    )
+    published = (
+        private_records.filter(due)
+        .select("isolate_id", "owner_id")
+        .orderBy("owner_id", "isolate_id")
+    )
+    remaining = private_records.filter(~F.coalesce(due, F.lit(False)))
+    history = private_records.filter(due).select(
+        "isolate_id",
+        F.lit(today).cast("date").alias("timestamp"),
+        F.lit("Record made public (embargo date reached)").alias("action"),
+        F.lit(None).cast("date").alias("embargo"),
+        F.lit(0).alias("curator"),
+    )
+    return {
+        "published": published,
+        "remaining_private": remaining,
+        "history": history,
+    }
+
+
 # ---------------------------------------------------------------------------
 # set system (sql/seqdef.sql:785-826 set_loci/set_schemes): a "set" is a
 # curated subset of loci and schemes a deployment exposes to a user
