@@ -53,10 +53,25 @@ def _dedup_minhash(spark, sf_dir):
     return dedup_minhash(spark, sf_dir)
 
 
+def _corpus_assembly(spark, sf_dir):
+    # pack documents into fixed-length examples and assign output
+    # shards — the Arrow packing pass plus the pure-expression shard
+    # hash (operators/training.py); measures the corpus-assembly tail
+    # of the training pipeline at scale
+    from bigsdb_spark.operators.textstats import token_stats
+    from bigsdb_spark.operators.training import pack_documents, shard_assignments
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    packed = pack_documents(toks, "doc_id", "n_tokens", max_len=2048)
+    return shard_assignments(packed, "example_id", n_shards=64)
+
+
 EXTRA = {
     "sim_brute_topk_np": _sim_topk_np,
     "sim_ivf_kmeans": _sim_ivf,
     "dedup_minhash_lsh": _dedup_minhash,
+    "corpus_assembly": _corpus_assembly,
 }
 
 HEADLINE = [
@@ -81,6 +96,7 @@ HEADLINE = [
     "sim_bucketed_ann",
     "t_text_suite",
     "t_policy_suite",
+    "corpus_assembly",
     "stream_sessionize",
 ]
 

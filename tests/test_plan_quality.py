@@ -291,3 +291,66 @@ def test_decontamination_join_is_broadcast(spark):
     plan = plan_of(benchmark_ngram_hits(docs, bench, "doc_id", "text", n=5))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_joins_are_hash(spark):
+    """dedup_against_index: all three tiers anti/semi-join on hash keys —
+    the LIKE/prefix shapes elsewhere must not leak in here."""
+    from bigsdb_spark.operators.training import build_corpus_index, dedup_against_index
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "iota kappa lambda mu nu xi omicron pi")], "doc_id long, text string"
+    )
+    idx = build_corpus_index(corpus, "doc_id", "text")
+    plan = plan_of(dedup_against_index(new, idx, "doc_id", "text")["kept"])
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shard_assignment_no_shuffle(spark):
+    """shard_assignments is a pure projection: no Exchange until the
+    writer repartitions on the shard key."""
+    from bigsdb_spark.operators.training import shard_assignments
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    plan = plan_of(shard_assignments(df, "doc_id", 8))
+    assert "Exchange" not in plan
+
+
+def test_annotation_candidates_broadcasts_metadata(spark):
+    """The per-tool analysis_results/last_run slices broadcast against
+    the big seqbin_stats side (update_kleborate.pl's left joins)."""
+    import datetime as dt
+
+    from bigsdb_spark.operators.analysis import annotation_candidates
+
+    ss = spark.createDataFrame([(1, 2_000_000)], "isolate_id long, total_length long")
+    ar = spark.createDataFrame([], "isolate_id long, name string, datestamp date")
+    lr = spark.createDataFrame([], "isolate_id long, name string, timestamp date")
+    plan = plan_of(
+        annotation_candidates(ss, ar, lr, "Kleborate", 1, dt.date(2026, 8, 14))
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_normalize_analysis_cache_single_scan_per_name(spark):
+    """The JSONPath normalizer evaluates all of one analysis' paths as
+    expressions over a single filter+generate — no joins at all."""
+    from bigsdb_spark.operators.analysis import normalize_analysis_json
+
+    results = spark.createDataFrame(
+        [(1, "T", '{"fields":[{"a":"x"}]}')],
+        "isolate_id long, name string, results string",
+    )
+    fields = spark.createDataFrame(
+        [("T", "$.fields[*].a"), ("T", "$.fields[*].b")],
+        "analysis_name string, json_path string",
+    )
+    plan = plan_of(normalize_analysis_json(results, fields))
+    assert "Join" not in plan
+    assert plan.count("Generate") >= 1
