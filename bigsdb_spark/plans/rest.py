@@ -733,3 +733,161 @@ def route_field_breakdown(
         .collect()
     )
     return {str(r[field]): int(r["n"]) for r in counts}
+
+
+def route_user_record(
+    users,
+    user_id,
+    base: str,
+    privacy: bool = False,
+    hide_emails: bool = False,
+    id_col: str = "id",
+) -> dict:
+    """GET /db/:db/users/:user (REST/Routes/Users.pm:36-56 _get_user):
+    id/first_name/surname/affiliation, with email included only for
+    curators/admins when privacy is on (and never when the deployment
+    hides emails). Non-int id -> 400, unknown -> 404."""
+    from pyspark.sql import functions as F
+
+    if isinstance(user_id, bool) or not isinstance(user_id, int):
+        raise BadRequest("User id must be an integer.")
+    rows = users.filter(F.col(id_col) == user_id).limit(1).collect()
+    if not rows:
+        raise NotFound(f"User {user_id} does not exist.")
+    row = rows[0].asDict()
+    out = {}
+    for f in ("id", "first_name", "surname", "affiliation", "email"):
+        if f == "email" and (
+            hide_emails
+            or (privacy and row.get("status") not in ("curator", "admin"))
+        ):
+            continue
+        if f in row and row[f] is not None:
+            out[f] = row[f]
+    return out
+
+
+def route_curators(users, base: str, id_col: str = "id") -> dict:
+    """GET /db/:db/curators (REST/Routes/Users.pm:58-72): record URIs
+    of every curator/admin with id > 0, id-ordered."""
+    from pyspark.sql import functions as F
+
+    ids = (
+        users.filter(F.col("status").isin("curator", "admin") & (F.col(id_col) > 0))
+        .select(id_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    links = [f"{base}/users/{r[0]}" for r in ids]
+    return {"records": len(links), "curators": links}
+
+
+def route_projects_list(
+    projects,
+    project_members,
+    view,
+    base: str,
+    user_project_ids: list[int] | None = None,
+    id_col: str = "id",
+) -> dict:
+    """GET /db/:db/projects (REST/Routes/Projects.pm:39-72
+    _get_projects): projects that are visible (public, or among the
+    caller's memberships) AND have at least one member isolate in the
+    role-filtered view — the reference's per-project COUNT loop folded
+    into ONE semi-join + groupBy over the membership table. Projects
+    with zero visible isolates are dropped (:60)."""
+    from pyspark.sql import functions as F
+
+    visible_members = project_members.join(
+        view.select(F.col(id_col).alias("_vid")),
+        F.col("isolate_id") == F.col("_vid"),
+        "left_semi",
+    )
+    counts = visible_members.groupBy("project_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    p = projects
+    if "private" in p.columns:
+        vis = ~F.coalesce(F.col("private"), F.lit(False))
+        if user_project_ids:
+            vis = vis | F.col(id_col).isin(user_project_ids)
+        p = p.filter(vis)
+    rows = (
+        p.join(F.broadcast(counts), p[id_col] == counts["project_id"])
+        .select(id_col, "short_description")
+        .orderBy(id_col)
+        .collect()
+    )
+    out = [
+        {
+            "project": f"{base}/projects/{r[id_col]}",
+            "description": r["short_description"],
+        }
+        for r in rows
+    ]
+    return {"records": len(out), "projects": out}
+
+
+def route_project_record(
+    projects, project_members, view, project_id, base: str, id_col: str = "id"
+) -> dict:
+    """GET /db/:db/projects/:project (Projects.pm:74-96): description +
+    isolates URI. Non-int -> 400, unknown -> 404."""
+    from pyspark.sql import functions as F
+
+    if isinstance(project_id, bool) or not isinstance(project_id, int):
+        raise BadRequest("Project id must be an integer.")
+    rows = projects.filter(F.col(id_col) == project_id).limit(1).collect()
+    if not rows:
+        raise NotFound(f"Project {project_id} does not exist.")
+    return {
+        "id": project_id,
+        "description": rows[0]["short_description"],
+        "isolates": f"{base}/projects/{project_id}/isolates",
+    }
+
+
+def route_project_isolates(
+    projects,
+    project_members,
+    view,
+    project_id,
+    base: str,
+    page: int = 1,
+    page_size: int = 100,
+    id_col: str = "id",
+) -> dict:
+    """GET /db/:db/projects/:project/isolates (Projects.pm:98-127):
+    the project's member isolates restricted to the view, id-ordered
+    record URIs under the paging envelope."""
+    from pyspark.sql import functions as F
+
+    if isinstance(project_id, bool) or not isinstance(project_id, int):
+        raise BadRequest("Project id must be an integer.")
+    if projects.filter(F.col(id_col) == project_id).limit(1).count() == 0:
+        raise NotFound(f"Project {project_id} does not exist.")
+    mine = (
+        project_members.filter(F.col("project_id") == project_id)
+        .join(
+            view.select(F.col(id_col).alias("_vid")),
+            F.col("isolate_id") == F.col("_vid"),
+            "left_semi",
+        )
+        .select("isolate_id")
+    )
+    total, rows = _paged(mine, ["isolate_id"], page, page_size)
+    values: dict = {"records": total}
+    if rows:
+        values["paging"] = paging_links(page, page_size, total)
+        values["isolates"] = [f"{base}/isolates/{r['isolate_id']}" for r in rows]
+    return values
+
+
+def route_resources(databases: list[dict]) -> list[dict]:
+    """GET / (REST/Routes/Resources.pm:43-66 _get_root): the resource
+    groups with their database descriptors — pure metadata passthrough
+    shaped like the reference's response."""
+    out = []
+    for db in databases:
+        out.append({"name": db["name"], "description": db.get("description", "")})
+    return out

@@ -557,3 +557,95 @@ def test_rest_field_values_and_breakdown(spark):
         route_field_values(view, TABLE, "nope")
     with _pytest.raises(NotFound):
         route_field_breakdown(view, TABLE, "nope")
+
+
+def test_rest_users_and_curators(spark):
+    import pytest
+    from bigsdb_spark.plans.rest import (
+        BadRequest,
+        NotFound,
+        route_curators,
+        route_user_record,
+    )
+
+    users = spark.createDataFrame(
+        [
+            (1, "Keith", "Jolley", "Oxford", "k@x.org", "curator"),
+            (2, "Ann", "Smith", "Leeds", "a@x.org", "user"),
+            (3, "Bob", "Admin", "Oslo", "b@x.org", "admin"),
+            (-1, "auto", "tagger", "", None, "user"),
+        ],
+        "id int, first_name string, surname string, affiliation string, "
+        "email string, status string",
+    )
+    rec = route_user_record(users, 1, "/db/test")
+    assert rec == {
+        "id": 1, "first_name": "Keith", "surname": "Jolley",
+        "affiliation": "Oxford", "email": "k@x.org",
+    }
+    # privacy: plain users lose the email field, curators keep it
+    assert "email" not in route_user_record(users, 2, "/db/test", privacy=True)
+    assert "email" in route_user_record(users, 1, "/db/test", privacy=True)
+    assert "email" not in route_user_record(users, 1, "/db/test", hide_emails=True)
+    with pytest.raises(BadRequest):
+        route_user_record(users, "x", "/db/test")
+    with pytest.raises(NotFound):
+        route_user_record(users, 99, "/db/test")
+    cur = route_curators(users, "/db/test")
+    # id>0 guard drops the autotagger pseudo-user; user status excluded
+    assert cur == {
+        "records": 2,
+        "curators": ["/db/test/users/1", "/db/test/users/3"],
+    }
+
+
+def test_rest_projects(spark):
+    import pytest
+    from bigsdb_spark.plans.rest import (
+        BadRequest,
+        NotFound,
+        route_project_isolates,
+        route_project_record,
+        route_projects_list,
+    )
+
+    projects = spark.createDataFrame(
+        [
+            (1, "EU surveillance", False),
+            (2, "private study", True),
+            (3, "empty project", False),
+        ],
+        "id int, short_description string, private boolean",
+    )
+    members = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 99), (2, 10), (3, 98)],
+        "project_id int, isolate_id int",
+    )
+    view = spark.createDataFrame([(10,), (11,), (12,)], "id int")
+
+    got = route_projects_list(projects, members, view, "/db/test")
+    # private project hidden; project 3's only member (98) is outside
+    # the view -> dropped like the reference's zero-count skip
+    assert got == {
+        "records": 1,
+        "projects": [
+            {"project": "/db/test/projects/1", "description": "EU surveillance"}
+        ],
+    }
+    # membership unlocks the private project
+    got = route_projects_list(
+        projects, members, view, "/db/test", user_project_ids=[2]
+    )
+    assert got["records"] == 2
+
+    rec = route_project_record(projects, members, view, 1, "/db/test")
+    assert rec["isolates"] == "/db/test/projects/1/isolates"
+    with pytest.raises(NotFound):
+        route_project_record(projects, members, view, 9, "/db/test")
+    with pytest.raises(BadRequest):
+        route_project_isolates(projects, members, view, True, "/db/test")
+
+    iso = route_project_isolates(projects, members, view, 1, "/db/test")
+    # member 99 is not in the view and must not leak
+    assert iso["records"] == 2
+    assert iso["isolates"] == ["/db/test/isolates/10", "/db/test/isolates/11"]
