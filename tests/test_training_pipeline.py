@@ -123,3 +123,32 @@ def test_dedup_against_index(spark):
     # updated index covers the kept docs: re-running the same batch keeps nothing
     again = dedup_against_index(new, {"md5": out["md5"], "bands": out["bands"]}, "doc_id", "text")
     assert again["kept"].count() == 0
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=6000), min_size=1, max_size=60),
+    max_len=st.sampled_from([512, 2048]),
+)
+def test_pack_documents_property(spark, sizes, max_len):
+    """Packing invariants over random size mixes: exact chunk coverage
+    (total packed tokens == total input tokens), no example overflow,
+    and chunking only for docs longer than max_len."""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "doc_id long, n_tokens long"
+    )
+    from bigsdb_spark.operators.training import pack_documents
+
+    rows = pack_documents(df, "doc_id", "n_tokens", max_len, partitions=4).collect()
+    assert sum(r["n_tokens"] for r in rows) == sum(sizes)
+    per_doc = {}
+    per_ex = {}
+    for r in rows:
+        assert 1 <= r["n_tokens"] <= max_len
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_tokens"]
+        per_ex[r["example_id"]] = per_ex.get(r["example_id"], 0) + r["n_tokens"]
+    assert per_doc == {i: s for i, s in enumerate(sizes)}
+    assert all(total <= max_len for total in per_ex.values())
