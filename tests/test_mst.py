@@ -1,0 +1,71 @@
+"""Distributed Borůvka MST vs an independent Kruskal oracle
+(operators/mst.py).  With the strict (w, u, v) edge total order both
+algorithms produce the SAME unique MST edge set, so the test compares
+sets exactly — including under repeated weights and disconnected
+graphs."""
+
+import random
+
+from bigsdb_spark.operators.mst import boruvka_mst, kruskal_mst_py
+
+
+def _run(spark, n, edge_list):
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id int")
+    edges = spark.createDataFrame(edge_list, "u int, v int, w int")
+    got = {
+        (r["u"], r["v"], r["w"]) for r in boruvka_mst(edges, nodes).collect()
+    }
+    want = kruskal_mst_py(edge_list)
+    assert got == want
+    return got
+
+
+def test_mst_small_chain(spark):
+    got = _run(spark, 4, [(0, 1, 5), (1, 2, 3), (2, 3, 4), (0, 3, 10)])
+    assert got == {(0, 1, 5), (1, 2, 3), (2, 3, 4)}
+
+
+def test_mst_random_graphs_with_ties(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 30
+        edge_list = []
+        for _ in range(120):
+            u, v = rng.randrange(n), rng.randrange(n)
+            if u != v:
+                # small weight range forces many ties -> exercises the
+                # total-order tie-break
+                edge_list.append((u, v, rng.randrange(1, 6)))
+        got = _run(spark, n, edge_list)
+        # spanning forest size: V - #components
+        comps = _component_count(n, edge_list)
+        assert len(got) == n - comps
+
+
+def test_mst_disconnected_forest(spark):
+    edge_list = [(0, 1, 1), (1, 2, 2), (5, 6, 1), (6, 7, 9), (5, 7, 3)]
+    got = _run(spark, 10, edge_list)
+    assert got == {(0, 1, 1), (1, 2, 2), (5, 6, 1), (5, 7, 3)}
+
+
+def test_mst_duplicate_and_reversed_edges(spark):
+    # the same undirected edge given twice in both orientations with
+    # different weights keeps its minimum
+    got = _run(spark, 3, [(0, 1, 9), (1, 0, 2), (1, 2, 4), (2, 1, 4)])
+    assert got == {(0, 1, 2), (1, 2, 4)}
+
+
+def _component_count(n, edge_list):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v, _ in edge_list:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    return len({find(i) for i in range(n)})
