@@ -42,11 +42,18 @@ from bigsdb_spark.functions.sequence import (
 __all__ = ["check_new_alleles", "check_new_profiles"]
 
 
-def _kmers(col, k: int):
-    idx = F.when(
-        F.length(col) >= k, F.sequence(F.lit(1), F.length(col) - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.substring(col, i, k))
+def _kmer_rows(df: DataFrame, keep: list[str], seq_expr, k: int) -> DataFrame:
+    """One row per k-mer of ``seq_expr``, exploded index-first so the
+    (possibly computed) sequence is materialized once per row by the
+    Generate — an array-transform lambda over a computed input would
+    re-evaluate it per ELEMENT after projection collapse (quadratic
+    per sequence; the word_shingles/lm.py trap)."""
+    d = df.select(*keep, seq_expr.alias("_s")).filter(F.length("_s") >= k)
+    return d.select(
+        *keep,
+        "_s",
+        F.explode(F.sequence(F.lit(1), F.length("_s") - (k - 1))).alias("_i"),
+    ).select(*keep, F.substring(F.col("_s"), F.col("_i").cast("int"), k).alias("_km"))
 
 
 def check_new_alleles(
@@ -176,20 +183,21 @@ def check_new_alleles(
         q = df.select(
             F.col("seq_id").alias("_q_id"), F.col("sequence").alias("_q_seq")
         )
-        qk = q.select(
-            "_q_id",
-            "_q_seq",
-            F.explode(
-                F.array_distinct(
-                    F.array_union(
-                        _kmers(F.col("_q_seq"), kmer),
-                        _kmers(reverse_complement(F.col("_q_seq")), kmer),
-                    )
+        qk = (
+            _kmer_rows(q, ["_q_id", "_q_seq"], F.col("_q_seq"), kmer)
+            .unionByName(
+                _kmer_rows(
+                    q,
+                    ["_q_id", "_q_seq"],
+                    reverse_complement(F.col("_q_seq")),
+                    kmer,
                 )
-            ).alias("_km"),
+            )
+            .select("_q_id", "_q_seq", "_km")
+            .dropDuplicates(["_q_id", "_km"])
         )
-        ek = mine.select(
-            "_ex_id", "_ex_seq", F.explode(_kmers(F.col("_ex_seq"), kmer)).alias("_km")
+        ek = _kmer_rows(mine, ["_ex_id", "_ex_seq"], F.col("_ex_seq"), kmer).select(
+            "_ex_id", "_ex_seq", "_km"
         )
         pairs = (
             qk.join(ek, "_km")

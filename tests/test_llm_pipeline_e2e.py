@@ -122,3 +122,53 @@ def test_training_corpus_pipeline_composes(spark, corpus):
     )
     assert total_tokens > 0
     assert n_final <= n_gated
+
+
+def test_corpus_assembly_tail_composes(spark, corpus, tmp_path):
+    """The assembly tail downstream of cleaning: LM quality filter ->
+    token accounting -> packing into fixed-length examples ->
+    deterministic shards on disk -> next-batch incremental dedup
+    against the emitted corpus' index. Pins that the round-3 operators
+    compose with the cleaning stages above on driver testdata."""
+    from bigsdb_spark.operators.lm import perplexity, train_char_lm
+    from bigsdb_spark.operators.textstats import token_stats
+    from bigsdb_spark.operators.training import (
+        build_corpus_index,
+        dedup_against_index,
+        pack_documents,
+        write_training_shards,
+    )
+
+    # LM filter: train on the corpus itself, keep the low-perplexity
+    # 80% (self-trained filters are the CCNet bootstrap shape)
+    model = train_char_lm(corpus)
+    ppl = perplexity(corpus, model)
+    cutoff = ppl.approxQuantile("perplexity", [0.8], 0.01)[0]
+    kept = corpus.join(
+        ppl.filter(F.col("perplexity") <= cutoff).select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=True)  # several eager consumers below
+    # (index build + shard write + reingest) would otherwise re-run
+    # the LM lineage once each
+    n_kept = kept.count()
+    assert 0 < n_kept < corpus.count()
+
+    # pack token counts into 512-token examples
+    toks = token_stats(kept, "doc_id", "text").select("doc_id", "n_tokens")
+    packed = pack_documents(toks, "doc_id", "n_tokens", max_len=512, partitions=8)
+    stats = packed.groupBy("example_id").agg(F.sum("n_tokens").alias("tot"))
+    assert stats.filter(F.col("tot") > 512).count() == 0
+    total_in = toks.agg(F.sum("n_tokens")).collect()[0][0]
+    total_packed = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total_in == total_packed
+
+    # write shards; read back and check coverage
+    path = str(tmp_path / "corpus_shards")
+    write_training_shards(kept, path, "doc_id", n_shards=8, seed=7)
+    back = spark.read.parquet(path)
+    assert back.count() == n_kept
+
+    # a re-ingest of the SAME corpus dedups to nothing against its index
+    index = build_corpus_index(kept, "doc_id", "text")
+    reingest = kept.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    out = dedup_against_index(reingest, index, "doc_id", "text")
+    assert out["kept"].count() == 0
