@@ -40,15 +40,24 @@ def word_tokens(text_col: Column) -> Column:
 def word_ngram_array(text_col: Column, n: int) -> Column:
     """Array of space-joined word n-grams; empty when the document has
     fewer than ``n`` tokens (guarded — F.sequence(1, 0) would produce a
-    DESCENDING [1, 0])."""
-    toks = word_tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    DESCENDING [1, 0]).
+
+    The token array is bound to a lambda VARIABLE via a one-element
+    wrapper transform: a lambda that closed over the raw ``split``
+    expression would re-tokenize the whole document per n-gram after
+    projection collapse (the word_shingles/lm.py quadratic trap);
+    a lambda variable is evaluated once per row by contract."""
+    per_doc = F.transform(
+        F.array(word_tokens(text_col)),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.element_at(per_doc, 1)
 
 
 def _gram_counts(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
