@@ -315,3 +315,70 @@ def run_available_now_memory(
         pdf = pdf.drop_duplicates(subset=final_by, keep="last")
         return stream_df.sparkSession.createDataFrame(pdf, schema=out.schema)
     return out
+
+
+def run_analysis_cache_stream(
+    results_stream: DataFrame,
+    analysis_fields: DataFrame,
+    cache_path: str,
+    checkpoint: str,
+) -> None:
+    """Incremental ``analysis_results_cache`` maintenance on a stream
+    of analysis-result upserts — the streaming counterpart of the
+    reference's per-row trigger (sql/isolatedb.sql:2217-2232
+    trigger_normalize_analysis_jsonb: DELETE the (isolate, analysis)
+    slice, re-normalize, INSERT).
+
+    Each micro-batch (a) normalizes its JSON rows with the same batch
+    operator the gate exercises (operators/analysis.py), and (b)
+    replaces the touched (isolate_id, analysis_name) slices in the
+    parquet cache via dynamic partition overwrite on analysis_name +
+    an anti-join rewrite of the touched isolates — last-writer-wins
+    per key, exactly the trigger's DELETE+INSERT. foreachBatch is the
+    right tool: the transformation is a join-free flatten, but the
+    sink needs per-key replace semantics parquet append can't express.
+    """
+    from bigsdb_spark.operators.analysis import normalize_analysis_json
+
+    spark = results_stream.sparkSession
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # last event per (isolate, name) within the batch wins
+        latest = batch_df.groupBy("isolate_id", "name").agg(
+            F.max_by("results", "seq").alias("results")
+            if "seq" in batch_df.columns
+            else F.last("results").alias("results")
+        )
+        fresh = normalize_analysis_json(latest, analysis_fields)
+        try:
+            old = spark.read.parquet(cache_path)
+            touched = latest.select(
+                F.col("isolate_id").alias("_t_iso"),
+                F.col("name").alias("_t_name"),
+            ).distinct()
+            keep = old.join(
+                touched,
+                (old["isolate_id"] == touched["_t_iso"])
+                & (old["analysis_name"] == touched["_t_name"]),
+                "left_anti",
+            )
+            out = keep.unionByName(fresh)
+        except Exception:
+            out = fresh  # first batch: no cache yet
+        out.write.mode("overwrite").parquet(cache_path + "_next")
+        # atomic-enough swap for a local cache dir; a lakehouse table
+        # format (Delta/Iceberg MERGE) is the production path
+        import shutil
+
+        shutil.rmtree(cache_path, ignore_errors=True)
+        shutil.move(cache_path + "_next", cache_path)
+
+    q = (
+        results_stream.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -258,3 +258,59 @@ def test_stateful_counts_final_state_is_order_independent(spark, tmp_path):
     got = {r.event_type: (r.n, r.total_value) for r in result.collect()}
     assert got["click"] == (4, 16.0)  # 1+3+5+7
     assert got["view"] == (4, 12.0)   # 0+2+4+6
+
+
+def test_streaming_analysis_cache_trigger_parity(spark, tmp_path):
+    """The streamed analysis cache replays the reference trigger:
+    each upsert replaces the (isolate, analysis) slice; the final
+    parquet cache equals the batch normalizer over last-writer rows
+    (sql/isolatedb.sql:2217-2232)."""
+    from bigsdb_spark.operators.analysis import normalize_analysis_json
+    from bigsdb_spark.streaming.events import (
+        read_event_stream,
+        run_analysis_cache_stream,
+    )
+
+    fields = spark.createDataFrame(
+        [("Kleborate", "$.fields[*].ST"), ("Kleborate", "$.fields[*].K_locus")],
+        "analysis_name string, json_path string",
+    )
+    src = str(tmp_path / "ar_src")
+    batch1 = spark.createDataFrame(
+        [
+            (1, 1, "Kleborate", '{"fields":[{"ST":"258"},{"K_locus":"KL106"}]}'),
+            (2, 2, "Kleborate", '{"fields":[{"ST":"11"}]}'),
+        ],
+        "seq long, isolate_id long, name string, results string",
+    )
+    batch2 = spark.createDataFrame(
+        # re-analysis of isolate 1: old ST/K rows must be REPLACED
+        [(3, 1, "Kleborate", '{"fields":[{"ST":"512"}]}')],
+        "seq long, isolate_id long, name string, results string",
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    cache_path = str(tmp_path / "cache")
+    stream = read_event_stream(spark, src, max_files=16)
+    run_analysis_cache_stream(
+        stream, fields, cache_path, str(tmp_path / "ckpt")
+    )
+    got = {
+        (r["isolate_id"], r["json_path"], r["value"])
+        for r in spark.read.parquet(cache_path).collect()
+    }
+    final_rows = spark.createDataFrame(
+        [
+            (1, "Kleborate", '{"fields":[{"ST":"512"}]}'),
+            (2, "Kleborate", '{"fields":[{"ST":"11"}]}'),
+        ],
+        "isolate_id long, name string, results string",
+    )
+    want = {
+        (r["isolate_id"], r["json_path"], r["value"])
+        for r in normalize_analysis_json(final_rows, fields).collect()
+    }
+    assert got == want
+    # the replaced KL106 row is really gone
+    assert (1, "$.fields[*].K_locus", "KL106") not in got
