@@ -1,0 +1,68 @@
+"""Product quantization (operators/pq.py): encoding validity, exact
+reconstruction when data IS the codebook, and recall vs brute force on
+driver testdata embeddings."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from bigsdb_spark.operators.pq import pq_encode, pq_topk, train_pq
+from bigsdb_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pq_encode_exact_on_codebook_points(spark):
+    """Vectors that coincide with centroids encode to those centroids
+    and ADC distance to themselves is 0."""
+    rng = np.random.RandomState(7)
+    pts = rng.randn(16, 8).round(3)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in pts[i]]) for i in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+    books = train_pq(emb, m=2, k=16, iters=25, seed=1)
+    codes = pq_encode(emb, books)
+    # with k == n_points each sub-block clusters to the points
+    # themselves: ADC distance of each vector to itself must be ~0
+    top = pq_topk(codes, books, [float(v) for v in pts[3]], top_k=1)
+    r = top.collect()[0]
+    assert r["vec_id"] == 3
+    assert r["adc_dist"] < 1e-9
+
+
+def test_pq_codes_shape_and_range(spark):
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    books = train_pq(emb, m=8, k=16)
+    codes = pq_encode(emb, books)
+    row = codes.first()
+    assert len(row["codes"]) == 8
+    stats = codes.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+    ).collect()[0]
+    assert stats["lo"] >= 0 and stats["hi"] <= 15
+
+
+def test_pq_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding").cache()
+    rows = emb.collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    # the synthetic embeddings are near-uniform random — PQ's worst
+    # case (no cluster structure to exploit) — so use the finer
+    # m=16/k=32 layout (measured 0.63 recall@10 vs 0.33 at m=8/k=16)
+    books = train_pq(emb, m=16, k=32)
+    codes = pq_encode(emb, books).cache()
+    hits = total = 0
+    for qi in (0, 7, 23):
+        q = x[qi]
+        true = set(ids[np.argsort(((x - q) ** 2).sum(axis=1))[:10]])
+        got = {
+            r["vec_id"]
+            for r in pq_topk(codes, books, [float(v) for v in q], top_k=10).collect()
+        }
+        hits += len(true & got)
+        total += 10
+    assert hits / total >= 0.5
+    emb.unpersist()
+    codes.unpersist()
