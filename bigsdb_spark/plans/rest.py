@@ -891,3 +891,59 @@ def route_resources(databases: list[dict]) -> list[dict]:
     for db in databases:
         out.append({"name": db["name"], "description": db.get("description", "")})
     return out
+
+
+def route_project_dataset(
+    projects,
+    project_members,
+    view,
+    project_id,
+    base: str,
+    fields: list[str] | None = None,
+    designations=None,
+    loci: list[str] | None = None,
+    scheme_cache=None,
+    scheme_fields: list[str] | None = None,
+    page: int = 1,
+    page_size: int = 100,
+    id_col: str = "id",
+) -> dict:
+    """GET /db/:db/projects/:project/dataset (Projects.pm:140-214
+    _get_project_dataset): the denormalized Export-plugin table
+    restricted to the project's view-visible members — provenance
+    fields, optional per-locus designations and scheme fields — paged
+    by id with NULL values omitted per record (remove_null_values).
+    One semi-join + the dataset_export composition; no per-record
+    queries."""
+    from pyspark.sql import functions as F
+
+    from bigsdb_spark.operators.export_dataset import dataset_export
+
+    if isinstance(project_id, bool) or not isinstance(project_id, int):
+        raise BadRequest("Project id must be an integer.")
+    if projects.filter(F.col("id") == project_id).limit(1).count() == 0:
+        raise NotFound(f"Project {project_id} does not exist.")
+    members = project_members.filter(F.col("project_id") == project_id).select(
+        F.col("isolate_id").alias("_mid")
+    )
+    mine = view.join(members, view[id_col] == F.col("_mid"), "left_semi")
+    fields = fields or [c for c in view.columns if c != id_col]
+    wide = dataset_export(
+        mine,
+        fields,
+        designations=designations,
+        loci=loci,
+        scheme_cache=scheme_cache,
+        scheme_fields=scheme_fields,
+        id_col=id_col,
+    )
+    total, rows = _paged(wide, [id_col], page, page_size)
+    dataset = []
+    for r in rows:
+        rec = {k: v for k, v in r.asDict().items() if v is not None}
+        dataset.append(rec)
+    values: dict = {"records": total}
+    if dataset:
+        values["paging"] = paging_links(page, page_size, total)
+        values["dataset"] = dataset
+    return values

@@ -649,3 +649,32 @@ def test_rest_projects(spark):
     # member 99 is not in the view and must not leak
     assert iso["records"] == 2
     assert iso["isolates"] == ["/db/test/isolates/10", "/db/test/isolates/11"]
+
+
+def test_rest_project_dataset(spark):
+    from bigsdb_spark.plans.rest import route_project_dataset
+
+    projects = spark.createDataFrame(
+        [(1, "study", False)], "id int, short_description string, private boolean"
+    )
+    members = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 99)], "project_id int, isolate_id int"
+    )
+    view = spark.createDataFrame(
+        [(10, "France", 2020), (11, "Spain", None), (12, "Italy", 2021)],
+        "id int, country string, year int",
+    )
+    des = spark.createDataFrame(
+        [(10, "abcZ", "4"), (10, "abcZ", "2"), (11, "adk", "7")],
+        "isolate_id int, locus string, allele_id string",
+    )
+    got = route_project_dataset(
+        projects, members, view, 1, "/db/test",
+        designations=des.withColumnRenamed("isolate_id", "id"),
+        loci=["abcZ", "adk"],
+    )
+    assert got["records"] == 2  # member 99 not in view
+    recs = {r["id"]: r for r in got["dataset"]}
+    assert recs[10]["abcZ"] == "2;4"  # sorted multi-designation join
+    assert "year" not in recs[11]     # NULLs omitted per record
+    assert recs[11]["adk"] == "7"
