@@ -136,32 +136,46 @@ def run_annotation_tool(
     pipes.  One subprocess per genome, genomes fanned out across
     executors via a grouped Arrow transform; the reference's serial
     driver loop (:174-215) is the part we deliberately do not copy.
+
+    A genome whose tool run fails (nonzero exit, no parseable output)
+    yields a row with NULL ``results`` and the error text in ``err``
+    — one bad assembly must not fail the task and re-run (then kill)
+    the whole job.  EVERY attempted genome gets a row, so the full
+    output doubles as the ``last_run`` log that
+    ``annotation_candidates`` uses to avoid nightly re-runs of
+    failures; filter ``results IS NOT NULL`` for the
+    ``analysis_results`` upsert.
     """
-    out_schema = f"{id_col} long, name string, results string"
+    out_schema = f"{id_col} long, name string, results string, err string"
 
     def _per_genome(pdf: pd.DataFrame) -> pd.DataFrame:
         iso = int(pdf[id_col].iloc[0])
         fasta = "".join(
             f">{iso}_{i}\n{s}\n" for i, s in enumerate(pdf[seq_col], start=1)
         )
-        proc = subprocess.run(
-            command, input=fasta, capture_output=True, text=True, check=True
-        )
-        lines = proc.stdout.splitlines()
-        if len(lines) < 2:
-            return pd.DataFrame(columns=[id_col, "name", "results"])
-        headers = lines[0].rstrip("\n").split("\t")
-        values = lines[1].rstrip("\n").split("\t")
-        fields = []
-        for h, v in zip(headers, values):
-            cleaned = _clean_tool_value(v)
-            if cleaned is not None:
-                fields.append({h: cleaned})
-        results = json.dumps(
-            {"version": version, "fields": fields}, separators=(",", ":")
-        )
+        results = err = None
+        try:
+            proc = subprocess.run(
+                command, input=fasta, capture_output=True, text=True, check=True
+            )
+            lines = proc.stdout.splitlines()
+            if len(lines) < 2:
+                err = "no valid results"  # update_kleborate.pl:234
+            else:
+                headers = lines[0].rstrip("\n").split("\t")
+                values = lines[1].rstrip("\n").split("\t")
+                fields = []
+                for h, v in zip(headers, values):
+                    cleaned = _clean_tool_value(v)
+                    if cleaned is not None:
+                        fields.append({h: cleaned})
+                results = json.dumps(
+                    {"version": version, "fields": fields}, separators=(",", ":")
+                )
+        except (subprocess.CalledProcessError, OSError) as e:
+            err = str(e)[:500]
         return pd.DataFrame(
-            {id_col: [iso], "name": [name], "results": [results]}
+            {id_col: [iso], "name": [name], "results": [results], "err": [err]}
         )
 
     return (

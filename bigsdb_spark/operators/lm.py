@@ -99,7 +99,9 @@ def perplexity(
 
     Unseen (history, next) pairs with a KNOWN history back off to the
     smoothed floor k/(c(h)+k|V|); a wholly unseen history scores the
-    uniform 1/|V|.  Documents shorter than ``n`` chars get NULL.
+    uniform 1/|V|.  Documents shorter than ``n`` normalized chars have
+    no n-grams and produce NO output row (callers joining back should
+    left-join; ``perplexity_filter`` drops them, documented there).
     """
     grams = _gram_rows(docs, [id_col], text_col, n)
     m = model
@@ -140,9 +142,17 @@ def perplexity_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    k: float = 0.1,
+    vocab_size: int = 40,
+    broadcast_model: bool = True,
 ) -> DataFrame:
-    """Keep documents scoring at or below the perplexity cutoff —
-    the head of the quality distribution. One semi-join."""
-    ppl = perplexity(docs, model, id_col, text_col, n)
+    """Keep documents scoring at or below the perplexity cutoff — the
+    head of the quality distribution. One semi-join.  Pass the SAME
+    ``k``/``vocab_size`` the model was trained with (they set the
+    unseen-continuation floors).  Documents shorter than ``n``
+    normalized chars have no score and are dropped."""
+    ppl = perplexity(
+        docs, model, id_col, text_col, n, k, vocab_size, broadcast_model
+    )
     keep = ppl.filter(F.col("perplexity") <= max_perplexity).select(id_col)
     return docs.join(keep, id_col, "left_semi")

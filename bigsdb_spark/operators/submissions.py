@@ -323,9 +323,39 @@ def check_new_profiles(
             ).alias("err"),
         )
     )
+    # duplicate (row, locus) designations: reported like the reference's
+    # duplicate-header-column error (:607-612) and collapsed to the
+    # first value below — without the dedup, map_from_arrays would
+    # abort the whole batch with a duplicate-map-key RuntimeException
+    dup_errs = (
+        known.groupBy("row_id", "locus")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select(
+            "row_id",
+            F.concat(
+                F.lit("Duplicate value provided for locus "),
+                F.col("locus"), F.lit("."),
+            ).alias("err"),
+        )
+    )
+    first_per_locus = known.groupBy("row_id", "locus").agg(
+        F.min("allele_id").alias("allele_id")
+    )
+    # a locus with NO row at all is as missing as an empty cell
+    # (SubmissionHandler.pm:649: every scheme locus must have a value)
+    row_ids = des.select("row_id").distinct()
+    expected = row_ids.select(
+        "row_id",
+        F.explode(F.array(*[F.lit(l) for l in scheme_loci])).alias("locus"),
+    )
+    absent_errs = expected.join(known, ["row_id", "locus"], "left_anti").select(
+        "row_id",
+        F.concat(F.lit("No value for locus "), F.col("locus"), F.lit(".")).alias("err"),
+    )
     # assemble the profile array in scheme-locus order per row
     prof = (
-        known.groupBy("row_id")
+        first_per_locus.groupBy("row_id")
         .agg(
             F.map_from_arrays(
                 F.collect_list("locus"), F.collect_list("allele_id")
@@ -338,12 +368,30 @@ def check_new_profiles(
             ).alias("profile"),
         )
     )
-    errs = unknown.unionByName(marker_errs).unionByName(empty_errs).unionByName(undefined)
+    errs = (
+        unknown.unionByName(marker_errs)
+        .unionByName(empty_errs)
+        .unionByName(undefined)
+        .unionByName(dup_errs)
+        .unionByName(absent_errs)
+    )
     agg_errs = errs.groupBy("row_id").agg(
         F.array_sort(F.collect_list("err")).alias("errors")
     )
-    out = prof.join(agg_errs, "row_id", "left").withColumn(
-        "errors", F.coalesce(F.col("errors"), F.array().cast("array<string>"))
+    # base on the full row-id set: a row whose designations were ALL
+    # unknown loci still needs its (all-empty) profile and its errors
+    out = (
+        row_ids.join(prof, "row_id", "left")
+        .withColumn(
+            "profile",
+            F.coalesce(
+                F.col("profile"), F.array(*[F.lit("") for _ in scheme_loci])
+            ),
+        )
+        .join(agg_errs, "row_id", "left")
+        .withColumn(
+            "errors", F.coalesce(F.col("errors"), F.array().cast("array<string>"))
+        )
     )
     if existing_profiles is not None:
         ex = existing_profiles.select(

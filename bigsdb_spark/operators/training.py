@@ -55,7 +55,12 @@ def split_oversized(
     (0-based) so every packable unit fits one example.  Emits
     (id, part, n_tokens); the final chunk carries the remainder.
     Pure expressions — explode over a sequence, no Python."""
-    n_parts = F.ceil(F.col(ntok_col) / F.lit(max_len)).cast("int")
+    # greatest(1, ...): a zero-token doc must yield ONE empty chunk —
+    # ceil(0/max_len)=0 would make sequence(0, -1) DESCEND to [0, -1]
+    # and fabricate a phantom full-length part (the corpus.py trap)
+    n_parts = F.greatest(
+        F.lit(1), F.ceil(F.col(ntok_col) / F.lit(max_len)).cast("int")
+    )
     part = F.explode(F.sequence(F.lit(0), n_parts - 1))
     return df.select(
         F.col(id_col), F.col(ntok_col).alias("_total"), part.alias("part")
@@ -259,8 +264,14 @@ def dedup_against_index(
             for b in range(n_bands)
         ]
     )
-    banded = sigs.select(F.col("doc"), F.explode(bands).alias("bb")).select(
-        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    banded = (
+        sigs.select(F.col("doc"), F.explode(bands).alias("bb"))
+        .select(
+            "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        # three consumers below (corpus hit, intra pairs, fresh index) —
+        # materialize once instead of re-shingling the delta each time
+        .localCheckpoint(eager=True)
     )
     hit_corpus = (
         banded.join(index["bands"], ["band", "bucket"], "left_semi")
@@ -270,18 +281,30 @@ def dedup_against_index(
     survivors = exact_kept.join(
         hit_corpus, exact_kept[id_col] == hit_corpus["doc"], "left_anti"
     )
-    # intra-batch near-dup among survivors: keep the min id of each pair
-    surv_sigs = minhash_signatures(
-        word_shingles(survivors, id_col, text_col, k), n_hashes
+    # intra-batch near-dup among survivors: filter the SAME signature
+    # frame down to survivors (no second shingle/minhash pass), then
+    # pair docs sharing a band bucket, keeping the min id of each pair
+    surv_sigs = sigs.join(
+        survivors.select(F.col(id_col).alias("doc")), "doc", "left_semi"
     )
     intra = lsh_candidate_pairs(surv_sigs, n_hashes, band_size)
     losers = intra.select(F.col("doc2").alias("_loser")).distinct()
-    kept = survivors.join(
+    kept_md5 = survivors.join(
         losers, survivors[id_col] == losers["_loser"], "left_anti"
-    ).drop("_md5")
-    fresh = build_corpus_index(kept, id_col, text_col, k, n_hashes, band_size)
+    )
+    kept = kept_md5.drop("_md5")
+    # fresh index slices come from frames already computed: the kept
+    # docs' md5 column and their rows of the banded frame
+    fresh_md5 = kept_md5.select(F.col("_md5").alias("content_md5")).distinct()
+    fresh_bands = (
+        banded.join(
+            kept_md5.select(F.col(id_col).alias("doc")), "doc", "left_semi"
+        )
+        .select("band", "bucket")
+        .distinct()
+    )
     return {
         "kept": kept,
-        "md5": index["md5"].unionByName(fresh["md5"]).distinct(),
-        "bands": index["bands"].unionByName(fresh["bands"]).distinct(),
+        "md5": index["md5"].unionByName(fresh_md5).distinct(),
+        "bands": index["bands"].unionByName(fresh_bands).distinct(),
     }

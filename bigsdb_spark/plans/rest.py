@@ -921,7 +921,7 @@ def route_project_dataset(
 
     if isinstance(project_id, bool) or not isinstance(project_id, int):
         raise BadRequest("Project id must be an integer.")
-    if projects.filter(F.col("id") == project_id).limit(1).count() == 0:
+    if projects.filter(F.col(id_col) == project_id).limit(1).count() == 0:
         raise NotFound(f"Project {project_id} does not exist.")
     members = project_members.filter(F.col("project_id") == project_id).select(
         F.col("isolate_id").alias("_mid")

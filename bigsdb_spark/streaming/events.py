@@ -322,6 +322,7 @@ def run_analysis_cache_stream(
     analysis_fields: DataFrame,
     cache_path: str,
     checkpoint: str,
+    seq_col: str = "seq",
 ) -> None:
     """Incremental ``analysis_results_cache`` maintenance on a stream
     of analysis-result upserts — the streaming counterpart of the
@@ -341,18 +342,30 @@ def run_analysis_cache_stream(
     from bigsdb_spark.operators.analysis import normalize_analysis_json
 
     spark = results_stream.sparkSession
+    if seq_col not in results_stream.columns:
+        # without an ordering column, "last write per key in a batch"
+        # is whatever partition order the aggregate happens to see —
+        # a stale result could silently beat a newer one. Refuse.
+        raise ValueError(
+            f"results stream needs a monotonic '{seq_col}' column to "
+            "order same-key upserts within a micro-batch"
+        )
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # last event per (isolate, name) within the batch wins
+        # last event per (isolate, name) within the batch wins,
+        # ordered by the explicit upsert sequence
         latest = batch_df.groupBy("isolate_id", "name").agg(
-            F.max_by("results", "seq").alias("results")
-            if "seq" in batch_df.columns
-            else F.last("results").alias("results")
+            F.max_by("results", seq_col).alias("results")
         )
         fresh = normalize_analysis_json(latest, analysis_fields)
-        try:
+        import os
+
+        if os.path.exists(cache_path):
+            # any OTHER failure reading/merging the existing cache must
+            # propagate: falling back to fresh-only would silently
+            # discard every previously normalized slice
             old = spark.read.parquet(cache_path)
             touched = latest.select(
                 F.col("isolate_id").alias("_t_iso"),
@@ -365,8 +378,8 @@ def run_analysis_cache_stream(
                 "left_anti",
             )
             out = keep.unionByName(fresh)
-        except Exception:
-            out = fresh  # first batch: no cache yet
+        else:
+            out = fresh  # genuinely the first batch
         out.write.mode("overwrite").parquet(cache_path + "_next")
         # atomic-enough swap for a local cache dir; a lakehouse table
         # format (Delta/Iceberg MERGE) is the production path

@@ -271,3 +271,26 @@ def test_allele_table_frame(spark):
     assert r1["mutation"] == "K76T" and r2["mutation"] is None
     assert r1["PubMed"] == "12345; 31231345"
     assert r2["flags"] == "ambiguous read atypical"
+
+
+def test_run_annotation_tool_failure_isolation(spark):
+    """One genome whose tool run fails must not abort the job: it
+    yields a NULL-results row with the error, and every attempted
+    genome appears (the last_run log contract)."""
+    contigs = spark.createDataFrame(
+        [(1, "ACGT"), (2, "FAIL")], "isolate_id long, sequence string"
+    )
+    tool = [
+        sys.executable,
+        "-c",
+        (
+            "import sys; d=sys.stdin.read();\n"
+            "if 'FAIL' in d: sys.exit(3)\n"
+            "print('contigs'); print(d.count('>'))"
+        ),
+    ]
+    rows = {r["isolate_id"]: r for r in run_annotation_tool(contigs, tool, "T", "v1").collect()}
+    assert set(rows) == {1, 2}
+    assert json.loads(rows[1]["results"])["fields"] == [{"contigs": 1}]
+    assert rows[1]["err"] is None
+    assert rows[2]["results"] is None and "3" in rows[2]["err"]

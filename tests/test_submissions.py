@@ -120,7 +120,11 @@ def test_check_new_profiles(spark):
     assert got["r2"]["errors"] == ["abcZ: 99 has not been defined."]
     assert got["r3"]["errors"] == ["Arbitrary values (N) are not allowed for locus abcZ."]
     assert got["r4"]["errors"] == ["No value for locus abcZ."]
-    assert got["r5"]["errors"] == ["Value provided for unknown locus bogus."]
+    # bogus is unknown AND adk has no row at all — both reported
+    assert got["r5"]["errors"] == [
+        "No value for locus adk.",
+        "Value provided for unknown locus bogus.",
+    ]
     assert got["r6"]["errors"] == ["Profile has already been defined as ST-17."]
 
 
@@ -135,3 +139,32 @@ def test_check_new_profiles_allow_missing(spark):
     out = check_new_profiles(rows, ["abcZ", "adk"], alleles, allow_missing_loci=True)
     r = out.collect()[0]
     assert r["errors"] == [] and r["profile"] == ["N", "0"]
+
+
+def test_check_new_profiles_duplicate_designation(spark):
+    """A repeated (row, locus) designation is an error, not a
+    duplicate-map-key crash; the first value feeds the profile."""
+    rows = spark.createDataFrame(
+        [("r1", "abcZ", "1"), ("r1", "abcZ", "2"), ("r1", "adk", "1")],
+        "row_id string, locus string, allele_id string",
+    )
+    alleles = spark.createDataFrame(
+        [("abcZ", "1"), ("abcZ", "2"), ("adk", "1")],
+        "locus string, allele_id string",
+    )
+    r = check_new_profiles(rows, ["abcZ", "adk"], alleles).collect()[0]
+    assert r["errors"] == ["Duplicate value provided for locus abcZ."]
+    assert r["profile"] == ["1", "1"]
+
+
+def test_check_new_profiles_all_unknown_row_survives(spark):
+    rows = spark.createDataFrame(
+        [("r1", "nope", "7")], "row_id string, locus string, allele_id string"
+    )
+    alleles = spark.createDataFrame([("abcZ", "1")], "locus string, allele_id string")
+    r = check_new_profiles(rows, ["abcZ"], alleles).collect()[0]
+    assert r["profile"] == [""]
+    assert r["errors"] == [
+        "No value for locus abcZ.",
+        "Value provided for unknown locus nope.",
+    ]
