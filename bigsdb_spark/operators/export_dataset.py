@@ -209,3 +209,68 @@ def to_xmfa(
         out.append("=")
         start = end + 1
     return "\n".join(out) + "\n"
+
+
+def isolate_json_bundles(
+    isolates: DataFrame,
+    fields: list[str],
+    designations: DataFrame | None = None,
+    scheme_cache: DataFrame | None = None,
+    scheme_fields: list[str] | None = None,
+    analysis_results: DataFrame | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """One self-contained JSON document per isolate — the record
+    bundle behind the reference's isolate report/record surfaces
+    (Plugins/Reports.pm templates and REST/Routes/Isolates.pm:115-204
+    _get_isolate render the same composition record-at-a-time; here it
+    is one declarative plan emitting (id, json) for the whole view, so
+    a full-corpus report export is a distributed scan, not N queries).
+
+    Bundle shape: ``provenance`` (selected fields, NULLs omitted by
+    to_json), ``allele_designations`` as {locus: [allele_id...]}
+    (sorted, multi-designations preserved), ``schemes`` (the derived
+    cache fields), ``analysis`` as {name: results-json-string}.  Every
+    join is keyed on the isolate id; designation/analysis sides
+    aggregate to one row per isolate before joining (no fan-out)."""
+    out = isolates.select(
+        F.col(id_col),
+        F.struct(*[F.col(f) for f in fields]).alias("provenance"),
+    )
+    if designations is not None:
+        des = (
+            designations.groupBy(F.col(id_col), "locus")
+            .agg(F.array_sort(F.collect_list("allele_id")).alias("_ids"))
+            .groupBy(id_col)
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("locus"), F.col("_ids")))
+                    )
+                ).alias("allele_designations")
+            )
+        )
+        out = out.join(des, id_col, "left")
+    if scheme_cache is not None and scheme_fields:
+        sc = scheme_cache.select(
+            F.col(id_col),
+            F.struct(*[F.col(f) for f in scheme_fields]).alias("schemes"),
+        )
+        out = out.join(sc, id_col, "left")
+    if analysis_results is not None:
+        ar = (
+            analysis_results.groupBy(F.col("isolate_id").alias(id_col))
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("name"), F.col("results")))
+                    )
+                ).alias("analysis")
+            )
+        )
+        out = out.join(ar, id_col, "left")
+    payload_cols = [c for c in out.columns if c != id_col]
+    return out.select(
+        id_col,
+        F.to_json(F.struct(*payload_cols)).alias("json"),
+    ).orderBy(id_col)

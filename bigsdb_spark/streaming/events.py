@@ -395,3 +395,69 @@ def run_analysis_cache_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_corpus_ingest_stream(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> None:
+    """Streaming training-corpus ingest with incremental dedup: each
+    micro-batch is deduplicated against the persisted corpus index
+    (exact md5 set + LSH band buckets), surviving documents append to
+    the corpus and the index tables advance — so a document that ever
+    entered the corpus (or nearly matches one that did) can never
+    enter again, across batches and restarts.
+
+    The per-batch work is ``training.dedup_against_index`` — cost
+    scales with the DELTA, not the corpus (the index sides are
+    hash-keyed equi-joins).  Sinks are parquet append (corpus) and an
+    overwrite-then-swap (index); a lakehouse MERGE is the production
+    path for the index.
+    """
+    from bigsdb_spark.operators.training import (
+        build_corpus_index,
+        dedup_against_index,
+    )
+
+    spark = docs_stream.sparkSession
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        import os
+        import shutil
+
+        if os.path.exists(index_path + "/md5"):
+            index = {
+                "md5": spark.read.parquet(index_path + "/md5"),
+                "bands": spark.read.parquet(index_path + "/bands"),
+            }
+        else:
+            empty = batch_df.limit(0)
+            index = build_corpus_index(
+                empty, id_col, text_col, k, n_hashes, band_size
+            )
+        out = dedup_against_index(
+            batch_df, index, id_col, text_col, k, n_hashes, band_size
+        )
+        out["kept"].write.mode("append").parquet(corpus_path)
+        out["md5"].write.mode("overwrite").parquet(index_path + "/md5_next")
+        out["bands"].write.mode("overwrite").parquet(index_path + "/bands_next")
+        for part in ("md5", "bands"):
+            shutil.rmtree(f"{index_path}/{part}", ignore_errors=True)
+            shutil.move(f"{index_path}/{part}_next", f"{index_path}/{part}")
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

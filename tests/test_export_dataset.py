@@ -140,3 +140,37 @@ def test_xmfa_per_record_offsets(spark):
     lines = to_xmfa(desig, alleles, ["L"]).splitlines()
     assert lines[0] == ">1:1-4 + L" and lines[1] == "ACGT"
     assert lines[2] == ">2:1-1 + L" and lines[3] == "N"
+
+
+def test_isolate_json_bundles(spark):
+    import json
+
+    from bigsdb_spark.operators.export_dataset import isolate_json_bundles
+
+    iso = spark.createDataFrame(
+        [(1, "France", 2020), (2, "Spain", None)],
+        "id int, country string, year int",
+    )
+    des = spark.createDataFrame(
+        [(1, "abcZ", "4"), (1, "abcZ", "2"), (1, "adk", "1")],
+        "id int, locus string, allele_id string",
+    )
+    cache = spark.createDataFrame([(1, "11")], "id int, ST string")
+    ar = spark.createDataFrame(
+        [(1, "Kleborate", '{"fields":[{"ST":258}]}')],
+        "isolate_id int, name string, results string",
+    )
+    rows = isolate_json_bundles(
+        iso, ["country", "year"],
+        designations=des, scheme_cache=cache, scheme_fields=["ST"],
+        analysis_results=ar,
+    ).collect()
+    b1 = json.loads(rows[0]["json"])
+    assert b1["provenance"] == {"country": "France", "year": 2020}
+    assert b1["allele_designations"] == {"abcZ": ["2", "4"], "adk": ["1"]}
+    assert b1["schemes"] == {"ST": "11"}
+    assert json.loads(b1["analysis"]["Kleborate"]) == {"fields": [{"ST": 258}]}
+    b2 = json.loads(rows[1]["json"])
+    # NULL year omitted by to_json; absent joins omitted entirely
+    assert b2["provenance"] == {"country": "Spain"}
+    assert "allele_designations" not in b2
