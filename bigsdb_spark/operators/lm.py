@@ -70,7 +70,8 @@ def train_char_lm(
     (history_count).  logp = log((c(h,x)+k) / (c(h)+k*|V|))."""
     grams = _gram_rows(corpus, [], text_col, n)
     counts = grams.groupBy("hist", "nxt").agg(F.count(F.lit(1)).alias("c"))
-    totals = counts.groupBy("hist").agg(F.sum("c").alias("hc"))
+    # per-history totals are bounded by |V|^(n-1) — always broadcastable
+    totals = F.broadcast(counts.groupBy("hist").agg(F.sum("c").alias("hc")))
     return (
         counts.join(totals, "hist")
         .select(

@@ -354,3 +354,40 @@ def test_normalize_analysis_cache_single_scan_per_name(spark):
     plan = plan_of(normalize_analysis_json(results, fields))
     assert "Join" not in plan
     assert plan.count("Generate") >= 1
+
+
+def test_pq_topk_is_pure_scan(spark):
+    """ADC top-k must be a joinless scan of the codes table — the
+    lookup tables are literals, never a join side."""
+    from bigsdb_spark.operators.pq import pq_topk
+
+    codes = spark.createDataFrame(
+        [(1, [0, 1]), (2, [1, 0])], "vec_id long, codes array<int>"
+    )
+    books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]
+    plan = plan_of(pq_topk(codes, books, [0.5, 0.5, 0.5, 0.5], top_k=1))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+
+def test_perplexity_model_join_broadcasts(spark):
+    from bigsdb_spark.operators.lm import perplexity, train_char_lm
+
+    corpus = spark.createDataFrame([("abcabcabc",)], "text string")
+    model = train_char_lm(corpus)
+    docs = spark.createDataFrame([(1, "abcabc")], "doc_id long, text string")
+    plan = plan_of(perplexity(docs, model))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_documents_single_exchange(spark):
+    """Packing costs exactly one shuffle (the route repartition); the
+    Arrow packer runs partition-local on top of it."""
+    from bigsdb_spark.operators.training import pack_documents
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 * 100).alias("n_tokens")
+    )
+    plan = plan_of(pack_documents(df, "doc_id", "n_tokens", 2048, partitions=4))
+    assert plan.count("Exchange") == 1
