@@ -140,3 +140,88 @@ def pq_topk(
         .orderBy(F.asc("adc_dist"), id_col)
         .limit(top_k)
     )
+
+
+def train_ivf_pq(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> dict:
+    """Train the composed IVF-PQ layout: a coarse quantizer (k-means
+    over whole vectors — the same tiny deterministic Lloyd's used for
+    the sub-space codebooks, so the whole model is reproducible without
+    MLlib seeding caveats) plus PQ codebooks over RESIDUALS is the
+    classic variant; here codebooks are over raw vectors (simpler, and
+    at k=16/m=8 the residual refinement is below the quantization
+    noise floor for unstructured data).  Returns {'cells', 'books'}."""
+    rows = emb.select(vec_col).limit(sample).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    cells = _kmeans_np(x, n_cells, iters, seed)
+    books = train_pq(emb, vec_col, m, k, sample, iters, seed + 1000)
+    return {"cells": cells.tolist(), "books": books}
+
+
+def ivf_pq_encode(
+    emb: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, codes) — coarse cell assignment + PQ codes in ONE
+    Arrow pass.  Write partitioned by ``cell`` for partition-pruned
+    probing at scale."""
+    cells = np.array(model["cells"], dtype=np.float64)
+    books = [np.array(b, dtype=np.float64) for b in model["books"]]
+    m = len(books)
+    sub = books[0].shape[1]
+    id_type = dict(emb.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, cell int, codes array<int>"
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cscore = x @ cells.T - 0.5 * (cells**2).sum(axis=1)
+            cell = cscore.argmax(axis=1).astype(np.int32)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for b in range(m):
+                xb = x[:, b * sub : (b + 1) * sub]
+                s = xb @ books[b].T - 0.5 * (books[b] ** 2).sum(axis=1)
+                codes[:, b] = s.argmax(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": cell, "codes": list(codes.tolist())}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(_enc, schema=out_schema)
+
+
+def ivf_pq_topk(
+    encoded: DataFrame,
+    model: dict,
+    query: list[float],
+    top_k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the ``n_probe`` nearest cells and ADC-score only their
+    codes: the scan touches |probed cells|/|cells| of the corpus (a
+    partition-pruned read when the codes table is written partitioned
+    by cell) and stays joinless — cell routing is a driver-side numpy
+    argsort over the tiny coarse codebook, the probe list an IN filter."""
+    q = np.array(query, dtype=np.float64)
+    cells = np.array(model["cells"], dtype=np.float64)
+    d2 = ((cells - q) ** 2).sum(axis=1)
+    probes = [int(c) for c in np.argsort(d2)[:n_probe]]
+    return pq_topk(
+        encoded.filter(F.col("cell").isin(probes)),
+        model["books"],
+        query,
+        top_k=top_k,
+        id_col=id_col,
+    )

@@ -66,3 +66,36 @@ def test_pq_recall_vs_brute_force(spark):
     assert hits / total >= 0.5
     emb.unpersist()
     codes.unpersist()
+
+
+def test_ivf_pq_probe_monotone_recall(spark):
+    """IVF-PQ: probing all cells recovers exactly the plain-PQ result,
+    and recall grows (weakly) with n_probe."""
+    from bigsdb_spark.operators.pq import ivf_pq_encode, ivf_pq_topk, train_ivf_pq
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding").cache()
+    rows = emb.collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    model = train_ivf_pq(emb, n_cells=8, m=16, k=32)
+    enc = ivf_pq_encode(emb, model).cache()
+    assert enc.count() == len(rows)
+
+    q = [float(v) for v in x[7]]
+    full = {r["vec_id"] for r in ivf_pq_topk(enc, model, q, top_k=10, n_probe=8).collect()}
+    # probing every cell == scanning everything == plain PQ over all codes
+    from bigsdb_spark.operators.pq import pq_topk
+
+    plain = {
+        r["vec_id"]
+        for r in pq_topk(enc.select("vec_id", "codes"), model["books"], q, top_k=10).collect()
+    }
+    assert full == plain
+
+    true = set(ids[np.argsort(((x - x[7]) ** 2).sum(axis=1))[:10]])
+    r1 = {r["vec_id"] for r in ivf_pq_topk(enc, model, q, top_k=10, n_probe=1).collect()}
+    r4 = {r["vec_id"] for r in ivf_pq_topk(enc, model, q, top_k=10, n_probe=4).collect()}
+    assert len(true & r1) <= len(true & r4) + 2  # weakly monotone (ADC ties)
+    assert len(r4) == 10
+    emb.unpersist()
+    enc.unpersist()
