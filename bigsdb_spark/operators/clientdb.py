@@ -118,16 +118,21 @@ def allele_field_breakdown(
     field: str,
     locus: str,
     allele_id: str,
+    private: DataFrame | None = None,
     id_col: str = "id",
 ) -> DataFrame:
     """ClientDB.pm:135-152 get_fields: frequency of a provenance field
-    among isolates carrying the allele, frequency-desc — feeds the
-    allele-info page's 'where has this allele been seen' table."""
+    among PUBLIC isolates carrying the allele, frequency-desc — feeds
+    the allele-info page's 'where has this allele been seen' table.
+    Private records are excluded like every other count here (a
+    private record's provenance must not leak into a public page)."""
     mine = designations.filter(
         (F.col("locus") == locus) & (F.col("allele_id") == allele_id)
     ).select("isolate_id")
+    pub = public_isolates(view, private, id_col)
     return (
         view.join(mine, view[id_col] == mine["isolate_id"], "left_semi")
+        .join(pub, id_col, "left_semi")
         .filter(F.col(field).isNotNull())
         .groupBy(field)
         .agg(F.count(F.lit(1)).alias("frequency"))

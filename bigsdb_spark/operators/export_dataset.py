@@ -219,6 +219,7 @@ def isolate_json_bundles(
     scheme_fields: list[str] | None = None,
     analysis_results: DataFrame | None = None,
     id_col: str = "id",
+    des_id_col: str = "isolate_id",
 ) -> DataFrame:
     """One self-contained JSON document per isolate — the record
     bundle behind the reference's isolate report/record surfaces
@@ -238,9 +239,15 @@ def isolate_json_bundles(
         F.struct(*[F.col(f) for f in fields]).alias("provenance"),
     )
     if designations is not None:
+        # canonical designation frames key on isolate_id (clientdb,
+        # dataset_export's callers) — alias to the isolates key here;
+        # allele ids sort numeric-aware like dataset_export/_sort_alleles
         des = (
-            designations.groupBy(F.col(id_col), "locus")
-            .agg(F.array_sort(F.collect_list("allele_id")).alias("_ids"))
+            designations.withColumnRenamed(des_id_col, id_col)
+            .groupBy(F.col(id_col), "locus")
+            .agg(
+                F.array_sort(F.collect_list("allele_id"), _allele_cmp).alias("_ids")
+            )
             .groupBy(id_col)
             .agg(
                 F.map_from_entries(

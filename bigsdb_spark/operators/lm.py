@@ -63,15 +63,24 @@ def train_char_lm(
     n: int = 3,
     k: float = 0.1,
     vocab_size: int = 40,
+    broadcast_totals: bool | None = None,
 ) -> DataFrame:
     """Train an add-k char n-gram model: one row per observed
     (history, next_char) with its smoothed log-probability, plus the
     per-history total needed by scorers for unseen continuations
-    (history_count).  logp = log((c(h,x)+k) / (c(h)+k*|V|))."""
+    (history_count).  logp = log((c(h,x)+k) / (c(h)+k*|V|)).
+
+    The totals join broadcasts when histories are bounded small —
+    |V|^(n-1) rows, safe through n=4 on a printable-core vocabulary —
+    and falls back to a shuffle join for larger n (|V|^5 histories
+    would OOM the driver).  Override with ``broadcast_totals``."""
     grams = _gram_rows(corpus, [], text_col, n)
     counts = grams.groupBy("hist", "nxt").agg(F.count(F.lit(1)).alias("c"))
-    # per-history totals are bounded by |V|^(n-1) — always broadcastable
-    totals = F.broadcast(counts.groupBy("hist").agg(F.sum("c").alias("hc")))
+    totals = counts.groupBy("hist").agg(F.sum("c").alias("hc"))
+    if broadcast_totals is None:
+        broadcast_totals = n <= 4
+    if broadcast_totals:
+        totals = F.broadcast(totals)
     return (
         counts.join(totals, "hist")
         .select(

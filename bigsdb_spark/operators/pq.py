@@ -29,7 +29,14 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["train_pq", "pq_encode", "pq_topk"]
+__all__ = [
+    "train_pq",
+    "pq_encode",
+    "pq_topk",
+    "train_ivf_pq",
+    "ivf_pq_encode",
+    "ivf_pq_topk",
+]
 
 
 def _kmeans_np(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
@@ -49,6 +56,38 @@ def _kmeans_np(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     return centers
 
 
+def _train_pq_np(
+    x: np.ndarray, m: int, k: int, iters: int, seed: int
+) -> list[list[list[float]]]:
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    return [
+        _kmeans_np(x[:, b * sub : (b + 1) * sub], k, iters, seed + b).tolist()
+        for b in range(m)
+    ]
+
+
+def _sample_np(emb: DataFrame, vec_col: str, sample: int) -> np.ndarray:
+    rows = emb.select(vec_col).limit(sample).collect()
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def _block_codes(x: np.ndarray, books: list[np.ndarray]) -> np.ndarray:
+    """Per-block nearest-centroid codes for a batch — shared by the PQ
+    and IVF-PQ encoders.  argmin ||x-c||^2 via the expanded identity
+    (||x||^2 dropped: constant per row)."""
+    m = len(books)
+    sub = books[0].shape[1]
+    codes = np.empty((len(x), m), dtype=np.int32)
+    for b in range(m):
+        xb = x[:, b * sub : (b + 1) * sub]
+        scores = xb @ books[b].T - 0.5 * (books[b] ** 2).sum(axis=1)
+        codes[:, b] = scores.argmax(axis=1)
+    return codes
+
+
 def train_pq(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -61,20 +100,7 @@ def train_pq(
     """Train the m sub-space codebooks on a bounded sample.
     Returns ``codebooks[m][k][d/m]`` as plain lists (broadcastable,
     JSON-serializable — store beside the codes table)."""
-    rows = (
-        emb.select(vec_col)
-        .limit(sample)
-        .collect()
-    )
-    x = np.array([r[0] for r in rows], dtype=np.float64)
-    d = x.shape[1]
-    if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    sub = d // m
-    return [
-        _kmeans_np(x[:, b * sub : (b + 1) * sub], k, iters, seed + b).tolist()
-        for b in range(m)
-    ]
+    return _train_pq_np(_sample_np(emb, vec_col, sample), m, k, iters, seed)
 
 
 def pq_encode(
@@ -87,8 +113,6 @@ def pq_encode(
     centroid, computed as one vectorized Arrow pass (batch×k×sub
     numpy argmin per block; the heavy step, so NOT per-row Python)."""
     books = [np.array(b, dtype=np.float64) for b in codebooks]
-    m = len(books)
-    sub = books[0].shape[1]
     id_type = dict(emb.dtypes)[id_col]
     out_schema = f"{id_col} {id_type}, codes array<int>"
 
@@ -97,12 +121,7 @@ def pq_encode(
             if pdf.empty:
                 continue
             x = np.array(list(pdf[vec_col]), dtype=np.float64)
-            codes = np.empty((len(x), m), dtype=np.int32)
-            for b in range(m):
-                xb = x[:, b * sub : (b + 1) * sub]
-                # ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2; argmin drops ||x||^2
-                scores = xb @ books[b].T - 0.5 * (books[b] ** 2).sum(axis=1)
-                codes[:, b] = scores.argmax(axis=1)
+            codes = _block_codes(x, books)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "codes": list(codes.tolist())}
             )
@@ -158,11 +177,11 @@ def train_ivf_pq(
     MLlib seeding caveats) plus PQ codebooks over RESIDUALS is the
     classic variant; here codebooks are over raw vectors (simpler, and
     at k=16/m=8 the residual refinement is below the quantization
-    noise floor for unstructured data).  Returns {'cells', 'books'}."""
-    rows = emb.select(vec_col).limit(sample).collect()
-    x = np.array([r[0] for r in rows], dtype=np.float64)
+    noise floor for unstructured data).  Returns {'cells', 'books'}.
+    One driver sample feeds both quantizers (a single Spark job)."""
+    x = _sample_np(emb, vec_col, sample)
     cells = _kmeans_np(x, n_cells, iters, seed)
-    books = train_pq(emb, vec_col, m, k, sample, iters, seed + 1000)
+    books = _train_pq_np(x, m, k, iters, seed + 1000)
     return {"cells": cells.tolist(), "books": books}
 
 
@@ -177,8 +196,6 @@ def ivf_pq_encode(
     probing at scale."""
     cells = np.array(model["cells"], dtype=np.float64)
     books = [np.array(b, dtype=np.float64) for b in model["books"]]
-    m = len(books)
-    sub = books[0].shape[1]
     id_type = dict(emb.dtypes)[id_col]
     out_schema = f"{id_col} {id_type}, cell int, codes array<int>"
 
@@ -189,11 +206,7 @@ def ivf_pq_encode(
             x = np.array(list(pdf[vec_col]), dtype=np.float64)
             cscore = x @ cells.T - 0.5 * (cells**2).sum(axis=1)
             cell = cscore.argmax(axis=1).astype(np.int32)
-            codes = np.empty((len(x), m), dtype=np.int32)
-            for b in range(m):
-                xb = x[:, b * sub : (b + 1) * sub]
-                s = xb @ books[b].T - 0.5 * (books[b] ** 2).sum(axis=1)
-                codes[:, b] = s.argmax(axis=1)
+            codes = _block_codes(x, books)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "cell": cell, "codes": list(codes.tolist())}
             )

@@ -291,7 +291,9 @@ def dedup_against_index(
     losers = intra.select(F.col("doc2").alias("_loser")).distinct()
     kept_md5 = survivors.join(
         losers, survivors[id_col] == losers["_loser"], "left_anti"
-    )
+    ).localCheckpoint(eager=True)  # three consumers (kept rows, fresh
+    # md5 slice, fresh band slice) would otherwise re-run the whole
+    # shingle/minhash/anti-join lineage once each
     kept = kept_md5.drop("_md5")
     # fresh index slices come from frames already computed: the kept
     # docs' md5 column and their rows of the banded frame

@@ -34,12 +34,29 @@ def create_new_versions(
     NULL ``new_version``) and point the old row's ``new_version`` at
     it.  Returns the replacement isolates frame; callers overwrite.
     Both passes are broadcast joins against the (bounded) pair list.
+
+    Only chain HEADS may be versioned (the reference disables the
+    action for superseded records) — a pair whose old record already
+    has a successor would silently orphan that successor's chain, so
+    it raises instead.
     """
     pairs = F.broadcast(
         id_pairs.select(
             F.col("old_id").alias("_old"), F.col("new_id").alias("_new")
         )
     )
+    clash = (
+        isolates.filter(F.col("new_version").isNotNull())
+        .join(pairs, isolates[id_col] == F.col("_old"), "inner")
+        .select(id_col)
+        .limit(5)
+        .collect()
+    )
+    if clash:
+        ids = ", ".join(str(r[0]) for r in clash)
+        raise ValueError(
+            f"records already superseded cannot be versioned: {ids}"
+        )
     updated_old = (
         isolates.join(pairs, isolates[id_col] == F.col("_old"), "left")
         .withColumn(
@@ -61,27 +78,39 @@ def create_new_versions(
 def latest_versions(
     isolates: DataFrame, id_col: str = "id", max_iter: int = 20
 ) -> DataFrame:
-    """(id, latest_id): every record resolved to the head of its
-    version chain (the reachable row with ``new_version IS NULL``).
-    Pointer doubling: each round rewrites ``next`` to ``next(next)``,
-    so a chain of length L resolves in ceil(log2 L) rounds — 20 rounds
-    covers chains of a million versions."""
+    """(id, latest_id, hops): every record resolved to the head of its
+    version chain (the reachable row with ``new_version IS NULL``) and
+    its distance from that head in chain links.  Pointer doubling with
+    accumulated distance: each round rewrites ``next`` to
+    ``next(next)`` adding the hop counts, so a chain of length L
+    resolves in ceil(log2 L) rounds — 20 rounds covers chains of a
+    million versions."""
     nxt = isolates.select(
         F.col(id_col).alias("id"),
         F.coalesce("new_version", F.col(id_col)).alias("nxt"),
+        F.when(F.col("new_version").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("hops"),
     ).localCheckpoint(eager=True)
     for _ in range(max_iter):
-        hop = nxt.select(F.col("id").alias("_j_id"), F.col("nxt").alias("_j_nxt"))
+        hop = nxt.select(
+            F.col("id").alias("_j_id"),
+            F.col("nxt").alias("_j_nxt"),
+            F.col("hops").alias("_j_hops"),
+        )
+        new_nxt = F.coalesce("_j_nxt", "nxt")
         doubled = (
             nxt.join(hop, nxt["nxt"] == hop["_j_id"], "left")
             .select(
                 "id",
-                F.coalesce("_j_nxt", "nxt").alias("nxt"),
-                (F.coalesce("_j_nxt", "nxt") != F.col("nxt")).alias("_changed"),
+                new_nxt.alias("nxt"),
+                (F.col("hops") + F.coalesce("_j_hops", F.lit(0))).alias("hops"),
+                (new_nxt != F.col("nxt")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        nxt = doubled.select("id", "nxt")
+        nxt = doubled.select("id", "nxt", "hops")
         if doubled.filter(F.col("_changed")).limit(1).count() == 0:
             break
     return nxt.withColumnRenamed("nxt", "latest_id")
@@ -92,16 +121,13 @@ def version_history(
 ) -> DataFrame:
     """(latest_id, version, id): every chain unrolled oldest-first —
     the IsolateInfoPage version listing for ALL records in one plan.
-    Version numbers come from each record's depth: resolve latest ids,
-    group members by chain, and rank by following order (older records
-    point forward, so depth = position from the head counted via the
-    successor relation — here approximated by id order within the
-    chain, which matches the reference's sequential id assignment for
-    new versions)."""
+    Version numbers rank by DISTANCE FROM THE HEAD (hops desc): the
+    oldest record is the farthest from the current head, regardless of
+    the numeric ids curators assigned along the way."""
     from pyspark.sql import Window
 
     latest = latest_versions(isolates, id_col, max_iter)
-    w = Window.partitionBy("latest_id").orderBy("id")
+    w = Window.partitionBy("latest_id").orderBy(F.desc("hops"), F.asc("id"))
     return latest.select(
         "latest_id", F.row_number().over(w).alias("version"), "id"
     )

@@ -417,27 +417,35 @@ def run_corpus_ingest_stream(
 
     The per-batch work is ``training.dedup_against_index`` — cost
     scales with the DELTA, not the corpus (the index sides are
-    hash-keyed equi-joins).  Sinks are parquet append (corpus) and an
-    overwrite-then-swap (index); a lakehouse MERGE is the production
-    path for the index.
+    hash-keyed equi-joins).  Crash-safety: the corpus write is a
+    per-batch OVERWRITE under ``batch=<id>`` (replays are idempotent),
+    and the index advances as immutable ``v<id>`` snapshot directories
+    behind a pointer file updated with an atomic rename — a crash at
+    any point leaves the previous snapshot intact, so an admitted
+    document can never re-enter even across restarts.  A lakehouse
+    table format (Delta/Iceberg MERGE) is the production path.
     """
+    import os
+
     from bigsdb_spark.operators.training import (
         build_corpus_index,
         dedup_against_index,
     )
 
     spark = docs_stream.sparkSession
+    pointer = os.path.join(index_path, "LATEST")
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        import os
-        import shutil
-
-        if os.path.exists(index_path + "/md5"):
+        current = None
+        if os.path.exists(pointer):
+            with open(pointer) as fh:
+                current = fh.read().strip()
+        if current:
             index = {
-                "md5": spark.read.parquet(index_path + "/md5"),
-                "bands": spark.read.parquet(index_path + "/bands"),
+                "md5": spark.read.parquet(f"{index_path}/{current}/md5"),
+                "bands": spark.read.parquet(f"{index_path}/{current}/bands"),
             }
         else:
             empty = batch_df.limit(0)
@@ -447,12 +455,19 @@ def run_corpus_ingest_stream(
         out = dedup_against_index(
             batch_df, index, id_col, text_col, k, n_hashes, band_size
         )
-        out["kept"].write.mode("append").parquet(corpus_path)
-        out["md5"].write.mode("overwrite").parquet(index_path + "/md5_next")
-        out["bands"].write.mode("overwrite").parquet(index_path + "/bands_next")
-        for part in ("md5", "bands"):
-            shutil.rmtree(f"{index_path}/{part}", ignore_errors=True)
-            shutil.move(f"{index_path}/{part}_next", f"{index_path}/{part}")
+        # per-batch overwrite: re-running the same batch after a crash
+        # replaces its own output instead of appending duplicates
+        out["kept"].write.mode("overwrite").parquet(
+            f"{corpus_path}/batch={batch_id}"
+        )
+        snap = f"v{batch_id}"
+        out["md5"].write.mode("overwrite").parquet(f"{index_path}/{snap}/md5")
+        out["bands"].write.mode("overwrite").parquet(f"{index_path}/{snap}/bands")
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(snap)
+        os.replace(tmp, pointer)  # atomic: old snapshot stays valid
+        # until this instant, and partial snapshots are never pointed at
 
     q = (
         docs_stream.writeStream.foreachBatch(_ingest)

@@ -57,15 +57,21 @@ def test_count_matching_profiles_by_pk(spark, clientdb):
 
 
 def test_allele_field_breakdown(spark, clientdb):
-    view, _, des, _ = clientdb
+    view, private, des, _ = clientdb
     rows = [
+        (r["country"], r["frequency"])
+        for r in allele_field_breakdown(
+            des, view, "country", "abcZ", "7", private=private
+        ).collect()
+    ]
+    # the private isolate 4 (FR) must NOT leak into the public table
+    assert rows == [("UK", 2)]
+    # without a private table the view is the universe
+    rows_all = [
         (r["country"], r["frequency"])
         for r in allele_field_breakdown(des, view, "country", "abcZ", "7").collect()
     ]
-    # breakdown is over the view (the reference's get_fields joins the
-    # view only) — isolate 4 is in the view here; freq-desc ordering
-    assert rows == [("FR", 1), ("UK", 2)] or rows == [("UK", 2), ("FR", 1)]
-    assert rows[0][1] >= rows[-1][1]
+    assert rows_all == [("UK", 2), ("FR", 1)]
 
 
 def test_classification_group_and_lincode_counts(spark, clientdb):

@@ -152,8 +152,8 @@ def test_isolate_json_bundles(spark):
         "id int, country string, year int",
     )
     des = spark.createDataFrame(
-        [(1, "abcZ", "4"), (1, "abcZ", "2"), (1, "adk", "1")],
-        "id int, locus string, allele_id string",
+        [(1, "abcZ", "10"), (1, "abcZ", "2"), (1, "adk", "1")],
+        "isolate_id int, locus string, allele_id string",
     )
     cache = spark.createDataFrame([(1, "11")], "id int, ST string")
     ar = spark.createDataFrame(
@@ -167,7 +167,8 @@ def test_isolate_json_bundles(spark):
     ).collect()
     b1 = json.loads(rows[0]["json"])
     assert b1["provenance"] == {"country": "France", "year": 2020}
-    assert b1["allele_designations"] == {"abcZ": ["2", "4"], "adk": ["1"]}
+    # numeric-aware multi-designation sort: 2 before 10 (Export.pm:1159)
+    assert b1["allele_designations"] == {"abcZ": ["2", "10"], "adk": ["1"]}
     assert b1["schemes"] == {"ST": "11"}
     assert json.loads(b1["analysis"]["Kleborate"]) == {"fields": [{"ST": 258}]}
     b2 = json.loads(rows[1]["json"])

@@ -331,6 +331,16 @@ def test_streaming_corpus_ingest_dedups_across_batches(spark, tmp_path):
     spark.createDataFrame(
         [(1, t1), (2, t2)], "doc_id long, text string"
     ).coalesce(1).write.mode("append").parquet(src)
+    # pin batch order: FileStreamSource orders files by modification
+    # time, and both appends can land in the same mtime tick — age the
+    # first batch's files so the {1,2} file is always batch 0
+    import os
+    import time
+
+    now = time.time()
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            os.utime(os.path.join(src, f), (now - 120, now - 120))
     spark.createDataFrame(
         [
             (10, t1),                       # exact re-send

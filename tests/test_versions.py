@@ -62,3 +62,24 @@ def test_version_history(spark):
         chains.setdefault(r["latest_id"], []).append((r["version"], r["id"]))
     assert sorted(chains[3]) == [(1, 1), (2, 2), (3, 3)]
     assert chains[7] == [(1, 7)]
+
+
+def test_create_new_versions_rejects_superseded(spark):
+    import pytest
+
+    pairs = spark.createDataFrame([(2, 10)], "old_id int, new_id int")
+    with pytest.raises(ValueError, match="already superseded"):
+        create_new_versions(_isolates(spark), pairs, "2026-08-14")
+
+
+def test_version_history_nonmonotonic_ids(spark):
+    """A curator reusing a lower id for a newer version: history must
+    rank by chain distance, not id order."""
+    import pyspark.sql.functions as F
+
+    iso = spark.createDataFrame(
+        [(3, 1), (1, None)], "id int, new_version int"
+    )  # 3 is the OLD record, its successor got id 1
+    hist = version_history(iso).collect()
+    got = sorted((r["version"], r["id"]) for r in hist)
+    assert got == [(1, 3), (2, 1)]  # oldest first regardless of id
