@@ -86,3 +86,42 @@ def histogram(df: DataFrame, col: str, bin_width: float) -> DataFrame:
 def top_n(df: DataFrame, order: list[Column], n: int) -> DataFrame:
     """W1: deterministic top-N (callers must pass a tiebreak column)."""
     return df.orderBy(*order).limit(n)
+
+
+def explore_hierarchy(df: DataFrame, fields: list[str]) -> dict:
+    """Data Explorer drill-down tree (DataExplorerPage.pm:79-157
+    _create_hierarchy/_populate_node over the multi-field frequency
+    table of :218-305 _create_freq_table): nested nodes
+    {field, value, count, children} where each level's count sums its
+    descendants, root count = total records.
+
+    The distributed part is ONE groupBy over the selected fields (the
+    reference builds a TEMP freqs table the same way); the tree
+    assembly is a driver-side fold over that bounded frequency table
+    (its size is the product of the fields' cardinalities, the same
+    table the reference pages through).  NULLs render as 'No value'
+    like the analysis-field explorer (DataExplorerPage.pm:969)."""
+    freq = (
+        df.groupBy(*[F.coalesce(F.col(f).cast("string"), F.lit("No value")).alias(f) for f in fields])
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), *[F.asc(f) for f in fields])
+        .collect()
+    )
+    root = {"count": 0, "children": []}
+    for rec in freq:
+        root["count"] += rec["count"]
+        nodes = root["children"]
+        for level, field in enumerate(fields):
+            value = rec[field]
+            hit = next(
+                (n for n in nodes if n["field"] == field and n["value"] == value),
+                None,
+            )
+            if hit is None:
+                hit = {"field": field, "value": value, "count": 0}
+                if level < len(fields) - 1:
+                    hit["children"] = []
+                nodes.append(hit)
+            hit["count"] += rec["count"]
+            nodes = hit.get("children", [])
+    return root

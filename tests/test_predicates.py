@@ -151,3 +151,28 @@ def test_starts_ends_with_on_arrays(spark):
         ).collect()
     ]
     assert ew == [2]
+
+
+def test_explore_hierarchy(spark):
+    """DataExplorer drill-down tree: level counts sum descendants,
+    NULLs bucket as 'No value' (DataExplorerPage.pm:79-157)."""
+    from bigsdb_spark.operators.breakdown import explore_hierarchy
+
+    df = spark.createDataFrame(
+        [
+            ("Europe", "UK"), ("Europe", "UK"), ("Europe", "FR"),
+            ("Asia", "JP"), (None, None),
+        ],
+        "continent string, country string",
+    )
+    tree = explore_hierarchy(df, ["continent", "country"])
+    assert tree["count"] == 5
+    top = {n["value"]: n for n in tree["children"]}
+    assert top["Europe"]["count"] == 3
+    assert {c["value"]: c["count"] for c in top["Europe"]["children"]} == {
+        "UK": 2, "FR": 1
+    }
+    assert top["No value"]["count"] == 1
+    assert top["No value"]["children"][0]["value"] == "No value"
+    # leaves carry no children key (reference leaves are childless)
+    assert "children" not in top["Europe"]["children"][0]
