@@ -678,3 +678,56 @@ def test_rest_project_dataset(spark):
     assert recs[10]["abcZ"] == "2;4"  # sorted multi-designation join
     assert "year" not in recs[11]     # NULLs omitted per record
     assert recs[11]["adk"] == "7"
+
+
+def test_curation_queue_digests(spark):
+    import datetime as dt
+
+    from bigsdb_spark.operators.curation_queue import (
+        curator_digests,
+        digest_due,
+        nag_counts,
+        route_submissions,
+    )
+
+    subs = spark.createDataFrame(
+        [
+            ("S1", "alleles", "pending", 50, dt.date(2026, 8, 1), "abcZ", None),
+            ("S2", "alleles", "pending", 51, dt.date(2026, 8, 10), "adk", None),
+            ("S3", "profiles", "pending", 50, dt.date(2026, 8, 5), None, 1),
+            ("S4", "isolates", "pending", 52, dt.date(2026, 8, 2), None, None),
+            ("S5", "alleles", "closed", 50, dt.date(2026, 7, 1), "abcZ", None),
+        ],
+        "submission_id string, type string, status string, submitter int, "
+        "date_submitted date, locus string, scheme_id int",
+    )
+    lc = spark.createDataFrame([("abcZ", 1), ("adk", 2)], "locus string, curator_id int")
+    sc = spark.createDataFrame([(1, 1)], "scheme_id int, curator_id int")
+    perms = spark.createDataFrame([(3,)], "curator_id int")
+    routed = route_submissions(subs, lc, sc, perms)
+    got = {
+        (r["curator_id"], r["submission_id"]) for r in routed.collect()
+    }
+    # closed S5 excluded; each submission reaches only entitled curators
+    assert got == {(1, "S1"), (2, "S2"), (1, "S3"), (3, "S4")}
+
+    now = dt.datetime(2026, 8, 14, 12, 0)
+    prefs = spark.createDataFrame(
+        [
+            (1, None, 1440),                                  # never digested: due
+            (2, dt.datetime(2026, 8, 14, 11, 30), 1440),      # recent: not due
+            (3, dt.datetime(2026, 8, 10, 0, 0), 60),          # overdue
+        ],
+        "curator_id int, last_digest timestamp, digest_interval int",
+    )
+    assert {r[0] for r in digest_due(prefs, now).collect()} == {1, 3}
+
+    dig = {r["curator_id"]: r for r in curator_digests(routed, prefs, now).collect()}
+    assert set(dig) == {1, 3}
+    assert dig[1]["n_pending"] == 2 and dig[1]["n_alleles"] == 1
+    assert dig[1]["submission_ids"] == ["S1", "S3"]  # oldest first
+
+    nags = {r["curator_id"]: r["n_pending"] for r in nag_counts(routed).collect()}
+    assert nags == {1: 2, 2: 1, 3: 1}
+    old = nag_counts(routed, older_than=dt.date(2026, 8, 3)).collect()
+    assert {(r["curator_id"], r["n_pending"]) for r in old} == {(1, 1), (3, 1)}
