@@ -476,3 +476,41 @@ def run_corpus_ingest_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_autotag_stream(
+    contig_stream: DataFrame,
+    alleles: DataFrame,
+    tags_path: str,
+    checkpoint: str,
+    contig_id: str = "id",
+    contig_seq: str = "sequence",
+) -> None:
+    """Streaming autotag: scan each micro-batch of newly ingested
+    contigs for exact allele occurrences and append the tags — the
+    continuous counterpart of the nightly ``autotag.pl`` sweep (the
+    batch operator ``seqmatch.scan_contigs_exact`` IS the per-batch
+    transformation, so stream and batch provably tag identically).
+
+    The scan is stateless per contig — no cross-batch state, no
+    watermark; allele definitions re-read per batch so newly defined
+    alleles apply from the next batch on.  Output is a parquet append
+    of the allele_sequences tag shape, partitioned per batch for
+    idempotent replay (overwrite of ``batch=<id>``)."""
+    from bigsdb_spark.operators.seqmatch import scan_contigs_exact
+
+    def _tag(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tags = scan_contigs_exact(
+            batch_df, alleles, contig_id=contig_id, contig_seq=contig_seq
+        )
+        tags.write.mode("overwrite").parquet(f"{tags_path}/batch={batch_id}")
+
+    q = (
+        contig_stream.writeStream.foreachBatch(_tag)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -363,3 +363,35 @@ def test_streaming_corpus_ingest_dedups_across_batches(spark, tmp_path):
     assert 12 in got
     assert 10 not in got and 11 not in got
     assert set(got) >= {1, 2}
+
+
+def test_streaming_autotag_matches_batch(spark, tmp_path):
+    """Stream-tagged contigs equal the batch scan over the same data
+    (the transformation is shared, so this pins the plumbing)."""
+    import pyspark.sql.functions as F
+
+    from bigsdb_spark.operators.seqmatch import scan_contigs_exact
+    from bigsdb_spark.streaming.events import read_event_stream, run_autotag_stream
+
+    alleles = spark.createDataFrame(
+        [("abcZ", "1", "ACGTACGT"), ("adk", "2", "TTTT")],
+        "locus string, allele_id string, sequence string",
+    )
+    contigs = spark.createDataFrame(
+        [(1, "GGACGTACGTGG"), (2, "CCTTTTCC"), (3, "AAAAAAA")],
+        "id long, sequence string",
+    )
+    src = str(tmp_path / "contig_src")
+    contigs.coalesce(1).write.parquet(src)
+    stream = read_event_stream(spark, src, max_files=16)
+    tags_path = str(tmp_path / "tags")
+    run_autotag_stream(stream, alleles, tags_path, str(tmp_path / "ckpt"))
+    got = {
+        (r["id"], r["locus"], r["allele_id"], r["start_pos"])
+        for r in spark.read.parquet(tags_path).collect()
+    }
+    want = {
+        (r["id"], r["locus"], r["allele_id"], r["start_pos"])
+        for r in scan_contigs_exact(contigs, alleles).collect()
+    }
+    assert got == want and len(want) == 2
