@@ -100,28 +100,36 @@ def explore_hierarchy(df: DataFrame, fields: list[str]) -> dict:
     assembly is a driver-side fold over that bounded frequency table
     (its size is the product of the fields' cardinalities, the same
     table the reference pages through).  NULLs render as 'No value'
-    like the analysis-field explorer (DataExplorerPage.pm:969)."""
-    freq = (
-        df.groupBy(*[F.coalesce(F.col(f).cast("string"), F.lit("No value")).alias(f) for f in fields])
-        .agg(F.count(F.lit(1)).alias("count"))
-        .orderBy(F.desc("count"), *[F.asc(f) for f in fields])
-        .collect()
-    )
+    like the analysis-field explorer (DataExplorerPage.pm:969).
+
+    The freq pass reuses combination_counts (one NULL-labelling rule
+    for explorer + A3), with an internal count alias so a field
+    literally named 'count'/'n' cannot collide; sibling lookup during
+    the fold is dict-keyed, so the build is O(rows x levels), not
+    O(rows x sibling fan-out)."""
+    freq_df = combination_counts(df, fields, null_label="No value")
+    cnt = "__n" if "n" in fields else "n"
+    if cnt != "n":
+        freq_df = freq_df.withColumnRenamed("n", cnt)
+    freq = freq_df.orderBy(
+        F.desc(cnt), *[F.asc(f) for f in fields]
+    ).collect()
     root = {"count": 0, "children": []}
+    index: dict = {}  # path-tuple -> node, O(1) sibling lookup
     for rec in freq:
-        root["count"] += rec["count"]
+        root["count"] += rec[cnt]
         nodes = root["children"]
+        path = ()
         for level, field in enumerate(fields):
             value = rec[field]
-            hit = next(
-                (n for n in nodes if n["field"] == field and n["value"] == value),
-                None,
-            )
+            path = path + (value,)
+            hit = index.get(path)
             if hit is None:
                 hit = {"field": field, "value": value, "count": 0}
                 if level < len(fields) - 1:
                     hit["children"] = []
                 nodes.append(hit)
-            hit["count"] += rec["count"]
+                index[path] = hit
+            hit["count"] += rec[cnt]
             nodes = hit.get("children", [])
     return root

@@ -96,11 +96,25 @@ def curator_digests(
     curator_prefs: DataFrame,
     now: _dt.datetime,
 ) -> DataFrame:
-    """One digest row per DUE curator: per-type pending counts and the
-    submission id list, oldest first — the content of the digest
-    e-mail body (:229-260), minus the SMTP."""
+    """One digest row per DUE curator: per-type counts and the
+    submission id list, oldest first, of submissions SINCE THAT
+    CURATOR'S LAST DIGEST (submission_digests.pl's whole point —
+    without the last_digest cut every digest would re-report the same
+    pending backlog) — the content of the digest e-mail body
+    (:229-260), minus the SMTP."""
     due = digest_due(curator_prefs, now)
-    mine = routed.join(F.broadcast(due), "curator_id", "left_semi")
+    last = curator_prefs.select(
+        "curator_id", F.col("last_digest").cast("date").alias("_since")
+    )
+    mine = (
+        routed.join(F.broadcast(due), "curator_id", "left_semi")
+        .join(F.broadcast(last), "curator_id", "left")
+        .filter(
+            F.col("_since").isNull()
+            | (F.col("date_submitted") >= F.col("_since"))
+        )
+        .drop("_since")
+    )
     return (
         mine.groupBy("curator_id")
         .agg(

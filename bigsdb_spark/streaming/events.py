@@ -480,11 +480,12 @@ def run_corpus_ingest_stream(
 
 def run_autotag_stream(
     contig_stream: DataFrame,
-    alleles: DataFrame,
+    alleles: DataFrame | None,
     tags_path: str,
     checkpoint: str,
     contig_id: str = "id",
     contig_seq: str = "sequence",
+    alleles_path: str | None = None,
 ) -> None:
     """Streaming autotag: scan each micro-batch of newly ingested
     contigs for exact allele occurrences and append the tags — the
@@ -493,17 +494,27 @@ def run_autotag_stream(
     transformation, so stream and batch provably tag identically).
 
     The scan is stateless per contig — no cross-batch state, no
-    watermark; allele definitions re-read per batch so newly defined
-    alleles apply from the next batch on.  Output is a parquet append
-    of the allele_sequences tag shape, partitioned per batch for
-    idempotent replay (overwrite of ``batch=<id>``)."""
+    watermark.  Pass ``alleles_path`` (instead of a static frame) for
+    newly defined alleles to apply from the next batch on: the path is
+    re-READ per batch, which re-lists files — a DataFrame captured
+    before the stream starts pins its file listing and would silently
+    never see new definitions.  Output is a parquet append of the
+    allele_sequences tag shape, partitioned per batch for idempotent
+    replay (overwrite of ``batch=<id>``)."""
     from bigsdb_spark.operators.seqmatch import scan_contigs_exact
+
+    if alleles is None and alleles_path is None:
+        raise ValueError("pass alleles or alleles_path")
+    spark = contig_stream.sparkSession
 
     def _tag(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        defs = (
+            spark.read.parquet(alleles_path) if alleles_path is not None else alleles
+        )
         tags = scan_contigs_exact(
-            batch_df, alleles, contig_id=contig_id, contig_seq=contig_seq
+            batch_df, defs, contig_id=contig_id, contig_seq=contig_seq
         )
         tags.write.mode("overwrite").parquet(f"{tags_path}/batch={batch_id}")
 

@@ -723,7 +723,9 @@ def test_curation_queue_digests(spark):
     assert {r[0] for r in digest_due(prefs, now).collect()} == {1, 3}
 
     dig = {r["curator_id"]: r for r in curator_digests(routed, prefs, now).collect()}
-    assert set(dig) == {1, 3}
+    # curator 3's only submission (S4, Aug 2) predates their Aug 10
+    # digest -> nothing new to report; curator 1 never digested
+    assert set(dig) == {1}
     assert dig[1]["n_pending"] == 2 and dig[1]["n_alleles"] == 1
     assert dig[1]["submission_ids"] == ["S1", "S3"]  # oldest first
 
@@ -731,3 +733,32 @@ def test_curation_queue_digests(spark):
     assert nags == {1: 2, 2: 1, 3: 1}
     old = nag_counts(routed, older_than=dt.date(2026, 8, 3)).collect()
     assert {(r["curator_id"], r["n_pending"]) for r in old} == {(1, 1), (3, 1)}
+
+
+def test_curator_digest_since_last_digest_only(spark):
+    """A digest reports only submissions since that curator's last
+    digest — not the whole pending backlog every time."""
+    import datetime as dt
+
+    from bigsdb_spark.operators.curation_queue import (
+        curator_digests,
+        route_submissions,
+    )
+
+    subs = spark.createDataFrame(
+        [
+            ("OLD", "alleles", "pending", 50, dt.date(2026, 7, 1), "abcZ", None),
+            ("NEW", "alleles", "pending", 50, dt.date(2026, 8, 13), "abcZ", None),
+        ],
+        "submission_id string, type string, status string, submitter int, "
+        "date_submitted date, locus string, scheme_id int",
+    )
+    lc = spark.createDataFrame([("abcZ", 1)], "locus string, curator_id int")
+    routed = route_submissions(subs, locus_curators=lc)
+    prefs = spark.createDataFrame(
+        [(1, dt.datetime(2026, 8, 1, 0, 0), 60)],
+        "curator_id int, last_digest timestamp, digest_interval int",
+    )
+    dig = curator_digests(routed, prefs, dt.datetime(2026, 8, 14, 12, 0)).collect()
+    assert len(dig) == 1
+    assert dig[0]["submission_ids"] == ["NEW"]  # OLD already digested
