@@ -145,3 +145,98 @@ def extract_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_batches, _FEATURES_SCHEMA)
+
+
+_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("t_frac", FloatType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    n_frames: int = 4,
+    codec: str = "stub",
+) -> DataFrame:
+    """Video frame sampling plumbing: one row per evenly spaced frame
+    (UDTF-shaped fan-out, ``t_frac`` = position in [0,1)), features
+    per frame via the dispatched decoder.
+
+    STUB FRAMING: the container has no video codec, so a "frame" is a
+    deterministic byte slice of the payload at the sampled offset (the
+    slice boundaries are exactly the frame timestamps a real ffmpeg
+    seek would use) — swap the slicer for ffmpeg frame extraction in a
+    real deployment; the Spark-side shape (Arrow batches, explode
+    cardinality, schema, per-frame decode) is the production shape.
+    """
+    decode = pick_decoder(codec)
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                span = max(1, len(data) // n_frames)
+                for i in range(n_frames):
+                    chunk = data[i * span : (i + 1) * span] or b"\x00"
+                    width, height, feats = decode(chunk)
+                    rows.append(
+                        (doc_id, i, i / n_frames, width, height, feats)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "t_frac", "width", "height", "features",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_batches, _FRAMES_SCHEMA)
+
+
+def _resize_stub(payload: bytes, width: int, height: int) -> list[float]:
+    """CLEARLY-MARKED STUB resize: deterministic features keyed on
+    (payload, target dims) — a real deployment swaps in PIL's
+    Image.resize + feature extractor with the same signature."""
+    h = hashlib.sha256(payload + f":{width}x{height}".encode()).digest()
+    return [b / 255.0 for b in h[:8]]
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    width: int,
+    height: int,
+) -> DataFrame:
+    """Batch image-resize plumbing: every payload mapped to the target
+    (width, height) with post-resize features — Arrow-batched like
+    extract_features; the codec step is the deterministic stub above.
+    """
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                feats = _resize_stub(bytes(payload), width, height)
+                rows.append((doc_id, width, height, feats))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "features"]
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(_batches, schema)

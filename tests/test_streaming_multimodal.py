@@ -99,3 +99,38 @@ def test_multimodal_decoder_dispatch(monkeypatch):
     assert mm.pick_decoder("auto") is mm._decode_pil
     assert mm.pick_decoder("pil") is mm._decode_pil
     assert mm.pick_decoder("stub") is mm._decode_stub
+
+
+def test_sample_frames_shape_and_determinism(spark):
+    from bigsdb_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"0123456789abcdef")), (2, bytearray(b"xy"))],
+        "doc_id long, payload binary",
+    )
+    a = sample_frames(df, "doc_id", "payload", n_frames=4).collect()
+    b = sample_frames(df, "doc_id", "payload", n_frames=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    assert len(a) == 8  # 4 frames per doc, short payloads included
+    by_doc = {}
+    for r in a:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    fr = sorted(by_doc[1], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in fr] == [0, 1, 2, 3]
+    assert [round(r["t_frac"], 2) for r in fr] == [0.0, 0.25, 0.5, 0.75]
+    assert all(len(r["features"]) == 8 for r in fr)
+    # distinct slices -> distinct features (stub decodes the slice)
+    assert fr[0]["features"] != fr[1]["features"]
+
+
+def test_resize_images_plumbing(spark):
+    from bigsdb_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"imagebytes"))], "doc_id long, payload binary"
+    )
+    r224 = resize_images(df, "doc_id", "payload", 224, 224).collect()[0]
+    r64 = resize_images(df, "doc_id", "payload", 64, 64).collect()[0]
+    assert (r224["width"], r224["height"]) == (224, 224)
+    # target size participates in the deterministic stub features
+    assert r224["features"] != r64["features"]
