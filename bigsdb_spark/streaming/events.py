@@ -525,3 +525,60 @@ def run_autotag_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_discovery_stream(
+    contig_stream: DataFrame,
+    alleles_path: str,
+    discovered_path: str,
+    checkpoint: str,
+    k: int = 15,
+    min_identity: float = 99.0,
+    contig_id: str = "id",
+    contig_seq: str = "sequence",
+) -> None:
+    """Continuous new-allele discovery — the streaming twin of the
+    nightly ``scannew.pl`` sweep, reusing the batch operator
+    (``seqmatch.discover_new_alleles``) per micro-batch.
+
+    Cross-batch consistency comes from the storage, not from stream
+    state: each batch re-reads the definitions at ``alleles_path``
+    UNIONED with everything previously discovered (so a sequence
+    discovered in batch 2 is an existing allele by batch 3, and the
+    max+1 provisional ids keep advancing across batches); per-batch
+    output is an overwrite of ``batch=<id>`` for idempotent replay.
+    availableNow/foreachBatch runs batches strictly in sequence, so
+    the read-union-discover-write cycle is race-free.
+    """
+    import os
+
+    from bigsdb_spark.operators.seqmatch import discover_new_alleles
+
+    spark = contig_stream.sparkSession
+
+    def _discover(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        defs = spark.read.parquet(alleles_path).select(
+            "locus", "allele_id", "sequence"
+        )
+        if os.path.exists(discovered_path):
+            prior = spark.read.parquet(discovered_path).select(
+                "locus",
+                F.col("new_allele_id").alias("allele_id"),
+                "sequence",
+            )
+            defs = defs.unionByName(prior)
+        new = discover_new_alleles(
+            batch_df, defs, k=k, min_identity=min_identity,
+            contig_id=contig_id, contig_seq=contig_seq,
+        )
+        new.write.mode("overwrite").parquet(f"{discovered_path}/batch={batch_id}")
+
+    q = (
+        contig_stream.writeStream.foreachBatch(_discover)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

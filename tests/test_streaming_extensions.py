@@ -395,3 +395,52 @@ def test_streaming_autotag_matches_batch(spark, tmp_path):
         for r in scan_contigs_exact(contigs, alleles).collect()
     }
     assert got == want and len(want) == 2
+
+
+def test_streaming_discovery_advances_across_batches(spark, tmp_path):
+    """An allele discovered in batch 1 counts as existing by batch 2:
+    the same variant re-seen later is not re-discovered, and
+    provisional ids keep advancing (scannew.pl's max+1, continuously)."""
+    import os
+    import time
+
+    from bigsdb_spark.streaming.events import (
+        read_event_stream,
+        run_discovery_stream,
+    )
+
+    base = "ATGAAACCCGGGTTTACGTAGCTGATCGATCGA"  # 33bp 'locus'
+    var1 = base[:10] + "T" + base[11:]           # one substitution
+    var2 = base[:20] + "C" + base[21:]           # different substitution
+    alleles_path = str(tmp_path / "defs")
+    spark.createDataFrame(
+        [("locusA", "1", base)], "locus string, allele_id string, sequence string"
+    ).write.parquet(alleles_path)
+
+    src = str(tmp_path / "contigs")
+    spark.createDataFrame(
+        [(1, "GG" + var1 + "GG")], "id long, sequence string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    now = time.time()
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            os.utime(os.path.join(src, f), (now - 120, now - 120))
+    spark.createDataFrame(
+        [(2, "CC" + var1 + "CC"), (3, var2)], "id long, sequence string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    discovered = str(tmp_path / "discovered")
+    stream = read_event_stream(spark, src, max_files=1)
+    run_discovery_stream(
+        stream, alleles_path, discovered, str(tmp_path / "ckpt"),
+        min_identity=90.0,
+    )
+    rows = spark.read.parquet(discovered).collect()
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault(r["sequence"], []).append(r)
+    # var1 discovered exactly once (batch 2's re-sighting suppressed)
+    assert len(by_seq[var1]) == 1
+    assert len(by_seq[var2]) == 1
+    ids = sorted(int(r["new_allele_id"]) for r in rows)
+    assert ids == [2, 3]  # max+1 advanced across batches
