@@ -177,6 +177,8 @@ def sample_frames(
     real deployment; the Spark-side shape (Arrow batches, explode
     cardinality, schema, per-frame decode) is the production shape.
     """
+    if n_frames < 1:
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
     decode = pick_decoder(codec)
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -184,9 +186,15 @@ def sample_frames(
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
-                span = max(1, len(data) // n_frames)
+                # proportional bounds (round(i*len/n)) so the slices
+                # tile the WHOLE payload — a fixed integer span drops
+                # the tail whenever len % n_frames != 0 and skews the
+                # reported t_frac off the true slice position
+                bounds = [
+                    round(i * len(data) / n_frames) for i in range(n_frames + 1)
+                ]
                 for i in range(n_frames):
-                    chunk = data[i * span : (i + 1) * span] or b"\x00"
+                    chunk = data[bounds[i] : bounds[i + 1]] or b"\x00"
                     width, height, feats = decode(chunk)
                     rows.append(
                         (doc_id, i, i / n_frames, width, height, feats)
@@ -204,9 +212,11 @@ def sample_frames(
 def _resize_stub(payload: bytes, width: int, height: int) -> list[float]:
     """CLEARLY-MARKED STUB resize: deterministic features keyed on
     (payload, target dims) — a real deployment swaps in PIL's
-    Image.resize + feature extractor with the same signature."""
-    h = hashlib.sha256(payload + f":{width}x{height}".encode()).digest()
-    return [b / 255.0 for b in h[:8]]
+    Image.resize + feature extractor with the same signature.  Reuses
+    the decode stub so dimensionality and 4dp quantization stay in one
+    place."""
+    _, _, feats = _decode_stub(payload + f":{width}x{height}".encode())
+    return feats
 
 
 def resize_images(

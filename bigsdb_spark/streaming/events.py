@@ -550,7 +550,7 @@ def run_discovery_stream(
     availableNow/foreachBatch runs batches strictly in sequence, so
     the read-union-discover-write cycle is race-free.
     """
-    import os
+    from pyspark.errors import AnalysisException
 
     from bigsdb_spark.operators.seqmatch import discover_new_alleles
 
@@ -562,11 +562,24 @@ def run_discovery_stream(
         defs = spark.read.parquet(alleles_path).select(
             "locus", "allele_id", "sequence"
         )
-        if os.path.exists(discovered_path):
-            prior = spark.read.parquet(discovered_path).select(
-                "locus",
-                F.col("new_allele_id").alias("allele_id"),
-                "sequence",
+        try:
+            # Spark-side existence: os.path.exists would be always-False
+            # on hdfs/s3 paths and silently skip the prior union
+            prior_all = spark.read.parquet(discovered_path)
+        except AnalysisException:
+            prior_all = None  # first batch: nothing discovered yet
+        if prior_all is not None:
+            # exclude THIS batch's own partition and materialize before
+            # the overwrite below deletes it — a crash-replay of batch N
+            # would otherwise read files its own write is about to remove
+            prior = (
+                prior_all.filter(F.col("batch") != batch_id)
+                .select(
+                    "locus",
+                    F.col("new_allele_id").alias("allele_id"),
+                    "sequence",
+                )
+                .localCheckpoint(eager=True)
             )
             defs = defs.unionByName(prior)
         new = discover_new_alleles(
