@@ -380,3 +380,69 @@ def temperature_weights(
         F.col(group_col),
         F.round(F.col("_p") / F.col("_z"), 6).alias("weight"),
     )
+
+
+# ------------------------------------------------- URL / domain policy
+
+def canonical_url(url_col: Column) -> Column:
+    """Canonicalize a URL for dedup keys (the standard web-corpus
+    normalization): lowercase scheme+host, strip the scheme, a leading
+    ``www.``, the fragment, common tracking query params (utm_*,
+    fbclid, gclid), a trailing ``?`` left by the strip, trailing
+    slashes, and default ports.  Pure expressions — safe in a 100 TB
+    scan's projection."""
+    u = F.trim(url_col)
+    u = F.regexp_replace(u, r"^[Hh][Tt][Tt][Pp][Ss]?://", "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    # drop tracking params wherever they sit in the query string
+    u = F.regexp_replace(u, r"([?&])(utm_[a-z]+|fbclid|gclid)=[^&]*", "$1")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    # lowercase ONLY the authority part; path/query stay case-sensitive
+    host = F.lower(F.regexp_extract(u, r"^([^/]*)", 1))
+    rest = F.regexp_replace(u, r"^[^/]*", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    return F.regexp_replace(F.concat(host, rest), r"/+$", "")
+
+
+def url_domain(url_col: Column) -> Column:
+    """Registrable-ish domain of a URL: the canonical host minus any
+    leading subdomains beyond the last two labels (a heuristic — a
+    public-suffix list is the full-fidelity swap-in)."""
+    host = F.lower(
+        F.regexp_extract(
+            F.regexp_replace(F.trim(url_col), r"^[Hh][Tt][Tt][Pp][Ss]?://", ""),
+            r"^([^/:?#]*)",
+            1,
+        )
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def cap_per_domain(
+    df: DataFrame,
+    domain_col: str,
+    n_max: int,
+    order_by: list | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``n_max`` documents per domain — the anti-spam /
+    diversity cap every web-corpus policy applies (a single host must
+    not dominate the mixture).  Ranking inside each domain follows
+    ``order_by`` (e.g. quality desc) with the id as tiebreak, so the
+    cap is deterministic; one window over the domain key, map-side
+    combinable nowhere (a cap is inherently per-group), but the window
+    partitions by domain so skew lands on AQE's plate."""
+    from pyspark.sql import Window
+
+    order = list(order_by) if order_by else []
+    order.append(F.asc(id_col))
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_max)
+        .drop("_rk")
+    )

@@ -238,3 +238,44 @@ def test_temperature_weights_normalize(spark):
     assert abs(sum(w.values()) - 1.0) <= 2e-6
     # flattening: alpha<1 upweights small sources vs their raw share
     assert w["books"] > 10000 / 1100000
+
+
+def test_canonical_url_and_domain(spark):
+    from bigsdb_spark.operators.corpus import canonical_url, url_domain
+
+    rows = [
+        ("HTTPS://WWW.Example.COM:443/Path/Page?utm_source=x&q=1#frag",),
+        ("http://example.com/Path/Page?q=1",),
+        ("https://news.sub.example.co/a/b/",),
+        ("example.com/Path/Page?q=1",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    out = df.select(
+        canonical_url(F.col("url")).alias("canon"),
+        url_domain(F.col("url")).alias("dom"),
+    ).collect()
+    # scheme/www/port/fragment/tracking params all stripped; the three
+    # spellings of the same page collapse to one canonical key
+    assert out[0]["canon"] == out[1]["canon"] == out[3]["canon"] == "example.com/Path/Page?q=1"
+    assert out[2]["canon"] == "news.sub.example.co/a/b"
+    assert out[0]["dom"] == "example.com"
+    assert out[2]["dom"] == "example.co"
+
+
+def test_cap_per_domain(spark):
+    from bigsdb_spark.operators.corpus import cap_per_domain
+
+    rows = [(i, "spam.com" if i < 8 else "rare.org", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, quality double")
+    capped = cap_per_domain(
+        df, "domain", n_max=3, order_by=[F.desc("quality")]
+    )
+    got = {}
+    for r in capped.collect():
+        got.setdefault(r["domain"], []).append(r["doc_id"])
+    # quality-desc keeps the best 3 spam docs; rare domain untouched
+    assert sorted(got["spam.com"]) == [5, 6, 7]
+    assert sorted(got["rare.org"]) == [8, 9]
+    # deterministic under re-run
+    again = cap_per_domain(df, "domain", n_max=3, order_by=[F.desc("quality")])
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, again.collect()))
