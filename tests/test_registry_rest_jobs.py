@@ -762,3 +762,33 @@ def test_curator_digest_since_last_digest_only(spark):
     dig = curator_digests(routed, prefs, dt.datetime(2026, 8, 14, 12, 0)).collect()
     assert len(dig) == 1
     assert dig[0]["submission_ids"] == ["NEW"]  # OLD already digested
+
+
+def test_rest_job_routes(spark):
+    import pytest as _pytest
+
+    from bigsdb_spark.jobs import JobService
+    from bigsdb_spark.plans.rest import (
+        NotFound,
+        route_job_record,
+        route_jobs_list,
+        route_jobs_summary,
+    )
+
+    svc = JobService(user_quota=5)
+    j1 = svc.add_job("breakdown", {"field": "country"}, user="alice")
+    j2 = svc.add_job("export", {"fields": ["id"]}, user="bob")
+    svc.update_progress(j1.job_id, 50, "halfway")
+    svc.finish(j2.job_id, result="ok")
+
+    summary = route_jobs_summary(svc)
+    assert summary["records"] == 2
+    assert summary["by_status"].get("finished") == 1
+
+    mine = route_jobs_list(svc, user="alice")
+    assert mine["records"] == 1 and mine["jobs"][0]["percent_complete"] == 50
+
+    rec = route_job_record(svc, j2.job_id)
+    assert rec["status"] == "finished"
+    with _pytest.raises(NotFound):
+        route_job_record(svc, 999)
