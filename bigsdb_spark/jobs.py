@@ -119,6 +119,10 @@ class JobService:
             self.finish(job.job_id, result=job.result, status="failed")
         return job
 
+    def all_jobs(self) -> dict[int, Job]:
+        """Read-only view for monitors (the jobs-DB SELECT surface)."""
+        return dict(self._jobs)
+
     def status(self, job_id: int) -> dict:
         j = self._jobs[job_id]
         return {

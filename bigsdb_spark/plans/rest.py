@@ -953,17 +953,18 @@ def route_jobs_summary(service) -> dict:
     """GET jobs summary (JobMonitorPage.pm's polled summary endpoint):
     job counts by status — the monitor dashboard's numbers."""
     counts: dict = {}
-    for job in service._jobs.values():
+    for job in service.all_jobs().values():
         counts[job.status] = counts.get(job.status, 0) + 1
-    return {"records": len(service._jobs), "by_status": counts}
+    return {"records": len(service.all_jobs()), "by_status": counts}
 
 
 def route_jobs_list(service, user: str | None = None) -> dict:
     """GET /db/:db/jobs: the caller's jobs (or all), id-ordered, as
     status records (AjaxJobs.pm polling shape)."""
     out = []
-    for jid in sorted(service._jobs):
-        job = service._jobs[jid]
+    jobs = service.all_jobs()
+    for jid in sorted(jobs):
+        job = jobs[jid]
         if user is not None and job.user != user:
             continue
         out.append(service.status(jid))
@@ -972,6 +973,6 @@ def route_jobs_list(service, user: str | None = None) -> dict:
 
 def route_job_record(service, job_id: int) -> dict:
     """GET /db/:db/jobs/:id: one job's status; unknown -> 404."""
-    if job_id not in service._jobs:
+    if job_id not in service.all_jobs():
         raise NotFound(f"Job {job_id} does not exist.")
     return service.status(job_id)
