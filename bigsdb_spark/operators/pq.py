@@ -36,6 +36,8 @@ __all__ = [
     "train_ivf_pq",
     "ivf_pq_encode",
     "ivf_pq_topk",
+    "sq_encode",
+    "sq_topk",
 ]
 
 
@@ -237,4 +239,63 @@ def ivf_pq_topk(
         query,
         top_k=top_k,
         id_col=id_col,
+    )
+
+
+def sq_encode(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Int8 scalar quantization — the simple compression tier between
+    raw float32 and PQ (4x smaller, near-lossless ranking): per-vector
+    symmetric scale = max|x|/127, codes = round(x/scale) in [-127,127].
+
+    Unlike PQ's Arrow encoder this is PURE expressions (transform +
+    aggregate), so encoding rides whole-stage codegen inside any scan
+    that already reads the vector.  Returns (id, scale, codes)."""
+    absmax = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+    return emb.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") / scale).cast("int"),
+        ).alias("codes"),
+    )
+
+
+def sq_topk(
+    encoded: DataFrame,
+    query: list[float],
+    top_k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by approximate dot product over int8 codes: the query
+    quantizes driver-side, its codes inline as a literal, and the
+    integer dot folds per row (zip_with + aggregate) scaled back by
+    scale_q * scale_v — a joinless codegen scan like pq_topk, but with
+    per-dimension resolution instead of per-block codebooks."""
+    import numpy as np
+
+    q = np.asarray(query, dtype=np.float64)
+    q_scale = float(np.abs(q).max() / 127.0) if np.abs(q).max() > 0 else 1.0
+    q_codes = F.array(
+        *[F.lit(int(round(v / q_scale))) for v in q]
+    )
+    int_dot = F.aggregate(
+        F.zip_with("codes", q_codes, lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    score = (int_dot.cast("double") * F.col("scale") * F.lit(q_scale)).alias(
+        "dot"
+    )
+    return (
+        encoded.select(id_col, score)
+        .orderBy(F.desc("dot"), id_col)
+        .limit(top_k)
     )

@@ -99,3 +99,47 @@ def test_ivf_pq_probe_monotone_recall(spark):
     assert len(r4) == 10
     emb.unpersist()
     enc.unpersist()
+
+
+def test_sq_roundtrip_and_ranking(spark):
+    """Int8 SQ: codes bounded, reconstruction within scale/2 per dim,
+    and top-k ranking near-exact vs float dot product."""
+    from bigsdb_spark.operators.pq import sq_encode, sq_topk
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding").cache()
+    enc = sq_encode(emb).cache()
+    row = enc.join(emb, "vec_id").first()
+    recon = [c * row["scale"] for c in row["codes"]]
+    assert max(abs(c) for c in row["codes"]) <= 127
+    assert max(
+        abs(a - b) for a, b in zip(recon, row["embedding"])
+    ) <= row["scale"] / 2 + 1e-9
+
+    rows = emb.collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    hits = total = 0
+    for qi in (0, 11, 42):
+        q = x[qi]
+        true = set(ids[np.argsort(-(x @ q))[:10]])
+        got = {
+            r["vec_id"]
+            for r in sq_topk(enc, [float(v) for v in q], top_k=10).collect()
+        }
+        hits += len(true & got)
+        total += 10
+    assert hits / total >= 0.9  # int8 is near-lossless for ranking
+    emb.unpersist()
+    enc.unpersist()
+
+
+def test_sq_topk_pure_scan(spark):
+    from bigsdb_spark.operators.pq import sq_topk
+
+    enc = spark.createDataFrame(
+        [(1, 0.01, [1, 2]), (2, 0.02, [-3, 4])],
+        "vec_id long, scale double, codes array<int>",
+    )
+    plan = sq_topk(enc, [0.1, 0.2], top_k=1)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
