@@ -72,7 +72,19 @@ def _train_pq_np(
 
 
 def _sample_np(emb: DataFrame, vec_col: str, sample: int) -> np.ndarray:
-    rows = emb.select(vec_col).limit(sample).collect()
+    """Deterministic ORDER-INDEPENDENT training sample: rank rows by a
+    content hash of the vector and take the smallest ``sample`` — a
+    TakeOrderedAndProject (per-partition top-k + driver merge, no full
+    sort shuffle), so the SAME rows are chosen however the input is
+    partitioned, ordered, or clustered.  A bare ``limit(sample)`` takes
+    whichever partitions list first, so ingest-ordered data (one domain
+    first) would train biased codebooks and silently degrade recall."""
+    rows = (
+        emb.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)), F.col(vec_col).cast("string"))
+        .limit(sample)
+        .collect()
+    )
     return np.array([r[0] for r in rows], dtype=np.float64)
 
 
@@ -258,13 +270,24 @@ def sq_encode(
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
     )
     scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+    # bind scale to a lambda VARIABLE via the one-element wrapper
+    # transform (the word_shingles idiom): a transform lambda closing
+    # over the O(d) aggregate expression would re-evaluate it per array
+    # ELEMENT after projection collapse — O(d^2) per row
+    codes = F.element_at(
+        F.transform(
+            F.array(scale),
+            lambda s: F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") / s).cast("int"),
+            ),
+        ),
+        1,
+    )
     return emb.select(
         F.col(id_col),
         scale.alias("scale"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.round(x.cast("double") / scale).cast("int"),
-        ).alias("codes"),
+        codes.alias("codes"),
     )
 
 

@@ -38,7 +38,10 @@ def create_new_versions(
     Only chain HEADS may be versioned (the reference disables the
     action for superseded records) — a pair whose old record already
     has a successor would silently orphan that successor's chain, so
-    it raises instead.
+    it raises instead.  Symmetrically, every ``new_id`` must be UNUSED
+    and distinct within the pair list — a collision with an existing
+    record id (or two pairs sharing a new_id) would silently yield
+    duplicate ids in the returned frame.
     """
     pairs = F.broadcast(
         id_pairs.select(
@@ -57,6 +60,25 @@ def create_new_versions(
         raise ValueError(
             f"records already superseded cannot be versioned: {ids}"
         )
+    dup_new = (
+        id_pairs.groupBy("new_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup_new:
+        ids = ", ".join(str(r[0]) for r in dup_new)
+        raise ValueError(f"duplicate new_id values in pairs: {ids}")
+    used = (
+        isolates.join(pairs, isolates[id_col] == F.col("_new"), "left_semi")
+        .select(id_col)
+        .limit(5)
+        .collect()
+    )
+    if used:
+        ids = ", ".join(str(r[0]) for r in used)
+        raise ValueError(f"new_id values already in use: {ids}")
     updated_old = (
         isolates.join(pairs, isolates[id_col] == F.col("_old"), "left")
         .withColumn(

@@ -351,9 +351,31 @@ def run_analysis_cache_stream(
             "order same-key upserts within a micro-batch"
         )
 
+    def _recover_swap(cache_path: str) -> None:
+        """Repair a crash that landed mid-swap: the swap sequence is
+        write _next -> move cache aside to _old -> move _next in ->
+        drop _old, so on entry (a) cache missing + COMPLETE _next
+        (parquet _SUCCESS marker) means the new cache was built but
+        never moved in — finish the move; (b) cache missing + only
+        _old means _next was incomplete — restore the old cache
+        (nothing is lost: the checkpoint never committed, the batch
+        replays); then drop any leftover staging dirs."""
+        import os
+        import shutil
+
+        nxt, old = cache_path + "_next", cache_path + "_old"
+        if not os.path.exists(cache_path):
+            if os.path.exists(os.path.join(nxt, "_SUCCESS")):
+                shutil.move(nxt, cache_path)
+            elif os.path.exists(old):
+                shutil.move(old, cache_path)
+        for d in (nxt, old):
+            shutil.rmtree(d, ignore_errors=True)
+
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _recover_swap(cache_path)
         # last event per (isolate, name) within the batch wins,
         # ordered by the explicit upsert sequence
         latest = batch_df.groupBy("isolate_id", "name").agg(
@@ -381,12 +403,20 @@ def run_analysis_cache_stream(
         else:
             out = fresh  # genuinely the first batch
         out.write.mode("overwrite").parquet(cache_path + "_next")
-        # atomic-enough swap for a local cache dir; a lakehouse table
-        # format (Delta/Iceberg MERGE) is the production path
+        # swap with the old cache moved ASIDE, not deleted, so no crash
+        # window leaves the cache absent with its data unreachable (the
+        # old rmtree-then-move left exactly that window: next batch's
+        # exists() check would rebuild from fresh rows only, silently
+        # discarding every previously normalized slice).  _recover_swap
+        # above repairs any interrupted swap on the next batch.  A
+        # lakehouse table format (Delta/Iceberg MERGE) is the
+        # production path.
         import shutil
 
-        shutil.rmtree(cache_path, ignore_errors=True)
+        if os.path.exists(cache_path):
+            shutil.move(cache_path, cache_path + "_old")
         shutil.move(cache_path + "_next", cache_path)
+        shutil.rmtree(cache_path + "_old", ignore_errors=True)
 
     q = (
         results_stream.writeStream.foreachBatch(_upsert)
@@ -422,7 +452,12 @@ def run_corpus_ingest_stream(
     and the index advances as immutable ``v<id>`` snapshot directories
     behind a pointer file updated with an atomic rename — a crash at
     any point leaves the previous snapshot intact, so an admitted
-    document can never re-enter even across restarts.  A lakehouse
+    document can never re-enter even across restarts.  Replays SELF-
+    EXCLUDE: the pointer advance is the last step of a batch, so a
+    re-delivered batch whose pointer already reads ``v<batch_id>`` (a
+    crash landed between the pointer advance and the checkpoint
+    commit) is skipped outright — re-deduping it against an index
+    containing its own contributions would empty it.  A lakehouse
     table format (Delta/Iceberg MERGE) is the production path.
     """
     import os
@@ -442,6 +477,16 @@ def run_corpus_ingest_stream(
         if os.path.exists(pointer):
             with open(pointer) as fh:
                 current = fh.read().strip()
+        # Replay self-exclusion: the pointer advance is the LAST step of
+        # a batch, so pointer >= v<batch_id> proves this batch's corpus
+        # write and index snapshot both completed — a crash between the
+        # pointer advance and the streaming checkpoint commit re-delivers
+        # the batch, and re-deduping it against an index that already
+        # contains its own md5s/bands would drop every document and
+        # overwrite batch=<id> with an empty frame (silent permanent
+        # loss).  Skip instead: the committed output is already correct.
+        if current and int(current[1:]) >= batch_id:
+            return
         if current:
             index = {
                 "md5": spark.read.parquet(f"{index_path}/{current}/md5"),

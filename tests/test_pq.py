@@ -143,3 +143,22 @@ def test_sq_topk_pure_scan(spark):
     plan = sq_topk(enc, [0.1, 0.2], top_k=1)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_training_sample_is_order_independent(spark):
+    """Regression (ADVICE r3 / VERDICT r4 #1): codebook training used
+    limit(sample), which takes whichever partitions list first — an
+    adversarially sorted/clustered input trained biased codebooks.
+    Sampling now ranks by content hash, so the SAME rows are chosen
+    under any input ordering: identical codebooks, bit for bit."""
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    books_a = train_pq(emb, m=8, k=16, sample=256)
+    adversarial = emb.orderBy(F.desc("vec_id")).repartition(7)
+    books_b = train_pq(adversarial, m=8, k=16, sample=256)
+    assert books_a == books_b
+
+    from bigsdb_spark.operators.pq import train_ivf_pq
+
+    model_a = train_ivf_pq(emb, n_cells=8, m=8, k=16, sample=256)
+    model_b = train_ivf_pq(adversarial, n_cells=8, m=8, k=16, sample=256)
+    assert model_a == model_b

@@ -444,3 +444,93 @@ def test_streaming_discovery_advances_across_batches(spark, tmp_path):
     assert len(by_seq[var2]) == 1
     ids = sorted(int(r["new_allele_id"]) for r in rows)
     assert ids == [2, 3]  # max+1 advanced across batches
+
+
+def test_corpus_ingest_replay_after_pointer_advance_keeps_docs(spark, tmp_path):
+    """Regression (ADVICE r3, medium): a crash between the index
+    pointer advance and the streaming checkpoint commit re-delivers
+    the batch; deduping it against an index that already contains its
+    own md5s/bands dropped every doc and OVERWROTE batch=<id> with an
+    empty frame.  Replays now self-exclude via the pointer's batch id."""
+    import shutil
+
+    from bigsdb_spark.streaming.events import (
+        read_event_stream,
+        run_corpus_ingest_stream,
+    )
+
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "pack my box with five dozen liquor jugs for the long journey"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    run_corpus_ingest_stream(
+        read_event_stream(spark, src, max_files=16), corpus, index, ckpt
+    )
+    before = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert before == [1, 2]
+    # crash simulation: pointer advanced (index has this batch's
+    # contributions) but the checkpoint never committed -> the SAME
+    # batch id re-delivers on restart
+    shutil.rmtree(ckpt)
+    run_corpus_ingest_stream(
+        read_event_stream(spark, src, max_files=16), corpus, index, ckpt
+    )
+    after = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert after == before  # not silently emptied
+
+
+def test_analysis_cache_recovers_interrupted_swap(spark, tmp_path):
+    """Regression (ADVICE r3): the cache swap was rmtree-then-move; a
+    crash between the two left the cache absent and the next batch
+    rebuilt from fresh rows only, silently discarding every previously
+    normalized slice.  The swap now moves the old cache aside and the
+    next batch recovers a dangling complete _next dir."""
+    import shutil
+
+    from bigsdb_spark.streaming.events import (
+        read_event_stream,
+        run_analysis_cache_stream,
+    )
+
+    fields = spark.createDataFrame(
+        [("Kleborate", "$.fields[*].ST")], "analysis_name string, json_path string"
+    )
+    cache = str(tmp_path / "cache")
+    src1 = str(tmp_path / "src1")
+    spark.createDataFrame(
+        [(1, 1, "Kleborate", '{"fields":[{"ST":"258"}]}')],
+        "seq long, isolate_id long, name string, results string",
+    ).coalesce(1).write.parquet(src1)
+    run_analysis_cache_stream(
+        read_event_stream(spark, src1, max_files=16),
+        fields,
+        cache,
+        str(tmp_path / "ckpt1"),
+    )
+    # crash simulation: old cache was moved aside and deleted, _next
+    # fully written (has _SUCCESS) but never moved into place
+    shutil.move(cache, cache + "_next")
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [(2, 2, "Kleborate", '{"fields":[{"ST":"11"}]}')],
+        "seq long, isolate_id long, name string, results string",
+    ).coalesce(1).write.parquet(src2)
+    run_analysis_cache_stream(
+        read_event_stream(spark, src2, max_files=16),
+        fields,
+        cache,
+        str(tmp_path / "ckpt2"),
+    )
+    got = {
+        (r["isolate_id"], r["value"])
+        for r in spark.read.parquet(cache).collect()
+    }
+    # isolate 1's slice survived the interrupted swap; isolate 2 added
+    assert got == {(1, "258"), (2, "11")}

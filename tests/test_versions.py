@@ -83,3 +83,23 @@ def test_version_history_nonmonotonic_ids(spark):
     hist = version_history(iso).collect()
     got = sorted((r["version"], r["id"]) for r in hist)
     assert got == [(1, 3), (2, 1)]  # oldest first regardless of id
+
+
+def test_create_new_versions_rejects_used_new_id(spark):
+    """Regression (ADVICE r3): a new_id colliding with an existing
+    record id must raise, not silently duplicate the id."""
+    import pytest
+
+    pairs = spark.createDataFrame([(3, 7)], "old_id int, new_id int")
+    with pytest.raises(ValueError, match="already in use"):
+        create_new_versions(_isolates(spark), pairs, "2026-08-14")
+
+
+def test_create_new_versions_rejects_duplicate_new_id(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(3, 10), (7, 10)], "old_id int, new_id int"
+    )
+    with pytest.raises(ValueError, match="duplicate new_id"):
+        create_new_versions(_isolates(spark), pairs, "2026-08-14")
