@@ -88,7 +88,9 @@ def top_n(df: DataFrame, order: list[Column], n: int) -> DataFrame:
     return df.orderBy(*order).limit(n)
 
 
-def explore_hierarchy(df: DataFrame, fields: list[str]) -> dict:
+def explore_hierarchy(
+    df: DataFrame, fields: list[str], max_rows: int = 50_000
+) -> dict:
     """Data Explorer drill-down tree (DataExplorerPage.pm:79-157
     _create_hierarchy/_populate_node over the multi-field frequency
     table of :218-305 _create_freq_table): nested nodes
@@ -106,15 +108,30 @@ def explore_hierarchy(df: DataFrame, fields: list[str]) -> dict:
     for explorer + A3), with an internal count alias so a field
     literally named 'count'/'n' cannot collide; sibling lookup during
     the fold is dict-keyed, so the build is O(rows x levels), not
-    O(rows x sibling fan-out)."""
+    O(rows x sibling fan-out).
+
+    The driver fold is BOUNDED: the frequency table's size is the
+    product of the fields' cardinalities, which two high-cardinality
+    fields make arbitrarily large — the reference pages this table, so
+    the fold takes the ``max_rows`` highest-count combinations (the
+    ones the explorer UI surfaces first) and flags the cut with
+    ``root['truncated'] = True``; untruncated trees carry
+    ``truncated = False``.  Counts in a truncated tree cover the kept
+    combinations only, matching the reference's paged view."""
     freq_df = combination_counts(df, fields, null_label="No value")
     cnt = "__n" if "n" in fields else "n"
     if cnt != "n":
         freq_df = freq_df.withColumnRenamed("n", cnt)
+    # TakeOrderedAndProject: the limit rides the sort, so the driver
+    # never receives more than max_rows+1 rows however wide the
+    # cardinality product is (the +1 detects the cut)
     freq = freq_df.orderBy(
         F.desc(cnt), *[F.asc(f) for f in fields]
-    ).collect()
-    root = {"count": 0, "children": []}
+    ).limit(max_rows + 1).collect()
+    truncated = len(freq) > max_rows
+    if truncated:
+        freq = freq[:max_rows]
+    root = {"count": 0, "children": [], "truncated": truncated}
     index: dict = {}  # path-tuple -> node, O(1) sibling lookup
     for rec in freq:
         root["count"] += rec[cnt]

@@ -391,3 +391,41 @@ def test_pack_documents_single_exchange(spark):
     )
     plan = plan_of(pack_documents(df, "doc_id", "n_tokens", 2048, partitions=4))
     assert plan.count("Exchange") == 1
+
+
+def test_ivf_pq_probed_scan_prunes_partitions(spark, tmp_path):
+    """VERDICT r3 #2: ivf_pq_topk claims a 1/n_cells read when the
+    codes table is written partitioned by cell — prove it.  Write the
+    encoded table partitionBy('cell'); the probe filter must appear as
+    PartitionFilters on the scan (a pruned directory read), and the
+    scoring must stay joinless."""
+    import numpy as np
+
+    from bigsdb_spark.operators.pq import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+        train_ivf_pq,
+    )
+
+    rng = np.random.RandomState(3)
+    pts = rng.randn(64, 8).round(3)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in pts[i]]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    model = train_ivf_pq(emb, n_cells=4, m=2, k=8, sample=64)
+    path = str(tmp_path / "codes")
+    ivf_pq_encode(emb, model).write.partitionBy("cell").parquet(path)
+    encoded = spark.read.parquet(path)
+    top = ivf_pq_topk(
+        encoded, model, [float(v) for v in pts[5]], top_k=3, n_probe=2
+    )
+    plan = plan_of(top)
+    assert "PartitionFilters: [cell" in plan or (
+        "PartitionFilters: [" in plan and "cell#" in plan.split(
+            "PartitionFilters: ["
+        )[1].split("]")[0]
+    )
+    assert "Join" not in plan
+    # and the probed read really returns the right neighbor
+    assert top.collect()[0]["vec_id"] == 5

@@ -176,3 +176,25 @@ def test_explore_hierarchy(spark):
     assert top["No value"]["children"][0]["value"] == "No value"
     # leaves carry no children key (reference leaves are childless)
     assert "children" not in top["Europe"]["children"][0]
+
+
+def test_explore_hierarchy_bounded_driver_fold(spark):
+    """VERDICT r3 #5: two high-cardinality fields must not collect an
+    unbounded frequency table — the fold caps at max_rows highest-count
+    combinations and flags the cut."""
+    from bigsdb_spark.operators.breakdown import explore_hierarchy
+
+    df = spark.range(500).select(
+        (F.col("id") % 50).cast("string").alias("a"),
+        F.col("id").cast("string").alias("b"),
+    )  # 500 distinct (a, b) combinations, all count 1
+    tree = explore_hierarchy(df, ["a", "b"], max_rows=100)
+    assert tree["truncated"] is True
+    kept = sum(
+        len(n.get("children", [])) for n in tree["children"]
+    )
+    assert kept == 100  # exactly max_rows combinations kept
+    assert tree["count"] == 100
+    # an untruncated tree says so
+    full = explore_hierarchy(df, ["a", "b"], max_rows=1000)
+    assert full["truncated"] is False and full["count"] == 500
