@@ -191,6 +191,67 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_salted(
+    signatures: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """``lsh_candidate_pairs`` with HOT-BUCKET salting — the explicit
+    skew fix for a band bucket holding a pathological share of the
+    corpus (boilerplate docs all hashing to one bucket put that whole
+    bucket's quadratic expansion in ONE task; AQE's skew split helps
+    for shuffle sizes but cannot split a single join key).
+
+    Self-join salting: side A gets ``salt = hash(doc) % R``; side B
+    replicates each row R times with ``rep = 0..R-1``; the join adds
+    ``a.salt == b.rep`` to the bucket equality, so every (d1, d2) pair
+    still matches EXACTLY once (d2's replicas meet d1 only at
+    rep == salt(d1)) while a hot bucket's expansion spreads over R
+    tasks.  Cost: R× replication of the banded rows — use for corpora
+    where profiling shows hot buckets; the unsalted form is cheaper
+    when buckets are uniform.  Same (doc1, doc2) contract as
+    ``lsh_candidate_pairs`` (equality pinned in tests)."""
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = (
+        signatures.select(F.col("doc"), F.explode(bands).alias("bb"))
+        .select(
+            "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        .localCheckpoint()
+    )
+    a = banded.withColumn(
+        "salt", F.pmod(F.xxhash64("doc"), F.lit(salt_buckets)).cast("int")
+    ).alias("a")
+    b = banded.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.salt") == F.col("b.rep"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .distinct()
+    )
+
+
 def ngram_jaccard(
     shingles: DataFrame, pairs: DataFrame | None = None
 ) -> DataFrame:

@@ -220,5 +220,15 @@ def _register_builtins() -> None:
         requires=("seqbin_id", "sequence"),
     )
 
+    from bigsdb_spark.operators.flavotyper import run_flavotyper
+
+    DEFAULT_REGISTRY.register_plugin(
+        "FlavoTyper", "analysis",
+        lambda df, **kw: run_flavotyper(df, **kw),
+        description="in-silico serotyping wrapper: per-genome external "
+        "tool fan-out + analysis_results upsert (FlavoTyper.pm)",
+        requires=("isolate_id", "sequence"),
+    )
+
 
 _register_builtins()

@@ -192,3 +192,76 @@ def test_parser_invariants_on_randomized_records(spark):
     assert part.filter(
         "gap_adjusted AND predicted_end - predicted_start + 1 != alignment"
     ).count() == 0
+
+
+FIXTURE_STRAND = str(
+    pathlib.Path(__file__).parent / "fixtures" / "blast_outfmt6_strand_gap.tsv"
+)
+
+
+@pytest.fixture(scope="module")
+def parsed_strand(spark):
+    lines = spark.read.text(FIXTURE_STRAND).withColumnRenamed("value", "line")
+    return parse_blast_tabular(lines).cache()
+
+
+def test_subject_reversed_partial_prediction(parsed_strand):
+    """VERDICT r3 #6: subject-reversed fragment (sstart > send, query
+    forward) — reverse per Blast.pm:671-677 (directions disagree), and
+    the reverse-arm prediction of :646-650: pstart = start - length +
+    max(sstart, send)."""
+    got = {
+        (r.locus, r.gap_adjusted): r
+        for r in blast_partial_matches(parsed_strand).collect()
+    }
+    m = got[("fumC", False)]
+    assert m.reverse is True
+    assert (m.start, m.end) == (1001, 1050)
+    assert (m.predicted_start, m.predicted_end) == (971, 1090)
+
+
+def test_both_reversed_is_forward(parsed_strand):
+    """Subject AND query reversed: directions AGREE -> not reverse;
+    the forward prediction arm applies with min(sstart, send)."""
+    got = {
+        (r.locus, r.gap_adjusted): r
+        for r in blast_partial_matches(parsed_strand).collect()
+    }
+    m = got[("gdh", False)]
+    assert m.reverse is False
+    assert (m.start, m.end) == (2001, 2040)
+    assert (m.predicted_start, m.predicted_end) == (1981, 2060)
+
+
+def test_gapped_reverse_overlength_split(parsed_strand):
+    """Gapped over-length alignment on the REVERSE strand: full subject
+    span but mismatches > 0 so never exact; both prediction records
+    emitted, the gap-aware one sized by alignment not allele length."""
+    exact_loci = {
+        r.locus for r in blast_exact_matches(parsed_strand).collect()
+    }
+    assert "pdhC" not in exact_loci  # mismatches=5 blocks the exact tier
+    got = {
+        (r.locus, r.gap_adjusted): r
+        for r in blast_partial_matches(parsed_strand).collect()
+    }
+    plain, gap = got[("pdhC", False)], got[("pdhC", True)]
+    assert plain.reverse and gap.reverse
+    assert (plain.predicted_start, plain.predicted_end) == (3001, 3095)
+    assert (gap.predicted_start, gap.predicted_end) == (3001, 3100)
+    assert gap.gaps == 3 and gap.alignment == 100
+
+
+def test_reverse_exact_double_separator_era(parsed_strand):
+    """Reverse-strand exact match through the '||' header era: full
+    allele span (sstart == length, send == 1), zero mismatches."""
+    got = {
+        (r.locus, r.allele): r
+        for r in blast_exact_matches(parsed_strand).collect()
+    }
+    m = got[("nadA", "6")]
+    assert m.reverse is True and m.length == 70
+    assert (m.start, m.end) == (5001, 5070)
+    # an exactly matched locus drops from the partial tier
+    rest = blast_partial_matches(parsed_strand, exact=blast_exact_matches(parsed_strand))
+    assert rest.filter("locus = 'nadA'").count() == 0

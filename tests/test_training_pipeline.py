@@ -152,3 +152,58 @@ def test_pack_documents_property(spark, sizes, max_len):
         per_ex[r["example_id"]] = per_ex.get(r["example_id"], 0) + r["n_tokens"]
     assert per_doc == {i: s for i, s in enumerate(sizes)}
     assert all(total <= max_len for total in per_ex.values())
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    sizes=st.lists(
+        st.one_of(
+            st.sampled_from([0, 511, 512, 513, 1024, 1025]),  # boundaries
+            st.integers(min_value=0, max_value=3000),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+)
+def test_pack_documents_adversarial_lengths(spark, sizes):
+    """VERDICT r3 #9: adversarial packing — zero-token docs, docs
+    exactly at/over max_len, and pathological mixes.  Invariants:
+    exact token coverage; every doc represented (zero-token docs yield
+    ONE empty chunk, never a phantom part); no example overflow; and
+    chunk offsets exactly TILE each example (offset_{i+1} =
+    offset_i + n_tokens_i from 0)."""
+    max_len = 512
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "doc_id long, n_tokens long"
+    )
+    from bigsdb_spark.operators.training import pack_documents
+
+    rows = pack_documents(df, "doc_id", "n_tokens", max_len, partitions=4).collect()
+    assert sum(r["n_tokens"] for r in rows) == sum(sizes)
+    per_doc = {}
+    per_ex = {}
+    for r in rows:
+        assert 0 <= r["n_tokens"] <= max_len
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_tokens"]
+        per_ex.setdefault(r["example_id"], []).append(
+            (r["offset"], r["n_tokens"])
+        )
+    # every doc appears, including zero-token ones (exactly one chunk)
+    assert set(per_doc) == set(range(len(sizes)))
+    assert per_doc == {i: s for i, s in enumerate(sizes)}
+    zero_docs = {i for i, s in enumerate(sizes) if s == 0}
+    zero_chunks = [r for r in rows if r["doc_id"] in zero_docs]
+    assert len(zero_chunks) == len(zero_docs)
+    # offsets tile each example and sums never overflow
+    for chunks in per_ex.values():
+        chunks.sort()
+        expect = 0
+        for off, n in chunks:
+            assert off == expect
+            expect += n
+        assert expect <= max_len
+    # a doc exactly max_len long is exactly one full chunk
+    for i, s in enumerate(sizes):
+        if s == max_len:
+            parts = [r for r in rows if r["doc_id"] == i]
+            assert len(parts) == 1 and parts[0]["n_tokens"] == max_len
