@@ -67,11 +67,42 @@ def _corpus_assembly(spark, sf_dir):
     return shard_assignments(packed, "example_id", n_shards=64)
 
 
+_PQ_QUERY = [((h * 37 + 11) % 2001 - 1000) / 1000.0 for h in range(64)]
+
+
+def _sq_topk(spark, sf_dir):
+    # int8 scalar-quantized top-k: quantize + integer-dot + top-k as a
+    # single joinless codegen scan (operators/pq.py)
+    from bigsdb_spark.operators.pq import sq_encode, sq_topk
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return sq_topk(sq_encode(emb), _PQ_QUERY, top_k=10)
+
+
+def _ivf_pq(spark, sf_dir):
+    # train + encode + multi-probe ADC top-k — the full IVF-PQ serving
+    # path; at sf0.1 this is plan-floor-bound, the data term is benched
+    # at 1e6-1.6e7 rows by tools/scale_bench.py (BASELINE.md)
+    from bigsdb_spark.operators.pq import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+        train_ivf_pq,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    model = train_ivf_pq(emb, n_cells=16, m=8, k=16, sample=2048)
+    return ivf_pq_topk(
+        ivf_pq_encode(emb, model), model, _PQ_QUERY, top_k=10, n_probe=4
+    )
+
+
 EXTRA = {
     "sim_brute_topk_np": _sim_topk_np,
     "sim_ivf_kmeans": _sim_ivf,
     "dedup_minhash_lsh": _dedup_minhash,
     "corpus_assembly": _corpus_assembly,
+    "sq_topk": _sq_topk,
+    "sim_ivf_pq_topk": _ivf_pq,
 }
 
 HEADLINE = [
@@ -94,6 +125,8 @@ HEADLINE = [
     "sim_brute_topk",
     "sim_brute_topk_np",
     "sim_bucketed_ann",
+    "sq_topk",
+    "sim_ivf_pq_topk",
     "t_text_suite",
     "t_policy_suite",
     "corpus_assembly",

@@ -1,0 +1,290 @@
+"""Data-dominated-regime scale bench (VERDICT r3 #3).
+
+The per-round bench at sf0.1 (5k docs / 2k vectors) sits on Spark's
+fixed task/codegen floor — flat across 100x data growth, which proves
+plan shape but not the data term.  This tool synthesizes corpora of
+1e6-1.6e7 rows (pure column expressions, written to parquet once per
+tier) and times the SERVING-PATH operator family reading them back,
+so the measured regime is the one that extrapolates to a cluster:
+wall-clock dominated by data volume, not scheduling.
+
+Synthesis (all deterministic, order-independent):
+- documents: 48 hash-picked words from a 4096-word vocab per doc; 1%
+  planted exact duplicates (doc_id % 100 == 0 copies its predecessor's
+  seed) so the dedup paths have real work;
+- embeddings: 64-dim hash-uniform vectors in [-1, 1]^64 — distinct and
+  bucket-uniform (replicating identical sf0.1 vectors would pile
+  replicas into the same LSH/sign buckets and measure a synthetic
+  quadratic, not the serving path);
+- graph: 2 hash-random edges per node (giant component, ~log-n
+  diameter — the expensive shape for label propagation).
+
+Paths timed per tier:
+  dedup_exact       hash-groupBy duplicate groups + star pairs
+  minhash_lsh       shingle -> minhash -> banded candidate join
+  bucketed_ann      sign-bucket pair mining, bucket count scaled with
+                    n (occupancy held ~64) as a real deployment would
+  sq_topk           int8 scalar-quantized top-k (pure codegen scan)
+  ivf_pq_encode     Arrow encode pass (cell + PQ codes)
+  ivf_pq_topk       ADC top-k over the probed cells
+  single_linkage    connected components by label propagation
+
+Usage:
+  python tools/scale_bench.py [--doc-tiers 1000000,4000000]
+                              [--emb-tiers 1000000,4000000,16000000]
+                              [--graph-tiers 1000000,4000000]
+                              [--out /tmp/scale_bench]
+Prints one JSON line per (path, tier) and a final summary JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from bigsdb_spark.session import get_spark  # noqa: E402
+
+
+def _gen_documents(spark, n: int, path: str) -> None:
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    seed = F.when(
+        (F.col("id") % 100 == 0) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(48)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("_seed"), i), F.lit(4096)).cast("string"),
+        ),
+    )
+    (
+        spark.range(n, numPartitions=max(32, n // 500_000))
+        .withColumn("_seed", seed)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(words, " ").alias("text"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _gen_embeddings(spark, n: int, path: str) -> None:
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: (
+            (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)) - 1000) / 1000.0
+        ).cast("float"),
+    )
+    (
+        spark.range(n, numPartitions=max(32, n // 250_000))
+        .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _gen_edges(spark, n: int, path: str) -> None:
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    e1 = F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(n))
+    e2 = F.pmod(F.xxhash64(F.col("id"), F.lit(8)), F.lit(n))
+    base = spark.range(n, numPartitions=max(32, n // 500_000))
+    (
+        base.select(F.col("id").alias("id1"), e1.alias("id2"))
+        .unionAll(base.select(F.col("id").alias("id1"), e2.alias("id2")))
+        .filter(F.col("id1") != F.col("id2"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    result = fn()
+    return time.perf_counter() - t0, result
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--doc-tiers", default="1000000,4000000")
+    ap.add_argument("--emb-tiers", default="1000000,4000000,16000000")
+    ap.add_argument("--graph-tiers", default="1000000,4000000")
+    ap.add_argument("--out", default="/tmp/scale_bench")
+    ap.add_argument("--skip", default="", help="comma list of paths to skip")
+    args = ap.parse_args()
+    doc_tiers = [int(x) for x in args.doc_tiers.split(",") if x]
+    emb_tiers = [int(x) for x in args.emb_tiers.split(",") if x]
+    graph_tiers = [int(x) for x in args.graph_tiers.split(",") if x]
+    skip = set(args.skip.split(",")) if args.skip else set()
+
+    spark = get_spark("scale_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(args.out, exist_ok=True)
+    results: dict[str, dict[str, float]] = {}
+
+    # WARMUP: run every path family once on a small tier so the timed
+    # tiers measure the data term, not first-call JIT/codegen/Arrow
+    # initialization (a cold first path measured 10-50x its warm cost)
+    if "warmup" not in skip:
+        from bigsdb_spark.operators.clustering import single_linkage as _sl
+        from bigsdb_spark.operators.dedup import (
+            exact_duplicate_pairs as _edp,
+            lsh_candidate_pairs as _lcp,
+            minhash_signatures as _ms,
+            word_shingles as _ws,
+        )
+        from bigsdb_spark.operators.pq import (
+            ivf_pq_encode as _enc,
+            sq_encode as _sqe,
+            sq_topk as _sqt,
+            train_ivf_pq as _tr,
+        )
+        from bigsdb_spark.operators.similarity import (
+            bucketed_ann_pairs as _bap,
+        )
+
+        wn = 100_000
+        t0 = time.perf_counter()
+        _gen_documents(spark, wn, f"{args.out}/docs_w")
+        _gen_embeddings(spark, wn, f"{args.out}/emb_w")
+        _gen_edges(spark, wn, f"{args.out}/edges_w")
+        wd = spark.read.parquet(f"{args.out}/docs_w")
+        we = spark.read.parquet(f"{args.out}/emb_w")
+        _edp(wd, "doc_id", "text").count()
+        _lcp(_ms(_ws(wd, "doc_id", "text"), 8), 8).count()
+        _sqt(_sqe(we), [0.1] * 64, top_k=5).collect()
+        wm = _tr(we, n_cells=16, m=8, k=16, sample=1024)
+        _enc(we, wm).count()
+        _bap(we, "vec_id", "embedding", dims=8, min_cosine=0.5).count()
+        _sl(
+            spark.read.parquet(f"{args.out}/edges_w"),
+            spark.range(wn).select(F.col("id")),
+        ).count()
+        print(f"# warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    def record(path_name: str, n: int, secs: float, detail: str = "") -> None:
+        results.setdefault(path_name, {})[str(n)] = round(secs, 2)
+        print(
+            json.dumps(
+                {"path": path_name, "n": n, "sec": round(secs, 2), "detail": detail}
+            ),
+            flush=True,
+        )
+
+    # ---- document paths ----
+    from bigsdb_spark.operators.dedup import (
+        exact_duplicate_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    for n in doc_tiers:
+        p = f"{args.out}/docs_{n}"
+        t_gen, _ = _timed(lambda: _gen_documents(spark, n, p))
+        print(f"# docs_{n} generated in {t_gen:.1f}s", flush=True)
+        docs = spark.read.parquet(p)
+        if "dedup_exact" not in skip:
+            sec, cnt = _timed(
+                lambda: exact_duplicate_pairs(docs, "doc_id", "text").count()
+            )
+            record("dedup_exact", n, sec, f"{cnt} star pairs")
+        if "minhash_lsh" not in skip:
+            sec, cnt = _timed(
+                lambda: lsh_candidate_pairs(
+                    minhash_signatures(
+                        word_shingles(docs, "doc_id", "text"), 8
+                    ),
+                    8,
+                ).count()
+            )
+            record("minhash_lsh", n, sec, f"{cnt} candidate pairs")
+
+    # ---- embedding paths ----
+    from bigsdb_spark.operators.pq import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+        sq_encode,
+        sq_topk,
+        train_ivf_pq,
+    )
+    from bigsdb_spark.operators.similarity import bucketed_ann_pairs
+
+    model = None
+    query = [((h * 37 + 11) % 2001 - 1000) / 1000.0 for h in range(64)]
+    for n in emb_tiers:
+        p = f"{args.out}/emb_{n}"
+        t_gen, _ = _timed(lambda: _gen_embeddings(spark, n, p))
+        print(f"# emb_{n} generated in {t_gen:.1f}s", flush=True)
+        emb = spark.read.parquet(p)
+        if "sq_topk" not in skip:
+            enc = sq_encode(emb)
+            sec, rows = _timed(lambda: sq_topk(enc, query, top_k=10).collect())
+            record("sq_topk", n, sec, "quantize+scan+topk, joinless")
+        if "ivf_pq" not in skip:
+            if model is None:
+                t_train, model = _timed(
+                    lambda: train_ivf_pq(
+                        emb, n_cells=256, m=8, k=16, sample=4096
+                    )
+                )
+                print(f"# ivf_pq trained once in {t_train:.1f}s", flush=True)
+            codes_path = f"{args.out}/codes_{n}"
+            if not os.path.exists(os.path.join(codes_path, "_SUCCESS")):
+                sec, _ = _timed(
+                    lambda: ivf_pq_encode(emb, model)
+                    .write.mode("overwrite")
+                    .parquet(codes_path)
+                )
+                record("ivf_pq_encode", n, sec, "Arrow cell+code pass")
+            codes = spark.read.parquet(codes_path)
+            sec, rows = _timed(
+                lambda: ivf_pq_topk(
+                    codes, model, query, top_k=10, n_probe=8
+                ).collect()
+            )
+            record("ivf_pq_topk", n, sec, "8/256 cells probed")
+        if "bucketed_ann" not in skip:
+            dims = max(3, int(math.log2(max(n, 64) / 64)))
+            sec, cnt = _timed(
+                lambda: bucketed_ann_pairs(
+                    emb, "vec_id", "embedding", dims=dims, min_cosine=0.5
+                ).count()
+            )
+            record("bucketed_ann", n, sec, f"dims={dims}, {cnt} pairs")
+
+    # ---- graph path ----
+    from bigsdb_spark.operators.clustering import single_linkage
+
+    for n in graph_tiers:
+        if "single_linkage" in skip:
+            break
+        p = f"{args.out}/edges_{n}"
+        t_gen, _ = _timed(lambda: _gen_edges(spark, n, p))
+        print(f"# edges_{n} generated in {t_gen:.1f}s", flush=True)
+        edges = spark.read.parquet(p)
+        nodes = spark.range(n).select(F.col("id"))
+        sec, cnt = _timed(
+            lambda: single_linkage(edges, nodes)
+            .select(F.countDistinct("group_id"))
+            .collect()[0][0]
+        )
+        record("single_linkage", n, sec, f"{cnt} components")
+
+    print(json.dumps({"scale_bench": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
