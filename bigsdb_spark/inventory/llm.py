@@ -264,7 +264,10 @@ def dedup_minhash(spark, sf_dir):
     set of dedup_ngram_jaccard, whose oracle recomputes the SAME
     candidate CTE — the value check is subsumed row-for-row, and the
     freed slot funds t_policy_suite."""
-    sh = word_shingles(tbl(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+    sh = word_shingles(
+        tbl(spark, sf_dir, "documents"), "doc_id", "text", k=3, distinct=False
+    )  # minhash-only: min over a multiset == min over its set, and
+    # skipping the distinct removes the full-shingle shuffle
     sig = minhash_signatures(sh, n_hashes=8)
     return lsh_candidate_pairs(sig, n_hashes=8, band_size=2)
 

@@ -99,9 +99,11 @@ def embedding_near_duplicates(
     ).select("id1", "id2", "cosine")
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document (UDTF-shaped: one doc ->
-    many rows).
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """k-word shingles per document (UDTF-shaped: one doc -> many
+    rows), DISTINCT per (doc, shingle) by default.
 
     The token array is bound to a lambda VARIABLE via a one-element
     wrapper transform: a lambda closing over the raw split+regex
@@ -112,6 +114,19 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     materialization job, no storage, and no lineage break (measured
     identical warm cost and ~4x cheaper cold at sf0.1).
     The sequence is guarded: F.sequence(1, 0) would DESCEND to [1, 0].
+
+    ``distinct=False`` removes the dedup SHUFFLE of every shingle row
+    — the only full-data exchange of the LSH pipeline.  Use it for
+    MINHASH-ONLY consumers: a min over a multiset equals the min over
+    its set, so signatures (and therefore bands, buckets, and
+    candidate pairs) are bit-identical, and the min aggregation's
+    map-side partial combine shuffles ~n_docs x n_hashes rows instead
+    of every shingle occurrence.  Locally the win is modest (118 ->
+    109 s at 4e6 docs, tools/scale_bench.py — the path is md5-CPU-
+    bound and local shuffle is memory-speed); on a cluster the
+    eliminated exchange is the NETWORK term, which is the point.
+    Jaccard counting (``ngram_jaccard``) and band-bucket indexes that
+    JOIN on shingle rows still need the distinct form.
     """
     per_doc = F.transform(
         F.array(F.split(normalized_text(F.col(text_col)), " ")),
@@ -123,10 +138,11 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
             ),
         ).otherwise(F.array().cast("array<string>")),
     )
-    return df.select(
+    out = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.element_at(per_doc, 1)).alias("shingle"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(

@@ -185,7 +185,12 @@ def build_corpus_index(
     md5s = df.select(
         F.md5(normalized_text(F.col(text_col))).alias("content_md5")
     ).distinct()
-    sigs = minhash_signatures(word_shingles(df, id_col, text_col, k), n_hashes)
+    sigs = minhash_signatures(
+        # minhash-only consumer: multiset shingles give identical
+        # signatures without the distinct shuffle (dedup.word_shingles)
+        word_shingles(df, id_col, text_col, k, distinct=False),
+        n_hashes,
+    )
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -247,7 +252,8 @@ def dedup_against_index(
         .join(index["md5"], F.col("_md5") == F.col("content_md5"), "left_anti")
     )
     sigs = minhash_signatures(
-        word_shingles(exact_kept, id_col, text_col, k), n_hashes
+        word_shingles(exact_kept, id_col, text_col, k, distinct=False),
+        n_hashes,
     )
     n_bands = n_hashes // band_size
     bands = F.array(

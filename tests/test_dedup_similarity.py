@@ -231,3 +231,50 @@ def test_np_topk_zero_norm_vectors_do_not_drop_pairs(spark):
     assert all(r.cosine == r.cosine for r in got)  # no NaN emitted
     # the duplicate-direction pairs (i, i+4, i+8 share a vector) top out
     assert got[0].cosine == 1.0
+
+
+def test_minhash_multiset_shingles_identical_signatures(spark):
+    """distinct=False shingles (no dedup shuffle) must give BIT-identical
+    minhash signatures and candidate pairs: min over a multiset equals
+    min over its set.  This is the scale path for minhash-only
+    pipelines (the distinct shuffle of every shingle occurrence was the
+    dominant exchange at 1e6+ docs)."""
+    from bigsdb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat sat on the mat"),  # repeats
+            (2, "the cat sat on the mat again and again and again"),
+            (3, "completely different words about spark parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    sig_set = {
+        tuple(r) for r in minhash_signatures(
+            word_shingles(docs, "doc_id", "text"), 8
+        ).collect()
+    }
+    sig_multi = {
+        tuple(r) for r in minhash_signatures(
+            word_shingles(docs, "doc_id", "text", distinct=False), 8
+        ).collect()
+    }
+    assert sig_set == sig_multi
+    pairs_set = {
+        (r["doc1"], r["doc2"]) for r in lsh_candidate_pairs(
+            minhash_signatures(word_shingles(docs, "doc_id", "text"), 8), 8
+        ).collect()
+    }
+    pairs_multi = {
+        (r["doc1"], r["doc2"]) for r in lsh_candidate_pairs(
+            minhash_signatures(
+                word_shingles(docs, "doc_id", "text", distinct=False), 8
+            ),
+            8,
+        ).collect()
+    }
+    assert pairs_set == pairs_multi

@@ -205,7 +205,10 @@ def main() -> None:
             sec, cnt = _timed(
                 lambda: lsh_candidate_pairs(
                     minhash_signatures(
-                        word_shingles(docs, "doc_id", "text"), 8
+                        word_shingles(
+                            docs, "doc_id", "text", distinct=False
+                        ),
+                        8,
                     ),
                     8,
                 ).count()
