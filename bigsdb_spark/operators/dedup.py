@@ -146,19 +146,105 @@ def word_shingles(
 
 
 def minhash_signatures(
-    shingles: DataFrame, n_hashes: int = 8
+    shingles: DataFrame, n_hashes: int = 8, hash_family: str = "md5"
 ) -> DataFrame:
-    """MinHash signature per doc: component s = min(md5(s || ':' || shingle)).
+    """MinHash signature per doc: component s = min(hash_s(shingle)).
 
-    md5-as-hash-family keeps the signature reproducible in any engine;
-    lexicographic min over hex digests is a valid uniform minhash.
-    Single groupBy with map-side partial min aggregation.
+    Two hash families, identical semantics (the signature feeds
+    banding/bucketing downstream regardless of value type):
+
+    - ``md5`` (default): component s = min(md5(s || ':' || shingle)) —
+      reproducible in ANY engine (the DuckDB oracle recomputes it in
+      SQL), lexicographic min over hex digests is a valid uniform
+      minhash.  Cost: one md5 per (shingle, component).
+    - ``xxhash64``: component s = min(xxhash64(s, shingle)) —
+      JVM-native seeded hashing (measured ~109 -> 64 s at 4e6 docs,
+      tools/scale_bench.py); same collision behavior (uniform
+      family), but values are engine-specific longs, so use it for
+      serving paths that don't need a SQL oracle to replay the
+      signature (the gate queries keep md5).  For the full scale
+      path see ``minhash_signatures_fused`` — no explode at all.
+
+    Single groupBy with map-side partial min aggregation either way.
     """
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
-        for s in range(n_hashes)
-    ]
+    if hash_family == "md5":
+        aggs = [
+            F.min(
+                F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
+            ).alias(f"h{s}")
+            for s in range(n_hashes)
+        ]
+    elif hash_family == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"h{s}")
+            for s in range(n_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     return shingles.groupBy("doc").agg(*aggs)
+
+
+def minhash_signatures_fused(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 8,
+) -> DataFrame:
+    """ZERO-SHUFFLE minhash: the whole signature computed inside one
+    projection — per component s, ``array_min`` over a transform that
+    hashes each k-word window's words DIRECTLY (``xxhash64(s, w_i,
+    ..., w_{i+k-1})``), so there is no shingle explode, no shingle
+    string construction, and no aggregation exchange at all; the plan
+    is a pure whole-stage-codegen scan emitting (doc, h0..h{n-1}).
+
+    This is the 100 TB shape for signature generation: the exploded
+    pipeline (``word_shingles`` -> ``minhash_signatures``) materializes
+    ~words-per-doc rows per document and pays string allocation per
+    shingle, which dominates past ~1e6 docs (measured: candidate
+    generation 109-135 s exploded-md5, 64 s exploded-xxhash, 37 s
+    fused at 4e6 docs — tools/scale_bench.py; the residual 37 s is
+    the band self-join, not the signatures).  Keep the exploded md5
+    pipeline where a SQL oracle must replay signatures, and
+    ``word_shingles`` where shingle ROWS are genuinely needed
+    (Jaccard intersection, band-bucket indexes keyed by shingle).
+
+    Docs with fewer than k words are DROPPED, matching the exploded
+    pipeline (no shingles -> no signature row).  Keeping them as NULL
+    signatures would be a footgun: concat_ws-based banding skips
+    nulls, so every short doc would share one empty-string bucket and
+    pair with every other short doc.
+
+    The token array is bound to a lambda VARIABLE (wrapper-transform
+    idiom) so the split runs once per row, not once per window."""
+    sig_struct = F.element_at(
+        F.transform(
+            F.array(F.split(normalized_text(F.col(text_col)), " ")),
+            lambda t: F.struct(
+                *[
+                    F.when(
+                        F.size(t) >= k,
+                        F.array_min(
+                            F.transform(
+                                F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                                lambda i: F.xxhash64(
+                                    F.lit(s),
+                                    *[F.element_at(t, i + j) for j in range(k)],
+                                ),
+                            )
+                        ),
+                    ).alias(f"h{s}")
+                    for s in range(n_hashes)
+                ]
+            ),
+        ),
+        1,
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), sig_struct.alias("_sig"))
+        .select("doc", "_sig.*")
+        .filter(F.col("h0").isNotNull())
+    )
 
 
 def lsh_candidate_pairs(

@@ -278,3 +278,79 @@ def test_minhash_multiset_shingles_identical_signatures(spark):
         ).collect()
     }
     assert pairs_set == pairs_multi
+
+
+def test_minhash_xxhash_family_finds_planted_dups(spark):
+    """The xxhash64 hash family (the no-SQL-oracle serving variant) is
+    a uniform minhash family like md5: exact dups always collide on
+    every band; near-dups surface as candidates; distinct docs don't."""
+    import pytest
+
+    from bigsdb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, t),
+            (2, t),                              # exact dup
+            (3, t + " with a small tail"),       # near dup
+            (4, "sphinx of black quartz judge my vow tonight quietly now"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(
+        word_shingles(docs, "doc_id", "text", distinct=False),
+        8,
+        hash_family="xxhash64",
+    )
+    assert dict(sigs.dtypes)["h0"] == "bigint"  # longs, not hex strings
+    pairs = {
+        (r["doc1"], r["doc2"])
+        for r in lsh_candidate_pairs(sigs, 8).collect()
+    }
+    assert (1, 2) in pairs          # exact dup: all bands collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup surfaces
+    assert not any(4 in p for p in pairs)      # distinct doc stays out
+    with pytest.raises(ValueError, match="unknown hash_family"):
+        minhash_signatures(sigs, 8, hash_family="sha1")
+
+
+def test_fused_minhash_zero_shuffle_and_recall(spark):
+    """The fused signature (one projection, no explode/shuffle) is a
+    valid minhash family: exact dups collide on every band, near-dups
+    surface, distinct docs don't; short docs yield NULL components and
+    never produce pairs.  The plan is pinned shuffle-free."""
+    from bigsdb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_fused,
+    )
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, t),
+            (2, t),                        # exact dup
+            (3, t + " with a small tail"),  # near dup
+            (4, "sphinx of black quartz judge my vow tonight quietly now"),
+            (5, "too short"),               # < k words: dropped
+            (6, "also short"),              # 5+6 must NOT pair
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures_fused(docs, "doc_id", "text")
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero-shuffle signature generation
+    rows = {r["doc"]: r for r in sigs.collect()}
+    assert rows[1]["h0"] == rows[2]["h0"] and rows[1]["h7"] == rows[2]["h7"]
+    assert 5 not in rows  # < k words: dropped like the exploded pipeline
+    pairs = {
+        (r["doc1"], r["doc2"])
+        for r in lsh_candidate_pairs(sigs, 8).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs
+    assert not any(4 in p or 5 in p or 6 in p for p in pairs)

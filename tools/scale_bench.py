@@ -214,6 +214,31 @@ def main() -> None:
                 ).count()
             )
             record("minhash_lsh", n, sec, f"{cnt} candidate pairs")
+        if "minhash_lsh_xx" not in skip:
+            sec, cnt = _timed(
+                lambda: lsh_candidate_pairs(
+                    minhash_signatures(
+                        word_shingles(
+                            docs, "doc_id", "text", distinct=False
+                        ),
+                        8,
+                        hash_family="xxhash64",
+                    ),
+                    8,
+                ).count()
+            )
+            record("minhash_lsh_xx", n, sec, f"{cnt} candidate pairs")
+        if "minhash_lsh_fused" not in skip:
+            from bigsdb_spark.operators.dedup import (
+                minhash_signatures_fused,
+            )
+
+            sec, cnt = _timed(
+                lambda: lsh_candidate_pairs(
+                    minhash_signatures_fused(docs, "doc_id", "text"), 8
+                ).count()
+            )
+            record("minhash_lsh_fused", n, sec, f"{cnt} candidate pairs")
 
     # ---- embedding paths ----
     from bigsdb_spark.operators.pq import (
