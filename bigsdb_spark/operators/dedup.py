@@ -293,6 +293,79 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_grouped(
+    signatures: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """``lsh_candidate_pairs`` as ONE exchange instead of a self-join:
+    group the banded rows by (band, bucket), collect each bucket's doc
+    list, and explode the within-bucket pairs — the banded frame is
+    shuffled once (groupBy) instead of twice (both self-join sides)
+    with no checkpoint materialization (measured 43 -> 36 s at 4e6
+    docs).  Identical pair set to the self-join form (pinned by test).
+
+    ``max_bucket`` adds the standard production guard for web-corpus
+    boilerplate: buckets holding more than ``max_bucket`` docs are
+    SKIPPED entirely (their within-bucket expansion is quadratic and
+    their members are near-certainly templated text, not near-dups
+    worth pairing — the same policy Spark MLlib's LSH and the dedup
+    literature apply).  Sizes are counted BEFORE collect_list, so a
+    pathological bucket never materializes as a task-local array.
+    Skipping trades recall on templated clusters for a hard
+    ``max_bucket**2`` bound per bucket; the salted variant
+    (``lsh_candidate_pairs_salted``) keeps full recall instead by
+    spreading the expansion."""
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col("doc"), F.explode(bands).alias("bb")
+    ).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "bucket")
+            .count()
+            .filter((F.col("count") >= 2) & (F.col("count") <= max_bucket))
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, ["band", "bucket"], "left_semi")
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "ds",
+                lambda a: F.transform(
+                    "ds",
+                    lambda b: F.struct(a.alias("doc1"), b.alias("doc2")),
+                ),
+            )
+        ),
+        lambda s: s["doc1"] < s["doc2"],
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc1", "p.doc2")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs_salted(
     signatures: DataFrame,
     n_hashes: int = 8,

@@ -354,3 +354,34 @@ def test_fused_minhash_zero_shuffle_and_recall(spark):
     assert (1, 2) in pairs
     assert (1, 3) in pairs or (2, 3) in pairs
     assert not any(4 in p or 5 in p or 6 in p for p in pairs)
+
+
+def test_grouped_lsh_pairs_equal_selfjoin_and_cap_skips_hot_bucket(spark):
+    """The one-exchange grouped band join returns the SAME pair set as
+    the self-join form; max_bucket skips an over-common bucket (the
+    boilerplate guard) while normal buckets keep their pairs."""
+    from bigsdb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_grouped,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    boiler = "this page is intentionally left blank for legal reasons ok"
+    rows = [(i, boiler) for i in range(20)]  # one hot bucket: 20 docs
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    rows += [(100, t), (101, t)]             # a normal duplicate pair
+    rows += [(200 + i, f"unique text number {i} about spark and arrow files")
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(word_shingles(docs, "doc_id", "text"), 8)
+    plain = {(r["doc1"], r["doc2"])
+             for r in lsh_candidate_pairs(sigs, 8).collect()}
+    grouped = {(r["doc1"], r["doc2"])
+               for r in lsh_candidate_pairs_grouped(sigs, 8).collect()}
+    assert grouped == plain and len(plain) >= 190  # 20*19/2 + 1
+    capped = {(r["doc1"], r["doc2"])
+              for r in lsh_candidate_pairs_grouped(
+                  sigs, 8, max_bucket=10).collect()}
+    assert (100, 101) in capped          # normal pair survives
+    assert not any(p[0] < 100 for p in capped)  # boilerplate cluster skipped
