@@ -293,6 +293,77 @@ def main() -> None:
             )
             record("bucketed_ann", n, sec, f"dims={dims}, {cnt} pairs")
 
+    # ---- incremental ingest: per-delta cost vs a growing index ----
+    # The claim under test: dedup_against_index scales with the DELTA,
+    # not the corpus — four successive 250k-doc batches against an
+    # index that grows 0 -> 750k docs must cost ~the same per batch.
+    # Index snapshots are persisted to parquet between rounds exactly
+    # as run_corpus_ingest_stream persists them.
+    if "incremental_ingest" not in skip and doc_tiers:
+        from bigsdb_spark.operators.training import (
+            build_corpus_index,
+            dedup_against_index,
+        )
+
+        n = doc_tiers[0]
+        delta = n // 4
+        docs = spark.read.parquet(f"{args.out}/docs_{n}")
+        index = build_corpus_index(docs.limit(0), "doc_id", "text")
+        for r in range(4):
+            batch = docs.filter(
+                (F.col("doc_id") >= r * delta)
+                & (F.col("doc_id") < (r + 1) * delta)
+            )
+            sec, out = _timed(
+                lambda: (lambda o: (
+                    o["kept"].count(),
+                    o["md5"].write.mode("overwrite").parquet(
+                        f"{args.out}/ing_idx/v{r}/md5"
+                    ),
+                    o["bands"].write.mode("overwrite").parquet(
+                        f"{args.out}/ing_idx/v{r}/bands"
+                    ),
+                    o,
+                ))(dedup_against_index(batch, index, "doc_id", "text"))
+            )
+            kept = out[0]
+            index = {
+                "md5": spark.read.parquet(f"{args.out}/ing_idx/v{r}/md5"),
+                "bands": spark.read.parquet(f"{args.out}/ing_idx/v{r}/bands"),
+            }
+            record(
+                "incremental_ingest",
+                (r + 1) * delta,
+                sec,
+                f"round {r + 1}: {kept} kept, index now {(r + 1) * delta}",
+            )
+
+    # ---- corpus assembly at scale ----
+    if "corpus_assembly" not in skip and doc_tiers:
+        from bigsdb_spark.operators.textstats import token_stats
+        from bigsdb_spark.operators.training import (
+            pack_documents,
+            shard_assignments,
+        )
+
+        for n in doc_tiers:
+            docs = spark.read.parquet(f"{args.out}/docs_{n}")
+            sec, cnt = _timed(
+                lambda: shard_assignments(
+                    pack_documents(
+                        token_stats(docs, "doc_id", "text").select(
+                            "doc_id", "n_tokens"
+                        ),
+                        "doc_id",
+                        "n_tokens",
+                        max_len=2048,
+                    ),
+                    "example_id",
+                    n_shards=256,
+                ).count()
+            )
+            record("corpus_assembly", n, sec, f"{cnt} packed chunks")
+
     # ---- graph path ----
     from bigsdb_spark.operators.clustering import single_linkage
 
