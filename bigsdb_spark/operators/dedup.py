@@ -532,3 +532,109 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
         sim = bit if sim is None else (sim + bit)
     return agg.select("doc", sim.cast("long").alias("simhash"))
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 64,
+    min_cosine: float = 0.95,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    centroids: list | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public design: Abbas et
+    al., "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", arXiv:2303.09540): k-means-cluster the
+    embeddings, mark within-cluster pairs above a cosine threshold as
+    semantic duplicates, and keep ONE representative per connected
+    duplicate group.
+
+    Returns (id, group_id, keep): ``group_id`` is the smallest member
+    id of the duplicate group (singletons are their own group),
+    ``keep`` marks the canonical survivor.  The paper keeps the member
+    farthest from the centroid; smallest-id is used here so the result
+    is a deterministic function of the input alone — re-rank within
+    ``group_id`` for any other survivor policy.
+
+    Scale shape: the coarse quantizer trains on an order-independent
+    hash-ranked sample (pq._sample_np); cell assignment is one Arrow
+    pass; candidate pairs are a self-equi-join ON THE CELL ID (hash
+    join, never O(n^2) — per-cell expansion is bounded by occupancy,
+    so scale ``n_cells`` with corpus size exactly as the IVF serving
+    paths do); grouping is the same log-round label propagation as
+    D4.  Within-cluster-only candidacy is the SemDeDup trade: a dup
+    pair split across cells is missed, which the paper accepts by
+    construction.
+
+    The numpy trainer caps at the sample size, so for corpus-scale
+    cell counts (occupancy-constant ``n_cells ~ n/64``) pass
+    ``centroids`` trained by MLlib k-means|| (the
+    ``similarity.ivf_kmeans_ann`` build path) — assignment and
+    everything downstream are identical.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from bigsdb_spark.operators.clustering import single_linkage
+    from bigsdb_spark.operators.pq import _kmeans_np, _sample_np
+    from bigsdb_spark.operators.similarity import _norm
+
+    if centroids is not None:
+        cells = np.array(centroids, dtype=np.float64)
+    else:
+        cells = _kmeans_np(
+            _sample_np(emb, vec_col, sample), n_cells, iters, seed
+        )
+    id_type = dict(emb.dtypes)[id_col]
+    vec_type = dict(emb.dtypes)[vec_col]
+    out_schema = f"{id_col} {id_type}, cell int, {vec_col} {vec_type}"
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            score = x @ cells.T - 0.5 * (cells**2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": score.argmax(axis=1).astype(np.int32),
+                    vec_col: pdf[vec_col],
+                }
+            )
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(
+        _assign, schema=out_schema
+    )
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    withn = assigned.select(
+        F.col(id_col).alias("id"),
+        "cell",
+        F.col(vec_col).alias("e"),
+        _norm(F.col(vec_col)).alias("n"),
+    )
+    a = withn.select(
+        F.col("id").alias("id1"), F.col("e").alias("e1"),
+        F.col("n").alias("n1"), "cell",
+    )
+    b = withn.select(
+        F.col("id").alias("id2"), F.col("e").alias("e2"),
+        F.col("n").alias("n2"), "cell",
+    ).repartition(par, "cell")
+    from bigsdb_spark.operators.similarity import with_cosine
+
+    pairs = with_cosine(
+        a.join(b, "cell").filter(F.col("id1") < F.col("id2"))
+    ).filter(F.col("cosine") >= min_cosine).select("id1", "id2")
+    nodes = emb.select(F.col(id_col).alias("id"))
+    groups = single_linkage(pairs, nodes)
+    return groups.select(
+        F.col("id").alias(id_col),
+        "group_id",
+        (F.col("id") == F.col("group_id")).alias("keep"),
+    )

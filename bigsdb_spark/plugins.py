@@ -220,6 +220,15 @@ def _register_builtins() -> None:
         requires=("seqbin_id", "sequence"),
     )
 
+    from bigsdb_spark.operators.dedup import semantic_dedup
+
+    DEFAULT_REGISTRY.register_plugin(
+        "SemanticDedup", "analysis",
+        lambda df, id_col, vec_col, **kw: semantic_dedup(df, id_col, vec_col, **kw),
+        description="SemDeDup-style embedding dedup: k-means cells + "
+        "within-cell cosine pairs + keep-one-per-group",
+    )
+
     from bigsdb_spark.operators.flavotyper import run_flavotyper
 
     DEFAULT_REGISTRY.register_plugin(

@@ -385,3 +385,41 @@ def test_grouped_lsh_pairs_equal_selfjoin_and_cap_skips_hot_bucket(spark):
                   sigs, 8, max_bucket=10).collect()}
     assert (100, 101) in capped          # normal pair survives
     assert not any(p[0] < 100 for p in capped)  # boilerplate cluster skipped
+
+
+def test_semantic_dedup_groups_and_survivors(spark):
+    """SemDeDup composition: planted near-identical embedding groups
+    collapse to one survivor each (min id), distinct vectors survive
+    as their own singletons."""
+    import numpy as np
+
+    from bigsdb_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(5)
+    base_a = rng.randn(16); base_b = rng.randn(16)
+    rows = []
+    for i, v in enumerate(
+        [base_a + rng.randn(16) * 0.01 for _ in range(3)]
+    ):
+        rows.append((10 + i, [float(x) for x in v]))      # group A: 10,11,12
+    for i, v in enumerate(
+        [base_b + rng.randn(16) * 0.01 for _ in range(2)]
+    ):
+        rows.append((20 + i, [float(x) for x in v]))      # group B: 20,21
+    for i in range(4):                                     # distinct
+        rows.append((30 + i, [float(x) for x in rng.randn(16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", n_cells=4, min_cosine=0.95,
+            sample=16,
+        ).collect()
+    }
+    assert [out[i]["group_id"] for i in (10, 11, 12)] == [10, 10, 10]
+    assert [out[i]["keep"] for i in (10, 11, 12)] == [True, False, False]
+    assert [out[i]["group_id"] for i in (20, 21)] == [20, 20]
+    for i in range(30, 34):
+        assert out[i]["group_id"] == i and out[i]["keep"] is True
+    # exactly one survivor per group
+    assert sum(1 for r in out.values() if r["keep"]) == 2 + 4
