@@ -32,7 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from bigsdb_spark.operators.dedup import (
-    lsh_candidate_pairs,
+    lsh_candidate_pairs_grouped,
     minhash_signatures_fused,
     normalized_text,
 )
@@ -291,7 +291,9 @@ def dedup_against_index(
     surv_sigs = sigs.join(
         survivors.select(F.col(id_col).alias("doc")), "doc", "left_semi"
     )
-    intra = lsh_candidate_pairs(surv_sigs, n_hashes, band_size)
+    # grouped form: one exchange per micro-batch instead of a
+    # checkpointed self-join; identical pair set (dedup.py)
+    intra = lsh_candidate_pairs_grouped(surv_sigs, n_hashes, band_size)
     losers = intra.select(F.col("doc2").alias("_loser")).distinct()
     kept_md5 = survivors.join(
         losers, survivors[id_col] == losers["_loser"], "left_anti"
