@@ -111,3 +111,105 @@ def burst_slv_dlv(pair_dist: DataFrame) -> DataFrame:
     )
     w = Window.orderBy(F.desc("slv"), F.desc("dlv"), F.asc("id"))
     return counts.withColumn("founder_rank", F.row_number().over(w))
+
+
+def connected_components_star(
+    pairs: DataFrame, nodes: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (public design: Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC 2014) — the in-engine ALTERNATIVE
+    to ``single_linkage``'s label propagation, removing the need for
+    an external GraphFrames dependency either way.
+
+    Same contract as ``single_linkage``: ``pairs`` (id1, id2) edges,
+    ``nodes`` (id) the full node set; returns (id, group_id) with
+    group_id = smallest member id (singletons label themselves);
+    output equality is pinned over random graphs in tests.
+
+    Trade-off, MEASURED (tools/scale_bench.py, giant-component random
+    graph, local[32]): propagation wins on this shape — 64 s vs 135 s
+    at 4e6 nodes — because pointer-halving converges in ~log(diameter)
+    rounds on a low-diameter graph while star contraction pays two
+    groupBy/join passes plus a full edge-set fixed-point check per
+    round.  Star contraction's advantage is the regime where the
+    paper's bound bites: per-round edge VOLUME shrinks geometrically
+    as stars collapse, so on very-high-diameter graphs (long chains)
+    or when each round's shuffle dominates (network-bound clusters),
+    it is the safer shape.  ``single_linkage`` stays the serving
+    default; this is the documented fallback for adversarial
+    diameters.
+    """
+    edges = (
+        pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
+        .union(
+            pairs.select(F.col("id2").alias("u"), F.col("id1").alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _min_nbr(e: DataFrame) -> DataFrame:
+        # m(u) = min(N(u) ∪ {u})
+        return e.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    for _ in range(max_iter):
+        # large-star: for each neighbor v > u, attach v under m(u)
+        m = _min_nbr(edges)
+        large = (
+            edges.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # keep (u, m(u)) links so smaller neighbors aren't lost
+        keep = m.select("u", F.col("m").alias("v"))
+        e1 = (
+            large.union(keep)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: for each neighbor v <= u, attach v under m(u)
+        sym1 = e1.union(
+            e1.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        m1 = _min_nbr(sym1)
+        small = (
+            sym1.filter(F.col("v") < F.col("u"))
+            .join(m1, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        keep1 = m1.select("u", F.col("m").alias("v"))
+        new_edges = (
+            small.union(keep1)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixed point: every node's edges point only at one min —
+        # i.e. the symmetric closure no longer changes the hang-offs.
+        sym_new = new_edges.union(
+            new_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        if (
+            sym_new.exceptAll(
+                edges
+            ).limit(1).count() == 0
+        ):
+            edges = sym_new
+            break
+        edges = sym_new
+    # components: each node hangs off its minimum; the minimum itself
+    # has edges only to larger nodes, so label = min(m, self)
+    labels = edges.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("group_id")
+    )
+    all_nodes = nodes.select(F.col(nodes.columns[0]).alias("id"))
+    return (
+        all_nodes.join(labels, all_nodes["id"] == labels["u"], "left")
+        .select(
+            "id", F.coalesce("group_id", F.col("id")).alias("group_id")
+        )
+    )

@@ -294,3 +294,67 @@ def test_lincode_port_agreement_randomized(spark):
         assert got == want, f"divergence at seed={seed} batch={batch_size}"
         # planted duplicates share their original's code
         assert got["90"] == got["03"] and got["91"] == got["17"]
+
+
+def test_star_cc_matches_label_propagation_on_fixtures(spark):
+    """large-star/small-star contraction returns exactly the
+    single_linkage labels: smallest member id per component,
+    singletons label themselves."""
+    from bigsdb_spark.operators.clustering import (
+        connected_components_star,
+        single_linkage,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (10, 8)],
+        "id1 int, id2 int",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 12)], "id int")
+    want = {
+        (r["id"], r["group_id"])
+        for r in single_linkage(pairs, nodes).collect()
+    }
+    got = {
+        (r["id"], r["group_id"])
+        for r in connected_components_star(pairs, nodes).collect()
+    }
+    assert got == want
+    assert (4, 4) in got and (11, 11) in got  # singletons
+
+
+def test_star_cc_matches_label_propagation_on_random_graphs(spark):
+    """Seeded-random graphs (one Spark job each): star contraction and
+    label propagation must agree on every component label — including
+    chains (worst case for propagation) and dense blobs."""
+    import random
+
+    from bigsdb_spark.operators.clustering import (
+        connected_components_star,
+        single_linkage,
+    )
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(5, 40)
+        n_edges = rng.randint(0, n * 2)
+        edges = [
+            (rng.randint(1, n), rng.randint(1, n)) for _ in range(n_edges)
+        ]
+        # plus a long chain to stress round counts
+        chain_base = n + 1
+        edges += [(chain_base + i, chain_base + i + 1) for i in range(12)]
+        pairs = spark.createDataFrame(
+            edges or [(1, 1)], "id1 int, id2 int"
+        )
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(1, chain_base + 14)], "id int"
+        )
+        want = {
+            (r["id"], r["group_id"])
+            for r in single_linkage(pairs, nodes).collect()
+        }
+        got = {
+            (r["id"], r["group_id"])
+            for r in connected_components_star(pairs, nodes).collect()
+        }
+        assert got == want, f"trial {trial}: n={n} edges={edges}"

@@ -381,6 +381,16 @@ def main() -> None:
             .collect()[0][0]
         )
         record("single_linkage", n, sec, f"{cnt} components")
+        from bigsdb_spark.operators.clustering import (
+            connected_components_star,
+        )
+
+        sec, cnt = _timed(
+            lambda: connected_components_star(edges, nodes)
+            .select(F.countDistinct("group_id"))
+            .collect()[0][0]
+        )
+        record("star_cc", n, sec, f"{cnt} components")
 
     print(json.dumps({"scale_bench": results}), flush=True)
 
