@@ -976,3 +976,209 @@ def route_job_record(service, job_id: int) -> dict:
     if job_id not in service.all_jobs():
         raise NotFound(f"Job {job_id} does not exist.")
     return service.status(job_id)
+
+
+def route_schemes_list(schemes: list[tuple[int, str]], base: str) -> dict:
+    """GET /db/:db/schemes (REST/Routes/Schemes.pm:60-75): record
+    count + (uri, description) per scheme."""
+    return {
+        "records": len(schemes),
+        "schemes": [
+            {"scheme": f"{base}/schemes/{sid}", "description": name}
+            for sid, name in schemes
+        ],
+    }
+
+
+def route_schemes_breakdown(profiles, schemes, field: str) -> list[dict]:
+    """GET /db/:db/schemes/breakdown/:field (Schemes.pm:77-120, the
+    site-statistics call): per-(field value, scheme) profile counts.
+    ``field`` is whitelisted to the audit date columns exactly as the
+    reference does — anything else is a typed 400, never a column
+    reference."""
+    if field not in ("date_entered", "datestamp"):
+        raise BadRequest("Invalid field")
+    from pyspark.sql import functions as F
+
+    rows = (
+        profiles.join(
+            F.broadcast(
+                schemes.select(
+                    F.col("id").alias("scheme_id"), F.col("name")
+                )
+            ),
+            "scheme_id",
+        )
+        .groupBy(field, "scheme_id", "name")
+        .count()
+        .orderBy(field, "scheme_id")
+        .collect()
+    )
+    return [
+        {
+            field: str(r[field]),
+            "scheme_id": r["scheme_id"],
+            "name": r["name"],
+            "count": r["count"],
+        }
+        for r in rows
+    ]
+
+
+def route_scheme_field_record(field_info: dict | None) -> dict:
+    """GET /db/:db/schemes/:scheme/fields/:field (Schemes.pm:497-527):
+    attribute shaping — plain attributes pass through when defined,
+    the three flags always render as booleans; unknown field -> 404."""
+    if not field_info:
+        raise NotFound("Scheme field does not exist.")
+    out = {
+        k: field_info[k]
+        for k in (
+            "field", "type", "description", "value_regex", "option_list",
+            "field_order",
+        )
+        if field_info.get(k) is not None
+    }
+    for flag in ("primary_key", "index", "dropdown"):
+        out[flag] = bool(field_info.get(flag))
+    return out
+
+
+def _scheme_fields_for_designations(
+    spark, designations: dict, scheme_profiles, scheme_loci, pk: str = "ST"
+) -> dict:
+    """Resolve scheme field values from a locus->allele map via the
+    md5 profile identity (the exact path of A5/J3) — one broadcast-side
+    row joined against the definitions, never a collect of profiles."""
+    from pyspark.sql import functions as F
+
+    loci = sorted(scheme_loci)
+    vector = [str(designations.get(locus, "")) for locus in loci]
+    if "" in vector:
+        return {}  # incomplete profile: no field values (reference
+        # returns fields only when every locus resolved)
+    probe = spark.createDataFrame(
+        [(vector,)], "profile array<string>"
+    ).select(F.md5(F.array_join("profile", ",")).alias("_md5"))
+    hit = (
+        scheme_profiles.select(
+            "st", F.md5(F.array_join("profile", ",")).alias("_md5")
+        )
+        .join(F.broadcast(probe), "_md5")
+        .select("st")
+        .limit(1)
+        .collect()
+    )
+    return {pk: hit[0]["st"]} if hit else {}
+
+
+def route_scheme_sequence_query(
+    spark,
+    body: dict,
+    alleles,
+    scheme_loci: list[str],
+    scheme_profiles,
+    base: str,
+) -> dict:
+    """POST /db/:db/schemes/:scheme/sequence (Schemes.pm:159-240 ->
+    :340-368 _process_designation_matches): match the posted sequence
+    set against every scheme locus, report exact matches per locus,
+    and resolve scheme fields when every locus matched.  The match is
+    the distributed md5 lookup (sequence_query.py), not a per-locus
+    probe loop."""
+    import base64 as _b64
+
+    from bigsdb_spark.plans.submission_routes import _parse_fasta_string
+    from bigsdb_spark.sequence_query import sequence_query
+
+    seq = body.get("sequence")
+    if not seq:
+        raise BadRequest("Required field missing: sequence.")
+    if body.get("base64"):
+        seq = _b64.b64decode(seq).decode()
+    pairs = _parse_fasta_string(seq)
+    result = sequence_query(spark, pairs, alleles)
+    matches = result["matches"].collect()
+    exact: dict = {}
+    designations: dict = {}
+    for r in matches:
+        if r["locus"] not in scheme_loci:
+            continue
+        exact.setdefault(r["locus"], []).append(
+            {
+                "allele_id": r["allele_id"],
+                "href": f"{base}/loci/{r['locus']}/alleles/{r['allele_id']}",
+            }
+        )
+        designations.setdefault(r["locus"], r["allele_id"])
+    values: dict = {"exact_matches": exact}
+    fields = _scheme_fields_for_designations(
+        spark, designations, scheme_profiles, scheme_loci
+    )
+    if fields:
+        values["fields"] = fields
+    return values
+
+
+def route_scheme_designations_query(
+    spark,
+    body: dict,
+    scheme_loci: list[str],
+    scheme_profiles,
+) -> dict:
+    """POST /db/:db/schemes/:scheme/designations (Schemes.pm:242-257):
+    resolve scheme fields from a posted locus->allele_id map."""
+    designations = body.get("designations")
+    if not designations:
+        raise BadRequest("Required field missing: designations.")
+    fields = _scheme_fields_for_designations(
+        spark, designations, scheme_profiles, scheme_loci
+    )
+    return {"fields": fields} if fields else {}
+
+
+def route_lincode_nicknames(
+    prefixes,
+    scheme_id: int,
+    base: str,
+    page: int = 1,
+    page_size: int = 100,
+    has_lincode_scheme: bool = True,
+) -> dict:
+    """GET /db/:db/schemes/:scheme/lincode_nicknames
+    (Schemes.pm:529-576): paged (prefix, field, nickname, datestamp)
+    rows ordered by (prefix, field), with record count + last_updated;
+    404 when the scheme has no LIN code scheme."""
+    if not has_lincode_scheme:
+        raise NotFound(
+            f"Scheme {scheme_id} does not have a LIN code scheme."
+        )
+    from pyspark.sql import functions as F
+
+    mine = prefixes.filter(F.col("scheme_id") == scheme_id)
+    agg = mine.agg(
+        F.count(F.lit(1)).alias("n"), F.max("datestamp").alias("last")
+    ).collect()[0]
+    total = agg["n"]
+    rows = (
+        mine.select("prefix", "field", F.col("value").alias("nickname"), "datestamp")
+        .orderBy("prefix", "field")
+        .offset((page - 1) * page_size)
+        .limit(page_size)
+        .collect()
+    )
+    values: dict = {"records": total}
+    if agg["last"] is not None:
+        values["last_updated"] = str(agg["last"])
+    if total:
+        values["paging"] = paging_links(page, page_size, total)
+    values["nicknames"] = [
+        {
+            "prefix": r["prefix"],
+            "field": r["field"],
+            "nickname": r["nickname"],
+            "datestamp": str(r["datestamp"]),
+        }
+        for r in rows
+    ]
+    return values
