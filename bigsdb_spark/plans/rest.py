@@ -1095,7 +1095,14 @@ def route_scheme_sequence_query(
     if not seq:
         raise BadRequest("Required field missing: sequence.")
     if body.get("base64"):
-        seq = _b64.b64decode(seq).decode()
+        import re as _re
+
+        try:
+            seq = _b64.b64decode(
+                _re.sub(r"\s+", "", seq), validate=True
+            ).decode()
+        except Exception:
+            raise BadRequest("Sequence is not valid base64.") from None
     pairs = _parse_fasta_string(seq)
     result = sequence_query(spark, pairs, alleles)
     matches = result["matches"].collect()

@@ -508,8 +508,17 @@ def route_submission_upload_file(
     path = os.path.join(d, filename)
     if os.path.exists(path):
         raise BadRequest(f"File {filename} is already uploaded.")
+    try:
+        # MIME-style uploads wrap lines: strip whitespace, then
+        # validate the alphabet (the reference's decode_base64 also
+        # ignores line breaks)
+        payload = base64.b64decode(
+            re.sub(r"\s+", "", upload_b64), validate=True
+        )
+    except Exception:
+        raise BadRequest("Upload is not valid base64.") from None
     with open(path, "wb") as fh:
-        fh.write(base64.b64decode(upload_b64))
+        fh.write(payload)
     return {"message": "File uploaded."}
 
 
