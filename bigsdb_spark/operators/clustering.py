@@ -190,17 +190,24 @@ def connected_components_star(
         )
         # fixed point: every node's edges point only at one min —
         # i.e. the symmetric closure no longer changes the hang-offs.
-        sym_new = new_edges.union(
-            new_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
-        if (
-            sym_new.exceptAll(
-                edges
-            ).limit(1).count() == 0
-        ):
-            edges = sym_new
-            break
+        # TRUE set equality, not just no-additions: exceptAll alone
+        # would break on a strictly-shrinking round whose output is
+        # not yet a star forest (labels would then be wrong on
+        # chain-shaped leftovers).
+        sym_new = (
+            new_edges.union(
+                new_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        unchanged = (
+            sym_new.count() == edges.count()
+            and sym_new.exceptAll(edges).limit(1).count() == 0
+        )
         edges = sym_new
+        if unchanged:
+            break
     # components: each node hangs off its minimum; the minimum itself
     # has edges only to larger nodes, so label = min(m, self)
     labels = edges.groupBy("u").agg(

@@ -236,6 +236,14 @@ def dedup_against_index(
     tables.  Every join is equi-keyed on a hash — at 100 TB the index
     sides are large but uniformly keyed, and the anti-joins shuffle
     only the delta.
+
+    The intra-batch candidate step runs the grouped band join WITHOUT
+    a hot-bucket cap: capping would silently UNDER-dedup (every doc in
+    a skipped bucket is kept), which is the wrong default for an
+    ingest gate.  If a batch can be boilerplate-heavy, pre-filter it
+    with the corpus-policy repetition filters, or pass the batch
+    through ``lsh_candidate_pairs_grouped(max_bucket=...)`` explicitly
+    and accept the documented recall trade.
     """
     docs = new_docs.withColumn(
         "_md5", F.md5(normalized_text(F.col(text_col)))
