@@ -293,6 +293,44 @@ def main() -> None:
             )
             record("bucketed_ann", n, sec, f"dims={dims}, {cnt} pairs")
 
+    # ---- semantic dedup at scale (MLlib-trained centroids) ----
+    # Exercises the injectable-centroids path: occupancy-constant cell
+    # count needs k-means|| (the numpy trainer caps at the sample), so
+    # train with MLlib once and hand the centers to the operator.
+    if "semantic_dedup" not in skip and emb_tiers:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        from bigsdb_spark.operators.dedup import semantic_dedup
+
+        n = emb_tiers[0]
+        emb = spark.read.parquet(f"{args.out}/emb_{n}")
+        k = max(64, n // 256)
+        feat = emb.select(
+            "vec_id", "embedding",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias(
+                "features"
+            ),
+        )
+        t_train, model = _timed(
+            lambda: KMeans(k=k, seed=7, maxIter=5, featuresCol="features")
+            .fit(feat)
+        )
+        print(f"# semantic_dedup kmeans k={k} trained in {t_train:.1f}s", flush=True)
+        centers = [c.tolist() for c in model.clusterCenters()]
+        sec, kept = _timed(
+            lambda: semantic_dedup(
+                emb, "vec_id", "embedding", min_cosine=0.95,
+                centroids=centers,
+            )
+            .filter("keep")
+            .count()
+        )
+        record(
+            "semantic_dedup", n, sec,
+            f"k={k} cells, {kept} survivors of {n}",
+        )
+
     # ---- incremental ingest: per-delta cost vs a growing index ----
     # The claim under test: dedup_against_index scales with the DELTA,
     # not the corpus — four successive 250k-doc batches against an
