@@ -53,6 +53,21 @@ def _dedup_minhash(spark, sf_dir):
     return dedup_minhash(spark, sf_dir)
 
 
+def _dedup_minhash_fused(spark, sf_dir):
+    # the scale path: zero-shuffle fused signatures + one-exchange
+    # grouped band join (operators/dedup.py) — same candidate contract
+    # as dedup_minhash_lsh, measured 3x cheaper at 4e6 docs
+    from bigsdb_spark.operators.dedup import (
+        lsh_candidate_pairs_grouped,
+        minhash_signatures_fused,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    return lsh_candidate_pairs_grouped(
+        minhash_signatures_fused(docs, "doc_id", "text"), 8
+    )
+
+
 def _corpus_assembly(spark, sf_dir):
     # pack documents into fixed-length examples and assign output
     # shards — the Arrow packing pass plus the pure-expression shard
@@ -100,6 +115,7 @@ EXTRA = {
     "sim_brute_topk_np": _sim_topk_np,
     "sim_ivf_kmeans": _sim_ivf,
     "dedup_minhash_lsh": _dedup_minhash,
+    "dedup_minhash_fused": _dedup_minhash_fused,
     "corpus_assembly": _corpus_assembly,
     "sq_topk": _sq_topk,
     "sim_ivf_pq_topk": _ivf_pq,
@@ -121,6 +137,7 @@ HEADLINE = [
     "f10_partial_match",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_fused",
     "dedup_ngram_jaccard",
     "sim_brute_topk",
     "sim_brute_topk_np",

@@ -42,7 +42,12 @@ def sequence_query(
     (query_id, locus, allele_id, alignment, mismatches, gaps,
     identity)."""
     q = spark.createDataFrame(sequences, "query_id string, sequence string")
-    matches = exact_allele_lookup(q, alleles).cache()
+    # localCheckpoint, not .cache(): matches feeds up to three outputs
+    # (isolates/profiles/partial anti-join) but the caller gets no
+    # handle to unpersist, so a cache would leak one storage entry per
+    # REST sequence query; checkpoint blocks release when the plan is
+    # garbage-collected (the lsh_candidate_pairs lesson)
+    matches = exact_allele_lookup(q, alleles).localCheckpoint(eager=True)
     out = {"matches": matches}
     if partial:
         unmatched = q.join(
