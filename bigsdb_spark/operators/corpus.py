@@ -446,3 +446,130 @@ def cap_per_domain(
         .filter(F.col("_rk") <= n_max)
         .drop("_rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated substrings (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": remove substrings of
+# >= ~50 tokens that repeat across the corpus — doc-level dedup misses
+# them).  The published exact method builds a corpus-wide suffix
+# array, a global sequential structure; here the same repeats are
+# found RELATIONALLY: hash every length-n token window, keep hashes
+# seen in >= min_docs distinct documents, and merge each document's
+# overlapping hit windows into maximal spans.  One explode + one
+# combinable groupBy + one window — linear in corpus tokens, no
+# global structure.  xxhash64 over the token-slice ARRAY (never a
+# joined string) keeps the shuffled key 8 bytes; a hash collision can
+# over-mark with probability ~2^-64 per window pair — the accepted
+# trade for staying distributed.
+
+
+def repeated_span_hits(
+    df: DataFrame, id_col: str, text_col: str, min_gram: int = 50
+) -> DataFrame:
+    """(id, pos, h): the 1-based token position and hash of every
+    length-``min_gram`` window.  Token array bound to a lambda
+    variable (the word_ngram_array trap note)."""
+    per_doc = F.transform(
+        F.array(word_tokens(F.col(text_col))),
+        lambda toks: F.when(
+            F.size(toks) >= min_gram,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (min_gram - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(F.slice(toks, i, min_gram)).alias("h"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<pos:int,h:bigint>>")
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.element_at(per_doc, 1)).alias("w")
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_gram: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(id, start_tok, end_tok) — maximal 1-based token spans covered
+    by windows whose hash occurs in >= ``min_docs`` DISTINCT documents
+    (self-repetition within one doc is the Gopher filters' job, so the
+    threshold counts documents, not occurrences).  Overlapping or
+    adjacent hit windows merge: a new span starts only when the next
+    hit begins beyond the previous window's reach (gap > min_gram)."""
+    from pyspark.sql import Window
+
+    hits = repeated_span_hits(df, id_col, text_col, min_gram)
+    rep = (
+        hits.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    marked = hits.join(rep, "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = marked.withColumn(
+        "_new",
+        (
+            F.col("pos")
+            > F.coalesce(F.lag("pos").over(w), F.lit(-min_gram))
+            + min_gram
+        ).cast("int"),
+    ).withColumn("_span", F.sum("_new").over(w))
+    return (
+        flagged.groupBy(id_col, "_span")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + min_gram - 1).alias("end_tok"),
+        )
+        .drop("_span")
+    )
+
+
+def strip_repeated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove every flagged span's tokens and rejoin the rest — pure
+    expressions over the per-doc span list (broadcast-sized per row:
+    spans per doc are few by construction).  Docs with no spans pass
+    through unchanged."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
+    )
+    joined = df.join(sp, id_col, "left").withColumn(
+        "_spans",
+        F.coalesce(
+            F.col("_spans"),
+            F.array().cast("array<struct<start_tok:bigint,end_tok:bigint>>"),
+        ),
+    )
+    kept = F.element_at(
+        F.transform(
+            F.array(word_tokens(F.col(text_col))),
+            lambda toks: F.filter(
+                F.transform(
+                    toks,
+                    lambda t, i0: F.struct(t.alias("t"), (i0 + 1).alias("p")),
+                ),
+                lambda s: ~F.exists(
+                    F.col("_spans"),
+                    lambda sp_: (s["p"] >= sp_["start_tok"])
+                    & (s["p"] <= sp_["end_tok"]),
+                ),
+            ),
+        ),
+        1,
+    )
+    return joined.withColumn(
+        out_col, F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+    ).drop("_spans")

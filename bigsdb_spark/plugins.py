@@ -220,6 +220,15 @@ def _register_builtins() -> None:
         requires=("seqbin_id", "sequence"),
     )
 
+    from bigsdb_spark.operators.corpus import repeated_spans
+
+    DEFAULT_REGISTRY.register_plugin(
+        "RepeatedSpans", "analysis",
+        lambda df, id_col, text_col, **kw: repeated_spans(df, id_col, text_col, **kw),
+        description="cross-document repeated-substring spans "
+        "(Lee et al. substring dedup, relational form)",
+    )
+
     from bigsdb_spark.operators.dedup import semantic_dedup
 
     DEFAULT_REGISTRY.register_plugin(

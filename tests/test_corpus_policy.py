@@ -279,3 +279,42 @@ def test_cap_per_domain(spark):
     # deterministic under re-run
     again = cap_per_domain(df, "domain", n_max=3, order_by=[F.desc("quality")])
     assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_repeated_spans_cross_document(spark):
+    """Lee-et-al-style substring dedup: a shared >=min_gram-token
+    passage across two docs is flagged with exact token offsets and
+    merged into ONE maximal span; unique text and self-repetition
+    (one doc) are not flagged."""
+    from bigsdb_spark.operators.corpus import (
+        repeated_spans,
+        strip_repeated_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(12))        # 12 shared tokens
+    doc1 = "alpha beta " + shared + " gamma"             # span at 3..14
+    doc2 = "x " + shared + " y z"                        # span at 2..13
+    doc3 = "totally unique words only here nothing shared at all today"
+    selfrep = " ".join(["r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11 r12"] * 2)
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3), (4, selfrep)],
+        "doc_id long, text string",
+    )
+    spans = repeated_spans(df, "doc_id", "text", min_gram=10, min_docs=2)
+    got = {
+        r["doc_id"]: (r["start_tok"], r["end_tok"]) for r in spans.collect()
+    }
+    # doc1: shared tokens occupy positions 3..14; three overlapping
+    # 10-gram hits (3, 4, 5) merge to one span 3..14
+    assert got[1] == (3, 14)
+    assert got[2] == (2, 13)
+    assert 3 not in got and 4 not in got
+    assert spans.count() == 2  # one maximal span per doc, never split
+    # stripping removes exactly the shared passage
+    clean = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_repeated_spans(df, spans, "doc_id", "text").collect()
+    }
+    assert clean[1] == "alpha beta gamma"
+    assert clean[2] == "x y z"
+    assert clean[3] == doc3 and clean[4] == selfrep  # untouched

@@ -228,6 +228,15 @@ def main() -> None:
                 ).count()
             )
             record("minhash_lsh_xx", n, sec, f"{cnt} candidate pairs")
+        if "repeated_spans" not in skip:
+            from bigsdb_spark.operators.corpus import repeated_spans
+
+            sec, cnt = _timed(
+                lambda: repeated_spans(
+                    docs, "doc_id", "text", min_gram=10
+                ).count()
+            )
+            record("repeated_spans", n, sec, f"{cnt} spans")
         if "minhash_lsh_fused" not in skip:
             from bigsdb_spark.operators.dedup import (
                 minhash_signatures_fused,
