@@ -19,15 +19,22 @@ Synthesis (all deterministic, order-independent):
 - graph: 2 hash-random edges per node (giant component, ~log-n
   diameter — the expensive shape for label propagation).
 
-Paths timed per tier:
-  dedup_exact       hash-groupBy duplicate groups + star pairs
-  minhash_lsh       shingle -> minhash -> banded candidate join
-  bucketed_ann      sign-bucket pair mining, bucket count scaled with
-                    n (occupancy held ~64) as a real deployment would
-  sq_topk           int8 scalar-quantized top-k (pure codegen scan)
-  ivf_pq_encode     Arrow encode pass (cell + PQ codes)
-  ivf_pq_topk       ADC top-k over the probed cells
-  single_linkage    connected components by label propagation
+Paths timed per tier (each skippable via --skip):
+  dedup_exact        hash-groupBy duplicate groups + star pairs
+  minhash_lsh        shingle -> minhash -> banded candidate join (md5)
+  minhash_lsh_xx     same, xxhash64 hash family
+  minhash_lsh_fused  zero-shuffle fused signatures + grouped band join
+  repeated_spans     cross-doc repeated-substring spans (Lee et al.)
+  bucketed_ann       sign-bucket pair mining, bucket count scaled with
+                     n (occupancy held ~64) as a real deployment would
+  sq_topk            int8 scalar-quantized top-k (pure codegen scan)
+  ivf_pq_encode      Arrow encode pass (cell + PQ codes)
+  ivf_pq_topk        ADC top-k over the probed cells
+  semantic_dedup     SemDeDup with MLlib-trained centroids (tier 0)
+  incremental_ingest four 250k-doc deltas vs a growing corpus index
+  corpus_assembly    token stats + packing + shard assignment
+  single_linkage     connected components by label propagation
+  star_cc            Kiveris et al. star contraction (comparison)
 
 Usage:
   python tools/scale_bench.py [--doc-tiers 1000000,4000000]
