@@ -6,22 +6,27 @@ daily_replace refresh modes and an atomic create-new -> drop-old ->
 rename swap (sql/isolatedb.sql:1441-1586, Datastore.pm:1242-2175,
 update_scheme_caches.pl).
 
-Here a materialization is a parquet table under a root directory with
-versioned subdirs and a _CURRENT pointer file:
+Here a materialization is a parquet table governed by a transactional
+``SnapshotLog`` (bigsdb_spark/snaplog.py): immutable snapshot dirs
+published by an append-only commit log, so
 
-    <root>/<name>/v_000017/part-*.parquet
-    <root>/<name>/_CURRENT      (contains "v_000017")
-
-- ``refresh_full``   : write a new version, flip the pointer — readers
-  never see a partial table (the reference's atomic rename swap).
+- ``refresh_full``   : stage a new version, commit atomically — readers
+  never see a partial table (the reference's atomic rename swap), and a
+  reader mid-query on the previous version keeps intact files (reader
+  isolation the old pointer-file protocol lacked).
 - ``refresh_incremental`` : new version = current rows for unchanged
   keys + recomputed rows for the changed-key set (the reference's
   incremental mode keyed on isolate id + datestamp) — an anti-join +
-  union, i.e. exactly a MERGE, expressed on immutable parquet.
+  union, i.e. exactly a MERGE, expressed on immutable parquet.  The
+  commit carries ``expected_version``: two concurrent incremental
+  refreshes cannot silently lose one writer's merge — the loser gets a
+  ``CommitConflict`` and retries from a fresh read.
 - ``read``           : the current version as a DataFrame.
 
-On Delta/Iceberg the pointer dance is REPLACE TABLE / MERGE; the
-semantics tested here are mode correctness and swap atomicity.
+On Delta/Iceberg the commit log is REPLACE TABLE / MERGE; the semantics
+tested here are mode correctness, swap atomicity, and crash-injection
+recovery (tests/test_snaplog.py kills the protocol between every pair
+of steps).
 
 A cache-vs-recompute policy mirrors the reference's thresholds
 (MAX_LOCI_NON_CACHE_SCHEME=30, Constants.pm:41; cache required above
@@ -31,10 +36,11 @@ A cache-vs-recompute policy mirrors the reference's thresholds
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from bigsdb_spark.snaplog import CommitConflict, SnapshotLog
 
 MAX_LOCI_NON_CACHE_SCHEME = 30   # Constants.pm:41
 LOCUS_LIMIT_TO_USE_CACHE = 100   # ResultsTablePage.pm:33
@@ -50,76 +56,90 @@ def should_use_cache(n_loci: int, for_display: bool = False) -> bool:
 
 
 class Materialization:
+    """A governed derived table backed by a ``SnapshotLog``.
+
+    Version strings keep the historical ``v_%06d`` shape (they are the
+    log's integer versions), so callers and tests see the same names
+    the pointer protocol produced."""
+
+    TABLE = "data"
+
     def __init__(self, spark: SparkSession, root: str, name: str):
         self.spark = spark
         self.dir = os.path.join(root, name)
-        os.makedirs(self.dir, exist_ok=True)
-
-    def _pointer(self) -> str:
-        return os.path.join(self.dir, "_CURRENT")
+        self.log = SnapshotLog(self.dir)
 
     def current_version(self) -> str | None:
-        try:
-            with open(self._pointer()) as fh:
-                return fh.read().strip()
-        except FileNotFoundError:
-            return None
-
-    def _next_version(self) -> str:
-        cur = self.current_version()
-        n = int(cur.split("_")[1]) + 1 if cur else 0
-        return f"v_{n:06d}"
+        snap = self.log.latest()
+        return f"v_{snap.version:06d}" if snap else None
 
     def exists(self) -> bool:
-        return self.current_version() is not None
+        return self.log.latest() is not None
 
     def read(self) -> DataFrame:
-        cur = self.current_version()
-        if cur is None:
+        snap = self.log.latest()
+        if snap is None:
             raise FileNotFoundError(f"no current version for {self.dir}")
-        return self.spark.read.parquet(os.path.join(self.dir, cur))
+        return self.spark.read.parquet(snap.path(self.TABLE))
 
-    def _swap_in(self, df: DataFrame, keep_versions: int = 2) -> str:
-        """Write a complete new version, flip the pointer, then drop
-        superseded versions — the full create-new -> rename -> drop-old
-        swap (sql/isolatedb.sql:1580-1586). ``keep_versions`` retains
-        the new version plus its predecessor (in-flight readers of the
-        old pointer finish against intact files); older versions are
-        deleted so a daily refresh does not accumulate full table
-        copies forever."""
-        version = self._next_version()
-        df.write.mode("overwrite").parquet(os.path.join(self.dir, version))
-        tmp = self._pointer() + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(version)
-        os.replace(tmp, self._pointer())  # atomic on POSIX
-        # numeric sort: lexicographic order breaks at the first version
-        # that outgrows the zero padding ('v_1000000' < 'v_999999'),
-        # which would delete the just-written newest version
-        versions = sorted(
-            (
-                d for d in os.listdir(self.dir)
-                if d.startswith("v_") and os.path.isdir(os.path.join(self.dir, d))
-            ),
-            key=lambda d: int(d.split("_", 1)[1]),
-        )
-        for stale in versions[:-keep_versions] if keep_versions else versions:
-            shutil.rmtree(os.path.join(self.dir, stale), ignore_errors=True)
-        return version
+    def _swap_in(
+        self,
+        df: DataFrame,
+        keep_versions: int = 2,
+        expected_version: int | None = None,
+    ) -> str:
+        """Stage a complete new version, commit it atomically, then gc
+        superseded snapshots — the reference's full create-new ->
+        rename -> drop-old swap (sql/isolatedb.sql:1580-1586), now with
+        reader isolation: ``keep_versions`` retains the new snapshot
+        plus its predecessor, and a crash anywhere before the commit
+        link leaves the previous snapshot current and complete."""
+        txn = self.log.begin()
+        try:
+            df.write.mode("overwrite").parquet(txn.path(self.TABLE))
+            snap = txn.commit(expected_version=expected_version)
+        except BaseException:
+            txn.abort()
+            raise
+        self.log.gc(keep=keep_versions)
+        return f"v_{snap.version:06d}"
 
     def refresh_full(self, df: DataFrame) -> str:
         return self._swap_in(df)
 
     def refresh_incremental(
-        self, recomputed: DataFrame, changed_keys: DataFrame, key: str
+        self,
+        recomputed: DataFrame,
+        changed_keys: DataFrame,
+        key: str,
+        max_retries: int = 3,
     ) -> str:
         """MERGE semantics: keep current rows whose key is NOT in
         ``changed_keys``, add ``recomputed`` rows (which must cover
-        exactly the changed keys)."""
-        if not self.exists():
-            return self._swap_in(recomputed)
-        current = self.read()
-        kept = current.join(
-            F.broadcast(changed_keys.select(key).distinct()), on=key, how="left_anti"
+        exactly the changed keys).  The read-merge-commit cycle is
+        guarded by ``expected_version`` — if another writer lands a
+        version between our read and our commit, the merge would be
+        based on stale rows, so the commit aborts and the cycle
+        retries against the fresh snapshot (no lost updates)."""
+        for _ in range(max_retries):
+            snap = self.log.latest()
+            if snap is None:
+                try:
+                    return self._swap_in(recomputed, expected_version=-1)
+                except CommitConflict:
+                    continue  # someone created v0 under us; merge with it
+            current = self.spark.read.parquet(snap.path(self.TABLE))
+            kept = current.join(
+                F.broadcast(changed_keys.select(key).distinct()),
+                on=key,
+                how="left_anti",
+            )
+            try:
+                return self._swap_in(
+                    kept.unionByName(recomputed), expected_version=snap.version
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"incremental refresh of {self.dir} lost {max_retries} races"
         )
-        return self._swap_in(kept.unionByName(recomputed))

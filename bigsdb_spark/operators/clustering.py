@@ -208,6 +208,17 @@ def connected_components_star(
         edges = sym_new
         if unchanged:
             break
+    else:
+        # exhausting max_iter without reaching the fixed point means
+        # the hang-offs are still moving: labels on the unconverged
+        # chains would be silently wrong, which is worse than failing
+        # (this path advertises adversarial-diameter graphs, exactly
+        # where a fixed round budget is likeliest to bind)
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iter} rounds; raise max_iter (rounds needed grow "
+            "with log(diameter))"
+        )
     # components: each node hangs off its minimum; the minimum itself
     # has edges only to larger nodes, so label = min(m, self)
     labels = edges.groupBy("u").agg(

@@ -85,7 +85,11 @@ def flavotyper_table(
     taken from the first non-null result (the reference reads them
     from the first output file's header line)."""
     ok = results.filter(F.col("results").isNotNull())
-    first = ok.select("results").first()
+    # headings must be a deterministic function of the data: take them
+    # from the result row with the smallest isolate id, not whichever
+    # partition happens to return first (mixed tool versions would
+    # otherwise give the table a nondeterministic schema across runs)
+    first = ok.orderBy(F.col(id_col)).select("results").first()
     if first is None:
         return isolates.select(
             F.col("id").alias(id_col), F.col(label_field)

@@ -44,7 +44,16 @@ __all__ = [
     "write_training_shards",
     "build_corpus_index",
     "dedup_against_index",
+    "INDEX_FORMAT",
 ]
+
+# Identity of the dedup-index hash pipeline.  Persisted index snapshots
+# record this marker; the probe side refuses a snapshot written by a
+# different family (e.g. the pre-round-5 md5-exploded pipeline): bucket
+# values are NOT comparable across families, so probing a mismatched
+# snapshot would silently never match the historical corpus.  Bump on
+# any change to the shingle/minhash/banding hash functions.
+INDEX_FORMAT = "minhash-fused-xxhash64/v1"
 
 
 def split_oversized(
@@ -187,8 +196,11 @@ def build_corpus_index(
     # fused zero-shuffle signatures: the index consumes only the h
     # columns (banding), never shingle rows, so the exploded pipeline
     # buys nothing here (~3x cheaper at 4e6 docs; dedup.py).  Index
-    # bucket values are internal state — an index is only ever probed
-    # by the same code that built it.
+    # bucket values are internal state, but they PERSIST (the streaming
+    # ingest snapshots them), so cross-version compatibility is
+    # enforced by INDEX_FORMAT: every persisted snapshot records the
+    # hash-family marker and the probe side fails fast on mismatch
+    # instead of silently never matching the historical corpus.
     sigs = minhash_signatures_fused(df, id_col, text_col, k, n_hashes)
     n_bands = n_hashes // band_size
     bands = F.array(
@@ -221,6 +233,7 @@ def dedup_against_index(
     k: int = 3,
     n_hashes: int = 8,
     band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> dict[str, DataFrame]:
     """Incremental dedup: drop new docs that exactly or nearly match
     the indexed corpus, then dedup the survivors among themselves.
@@ -237,13 +250,18 @@ def dedup_against_index(
     sides are large but uniformly keyed, and the anti-joins shuffle
     only the delta.
 
-    The intra-batch candidate step runs the grouped band join WITHOUT
-    a hot-bucket cap: capping would silently UNDER-dedup (every doc in
-    a skipped bucket is kept), which is the wrong default for an
-    ingest gate.  If a batch can be boilerplate-heavy, pre-filter it
-    with the corpus-policy repetition filters, or pass the batch
-    through ``lsh_candidate_pairs_grouped(max_bucket=...)`` explicitly
-    and accept the documented recall trade.
+    The intra-batch candidate step runs the grouped band join; by
+    default WITHOUT a hot-bucket cap, because capping silently
+    UNDER-dedups (every doc in a skipped bucket is kept) — the wrong
+    default for an ingest gate.  The grouped form materializes each
+    bucket's O(n^2) pair structs as one task-local array before the
+    explode, so a boilerplate-heavy batch with a pathological hot
+    bucket can OOM an executor where the old streaming self-join only
+    slowed down.  ``max_bucket`` is the explicit, documented trade for
+    such batches: buckets above the cap contribute no intra-batch
+    pairs (recall loss bounded to those buckets; docs there are KEPT,
+    never dropped).  Alternatively pre-filter with the corpus-policy
+    repetition filters before ingest.
     """
     docs = new_docs.withColumn(
         "_md5", F.md5(normalized_text(F.col(text_col)))
@@ -301,7 +319,9 @@ def dedup_against_index(
     )
     # grouped form: one exchange per micro-batch instead of a
     # checkpointed self-join; identical pair set (dedup.py)
-    intra = lsh_candidate_pairs_grouped(surv_sigs, n_hashes, band_size)
+    intra = lsh_candidate_pairs_grouped(
+        surv_sigs, n_hashes, band_size, max_bucket=max_bucket
+    )
     losers = intra.select(F.col("doc2").alias("_loser")).distinct()
     kept_md5 = survivors.join(
         losers, survivors[id_col] == losers["_loser"], "left_anti"

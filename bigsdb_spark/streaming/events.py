@@ -317,6 +317,34 @@ def run_available_now_memory(
     return out
 
 
+def checkpoint_identity(checkpoint: str) -> str:
+    """The streaming query id persisted in ``<checkpoint>/metadata`` —
+    stable across restarts of the SAME checkpoint, different for a
+    recreated one.  Persisted sinks record it so a deleted/relocated
+    checkpoint (which restarts batch ids at 0) is DETECTED instead of
+    silently interacting with replay guards keyed on batch id.  Falls
+    back to the absolute path when the metadata file is not readable
+    (e.g. called before the stream's first start)."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(checkpoint, "metadata")) as fh:
+            return str(json.load(fh)["id"])
+    except (OSError, ValueError, KeyError):
+        return os.path.abspath(checkpoint)
+
+
+def read_analysis_cache(spark: SparkSession, cache_path: str) -> DataFrame:
+    """The current committed analysis cache (SnapshotLog-governed)."""
+    from bigsdb_spark.snaplog import SnapshotLog
+
+    snap = SnapshotLog(cache_path).latest()
+    if snap is None:
+        raise FileNotFoundError(f"no committed analysis cache at {cache_path}")
+    return spark.read.parquet(snap.path("data"))
+
+
 def run_analysis_cache_stream(
     results_stream: DataFrame,
     analysis_fields: DataFrame,
@@ -332,14 +360,24 @@ def run_analysis_cache_stream(
 
     Each micro-batch (a) normalizes its JSON rows with the same batch
     operator the gate exercises (operators/analysis.py), and (b)
-    replaces the touched (isolate_id, analysis_name) slices in the
-    parquet cache via dynamic partition overwrite on analysis_name +
-    an anti-join rewrite of the touched isolates — last-writer-wins
-    per key, exactly the trigger's DELETE+INSERT. foreachBatch is the
-    right tool: the transformation is a join-free flatten, but the
-    sink needs per-key replace semantics parquet append can't express.
+    replaces the touched (isolate_id, analysis_name) slices via an
+    anti-join rewrite — last-writer-wins per key, exactly the
+    trigger's DELETE+INSERT. foreachBatch is the right tool: the
+    transformation is a join-free flatten, but the sink needs per-key
+    replace semantics parquet append can't express.
+
+    The cache is a ``SnapshotLog`` table (bigsdb_spark/snaplog.py):
+    each batch reads the latest committed snapshot, stages the merged
+    table, and commits atomically — a crash at any step leaves the
+    previous snapshot current and complete (crash-injection proven in
+    tests/test_snaplog.py), readers mid-query keep intact files, and
+    the old move-aside/_recover_swap dance is gone.  Read it back with
+    ``read_analysis_cache``.  Replaying a batch after a
+    crash-before-checkpoint-commit is idempotent: the merge recomputes
+    the same touched slices against the already-merged snapshot.
     """
     from bigsdb_spark.operators.analysis import normalize_analysis_json
+    from bigsdb_spark.snaplog import SnapshotLog
 
     spark = results_stream.sparkSession
     if seq_col not in results_stream.columns:
@@ -350,45 +388,26 @@ def run_analysis_cache_stream(
             f"results stream needs a monotonic '{seq_col}' column to "
             "order same-key upserts within a micro-batch"
         )
-
-    def _recover_swap(cache_path: str) -> None:
-        """Repair a crash that landed mid-swap: the swap sequence is
-        write _next -> move cache aside to _old -> move _next in ->
-        drop _old, so on entry (a) cache missing + COMPLETE _next
-        (parquet _SUCCESS marker) means the new cache was built but
-        never moved in — finish the move; (b) cache missing + only
-        _old means _next was incomplete — restore the old cache
-        (nothing is lost: the checkpoint never committed, the batch
-        replays); then drop any leftover staging dirs."""
-        import os
-        import shutil
-
-        nxt, old = cache_path + "_next", cache_path + "_old"
-        if not os.path.exists(cache_path):
-            if os.path.exists(os.path.join(nxt, "_SUCCESS")):
-                shutil.move(nxt, cache_path)
-            elif os.path.exists(old):
-                shutil.move(old, cache_path)
-        for d in (nxt, old):
-            shutil.rmtree(d, ignore_errors=True)
+    log = SnapshotLog(cache_path)
+    # this stream is the cache's sole writer and has not started yet:
+    # sweeping scratch left by a crashed earlier run is race-free here
+    log.gc(sweep_orphans=True)
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        _recover_swap(cache_path)
         # last event per (isolate, name) within the batch wins,
         # ordered by the explicit upsert sequence
         latest = batch_df.groupBy("isolate_id", "name").agg(
             F.max_by("results", seq_col).alias("results")
         )
         fresh = normalize_analysis_json(latest, analysis_fields)
-        import os
-
-        if os.path.exists(cache_path):
+        snap = log.latest()
+        if snap is not None:
             # any OTHER failure reading/merging the existing cache must
             # propagate: falling back to fresh-only would silently
             # discard every previously normalized slice
-            old = spark.read.parquet(cache_path)
+            old = spark.read.parquet(snap.path("data"))
             touched = latest.select(
                 F.col("isolate_id").alias("_t_iso"),
                 F.col("name").alias("_t_name"),
@@ -402,21 +421,20 @@ def run_analysis_cache_stream(
             out = keep.unionByName(fresh)
         else:
             out = fresh  # genuinely the first batch
-        out.write.mode("overwrite").parquet(cache_path + "_next")
-        # swap with the old cache moved ASIDE, not deleted, so no crash
-        # window leaves the cache absent with its data unreachable (the
-        # old rmtree-then-move left exactly that window: next batch's
-        # exists() check would rebuild from fresh rows only, silently
-        # discarding every previously normalized slice).  _recover_swap
-        # above repairs any interrupted swap on the next batch.  A
-        # lakehouse table format (Delta/Iceberg MERGE) is the
-        # production path.
-        import shutil
-
-        if os.path.exists(cache_path):
-            shutil.move(cache_path, cache_path + "_old")
-        shutil.move(cache_path + "_next", cache_path)
-        shutil.rmtree(cache_path + "_old", ignore_errors=True)
+        txn = log.begin()
+        try:
+            out.write.mode("overwrite").parquet(txn.path("data"))
+            txn.commit(
+                meta={
+                    "batch_id": batch_id,
+                    "checkpoint_id": checkpoint_identity(checkpoint),
+                },
+                expected_version=snap.version if snap is not None else -1,
+            )
+        except BaseException:
+            txn.abort()
+            raise
+        log.gc(keep=2)
 
     q = (
         results_stream.writeStream.foreachBatch(_upsert)
@@ -437,6 +455,7 @@ def run_corpus_ingest_stream(
     k: int = 3,
     n_hashes: int = 8,
     band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> None:
     """Streaming training-corpus ingest with incremental dedup: each
     micro-batch is deduplicated against the persisted corpus index
@@ -447,50 +466,87 @@ def run_corpus_ingest_stream(
 
     The per-batch work is ``training.dedup_against_index`` — cost
     scales with the DELTA, not the corpus (the index sides are
-    hash-keyed equi-joins).  Crash-safety: the corpus write is a
-    per-batch OVERWRITE under ``batch=<id>`` (replays are idempotent),
-    and the index advances as immutable ``v<id>`` snapshot directories
-    behind a pointer file updated with an atomic rename — a crash at
-    any point leaves the previous snapshot intact, so an admitted
-    document can never re-enter even across restarts.  Replays SELF-
-    EXCLUDE: the pointer advance is the last step of a batch, so a
-    re-delivered batch whose pointer already reads ``v<batch_id>`` (a
-    crash landed between the pointer advance and the checkpoint
-    commit) is skipped outright — re-deduping it against an index
-    containing its own contributions would empty it.  A lakehouse
-    table format (Delta/Iceberg MERGE) is the production path.
-    """
-    import os
+    hash-keyed equi-joins); ``max_bucket`` passes through as the
+    intra-batch hot-bucket guard for boilerplate-heavy batches.
 
+    Crash-safety: the corpus write is a per-batch OVERWRITE under
+    ``batch=<id>`` (replays are idempotent), and the index advances as
+    ``SnapshotLog`` commits (bigsdb_spark/snaplog.py) — immutable
+    snapshot dirs published by an atomic log-record link, so a crash
+    at any point leaves the previous snapshot committed and complete,
+    and an admitted document can never re-enter even across restarts.
+
+    Each commit records (a) ``format`` — the hash-family marker
+    ``training.INDEX_FORMAT``; probing a snapshot written by a
+    different pipeline raises instead of silently never matching the
+    historical corpus — and (b) ``batch_id`` + ``checkpoint_id`` for
+    replay handling.  Replays SELF-EXCLUDE: the index commit is the
+    last step of a batch, so a committed ``batch_id >= `` this batch
+    from the SAME checkpoint means a crash landed between the commit
+    and the streaming checkpoint's own commit — re-deduping the batch
+    against an index containing its own contributions would empty it,
+    so it is skipped (with a loud log line).  A ``batch_id`` AHEAD of
+    this batch under a DIFFERENT checkpoint id means the checkpoint
+    was deleted or relocated while the index survived (batch ids
+    restarted at 0): every new batch would be silently skipped
+    forever, so this raises instead.
+    """
     from bigsdb_spark.operators.training import (
+        INDEX_FORMAT,
         build_corpus_index,
         dedup_against_index,
     )
+    from bigsdb_spark.snaplog import SnapshotLog
 
     spark = docs_stream.sparkSession
-    pointer = os.path.join(index_path, "LATEST")
+    _legacy_guard(index_path)
+    log = SnapshotLog(index_path)
+    # sole writer of this index, not yet started: sweep crashed-commit
+    # scratch (staging dirs, published-but-unlinked snapshots)
+    log.gc(sweep_orphans=True)
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        current = None
-        if os.path.exists(pointer):
-            with open(pointer) as fh:
-                current = fh.read().strip()
-        # Replay self-exclusion: the pointer advance is the LAST step of
-        # a batch, so pointer >= v<batch_id> proves this batch's corpus
-        # write and index snapshot both completed — a crash between the
-        # pointer advance and the streaming checkpoint commit re-delivers
-        # the batch, and re-deduping it against an index that already
-        # contains its own md5s/bands would drop every document and
-        # overwrite batch=<id> with an empty frame (silent permanent
-        # loss).  Skip instead: the committed output is already correct.
-        if current and int(current[1:]) >= batch_id:
-            return
-        if current:
+        snap = log.latest()
+        cid = checkpoint_identity(checkpoint)
+        if snap is not None:
+            fmt = snap.meta.get("format")
+            if fmt != INDEX_FORMAT:
+                raise RuntimeError(
+                    f"corpus index at {index_path} was written by hash "
+                    f"pipeline {fmt!r}, this engine runs {INDEX_FORMAT!r}: "
+                    "bucket values are not comparable across families — "
+                    "rebuild the index (re-ingest the corpus) rather than "
+                    "silently never matching the historical corpus"
+                )
+            committed = snap.meta.get("batch_id", -1)
+            if committed >= batch_id:
+                if snap.meta.get("checkpoint_id") == cid:
+                    # replay self-exclusion: this batch's corpus write
+                    # and index commit both completed; re-deduping it
+                    # against an index containing its own md5s/bands
+                    # would drop every document and overwrite
+                    # batch=<id> with an empty frame
+                    print(
+                        f"corpus ingest: skipping replayed batch "
+                        f"{batch_id} (index already at batch "
+                        f"{committed} for this checkpoint)"
+                    )
+                    return
+                raise RuntimeError(
+                    f"corpus index at {index_path} is at batch "
+                    f"{committed} from checkpoint "
+                    f"{snap.meta.get('checkpoint_id')!r} but this stream "
+                    f"(checkpoint {cid!r}) delivered batch {batch_id}: "
+                    "the streaming checkpoint was reset while the index "
+                    "survived — every new batch would be silently "
+                    "skipped. Restore the original checkpoint or rebuild "
+                    "the index."
+                )
             index = {
-                "md5": spark.read.parquet(f"{index_path}/{current}/md5"),
-                "bands": spark.read.parquet(f"{index_path}/{current}/bands"),
+                "md5": spark.read.parquet(snap.path("md5")),
+                "bands": spark.read.parquet(snap.path("bands")),
             }
         else:
             empty = batch_df.limit(0)
@@ -498,21 +554,35 @@ def run_corpus_ingest_stream(
                 empty, id_col, text_col, k, n_hashes, band_size
             )
         out = dedup_against_index(
-            batch_df, index, id_col, text_col, k, n_hashes, band_size
+            batch_df, index, id_col, text_col, k, n_hashes, band_size,
+            max_bucket=max_bucket,
         )
         # per-batch overwrite: re-running the same batch after a crash
         # replaces its own output instead of appending duplicates
         out["kept"].write.mode("overwrite").parquet(
             f"{corpus_path}/batch={batch_id}"
         )
-        snap = f"v{batch_id}"
-        out["md5"].write.mode("overwrite").parquet(f"{index_path}/{snap}/md5")
-        out["bands"].write.mode("overwrite").parquet(f"{index_path}/{snap}/bands")
-        tmp = pointer + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(snap)
-        os.replace(tmp, pointer)  # atomic: old snapshot stays valid
-        # until this instant, and partial snapshots are never pointed at
+        txn = log.begin()
+        try:
+            out["md5"].write.mode("overwrite").parquet(txn.path("md5"))
+            out["bands"].write.mode("overwrite").parquet(txn.path("bands"))
+            txn.commit(
+                meta={
+                    "format": INDEX_FORMAT,
+                    "batch_id": batch_id,
+                    "checkpoint_id": cid,
+                    "params": {
+                        "k": k,
+                        "n_hashes": n_hashes,
+                        "band_size": band_size,
+                    },
+                },
+                expected_version=snap.version if snap is not None else -1,
+            )
+        except BaseException:
+            txn.abort()
+            raise
+        log.gc(keep=2)
 
     q = (
         docs_stream.writeStream.foreachBatch(_ingest)
@@ -521,6 +591,22 @@ def run_corpus_ingest_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def _legacy_guard(index_path: str) -> None:
+    """Fail fast on a pre-SnapshotLog index (round-4 pointer-file
+    layout: ``LATEST`` + ``v<N>/{md5,bands}``).  Those snapshots carry
+    no format marker and were written by the md5-exploded hash family,
+    so probing them with the current pipeline would silently never
+    match the historical corpus."""
+    import os
+
+    if os.path.exists(os.path.join(index_path, "LATEST")):
+        raise RuntimeError(
+            f"corpus index at {index_path} uses the legacy pointer-file "
+            "layout (no format marker; pre-INDEX_FORMAT hash family). "
+            "Rebuild the index by re-ingesting the corpus."
+        )
 
 
 def run_autotag_stream(

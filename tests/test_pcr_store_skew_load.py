@@ -169,9 +169,10 @@ def test_materialization_drops_stale_versions(spark, tmp_path):
     df = spark.createDataFrame([(1, "a")], "id int, v string")
     for i in range(4):
         m.refresh_full(df)
-    versions = [d for d in os.listdir(m.dir) if d.startswith("v_")]
-    assert len(versions) == 2
-    assert m.read().count() == 1  # pointer still valid
+    versions = [d for d in os.listdir(m.dir) if d.startswith("snap-")]
+    assert len(versions) == 2  # live version + its predecessor
+    assert m.log.versions() == [2, 3]
+    assert m.read().count() == 1  # latest commit still valid
 
 
 def test_batchload_multiple_field_skips_empty_interior_elements(spark, tmp_path):

@@ -296,9 +296,11 @@ def test_streaming_analysis_cache_trigger_parity(spark, tmp_path):
     run_analysis_cache_stream(
         stream, fields, cache_path, str(tmp_path / "ckpt")
     )
+    from bigsdb_spark.streaming.events import read_analysis_cache
+
     got = {
         (r["isolate_id"], r["json_path"], r["value"])
-        for r in spark.read.parquet(cache_path).collect()
+        for r in read_analysis_cache(spark, cache_path).collect()
     }
     final_rows = spark.createDataFrame(
         [
@@ -446,13 +448,16 @@ def test_streaming_discovery_advances_across_batches(spark, tmp_path):
     assert ids == [2, 3]  # max+1 advanced across batches
 
 
-def test_corpus_ingest_replay_after_pointer_advance_keeps_docs(spark, tmp_path):
+def test_corpus_ingest_replay_after_index_commit_keeps_docs(spark, tmp_path):
     """Regression (ADVICE r3, medium): a crash between the index
-    pointer advance and the streaming checkpoint commit re-delivers
-    the batch; deduping it against an index that already contains its
-    own md5s/bands dropped every doc and OVERWROTE batch=<id> with an
-    empty frame.  Replays now self-exclude via the pointer's batch id."""
-    import shutil
+    commit and the streaming checkpoint commit re-delivers the batch;
+    deduping it against an index that already contains its own
+    md5s/bands dropped every doc and OVERWROTE batch=<id> with an
+    empty frame.  Replays self-exclude via the committed snapshot's
+    (batch_id, checkpoint_id).  The crash is simulated faithfully:
+    the checkpoint's batch COMMIT record is removed (so the same batch
+    id re-delivers) while the checkpoint identity survives."""
+    import os
 
     from bigsdb_spark.streaming.events import (
         read_event_stream,
@@ -475,10 +480,15 @@ def test_corpus_ingest_replay_after_pointer_advance_keeps_docs(spark, tmp_path):
     )
     before = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
     assert before == [1, 2]
-    # crash simulation: pointer advanced (index has this batch's
-    # contributions) but the checkpoint never committed -> the SAME
-    # batch id re-delivers on restart
-    shutil.rmtree(ckpt)
+    # crash simulation: index committed but the checkpoint's commit
+    # record for batch 0 never landed -> the SAME batch id re-delivers
+    # on restart under the SAME checkpoint identity
+    os.unlink(os.path.join(ckpt, "commits", "0"))
+    # the local-fs checkpoint manager keeps a checksum sidecar; a real
+    # crash-before-commit would have written neither file
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
     run_corpus_ingest_stream(
         read_event_stream(spark, src, max_files=16), corpus, index, ckpt
     )
@@ -486,15 +496,106 @@ def test_corpus_ingest_replay_after_pointer_advance_keeps_docs(spark, tmp_path):
     assert after == before  # not silently emptied
 
 
-def test_analysis_cache_recovers_interrupted_swap(spark, tmp_path):
-    """Regression (ADVICE r3): the cache swap was rmtree-then-move; a
-    crash between the two left the cache absent and the next batch
-    rebuilt from fresh rows only, silently discarding every previously
-    normalized slice.  The swap now moves the old cache aside and the
-    next batch recovers a dangling complete _next dir."""
+def test_corpus_ingest_detects_checkpoint_reset(spark, tmp_path):
+    """Regression (ADVICE r4, medium): deleting/relocating the
+    checkpoint while keeping the index restarts batch ids at 0, and
+    the old batch-id-only guard silently skipped every new batch
+    forever.  A committed batch_id ahead of the delivered one under a
+    DIFFERENT checkpoint identity now raises."""
     import shutil
 
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
     from bigsdb_spark.streaming.events import (
+        read_event_stream,
+        run_corpus_ingest_stream,
+    )
+
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    run_corpus_ingest_stream(
+        read_event_stream(spark, src, max_files=16), corpus, index, ckpt
+    )
+    # checkpoint reset: new identity, batch ids restart at 0, but new
+    # documents arrive — they must NOT be silently skipped
+    shutil.rmtree(ckpt)
+    spark.createDataFrame(
+        [(2, "pack my box with five dozen liquor jugs for the long journey")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(StreamingQueryException, match="checkpoint was reset"):
+        run_corpus_ingest_stream(
+            read_event_stream(spark, src, max_files=16), corpus, index, ckpt
+        )
+
+
+def test_corpus_ingest_rejects_legacy_and_foreign_index(spark, tmp_path):
+    """Regression (ADVICE r4, medium): index snapshots written by a
+    different hash family must fail fast — probing them silently never
+    matches the historical corpus.  Covers (a) the round-4 pointer-file
+    layout (no format marker) and (b) a SnapshotLog index carrying a
+    foreign format marker."""
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from bigsdb_spark.snaplog import SnapshotLog
+    from bigsdb_spark.streaming.events import (
+        read_event_stream,
+        run_corpus_ingest_stream,
+    )
+
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    legacy = str(tmp_path / "legacy_index")
+    os.makedirs(legacy)
+    with open(os.path.join(legacy, "LATEST"), "w") as fh:
+        fh.write("v0")
+    with pytest.raises(RuntimeError, match="legacy pointer-file"):
+        run_corpus_ingest_stream(
+            read_event_stream(spark, src, max_files=16),
+            str(tmp_path / "corpus1"),
+            legacy,
+            str(tmp_path / "ckpt1"),
+        )
+    foreign = str(tmp_path / "foreign_index")
+    log = SnapshotLog(foreign)
+    txn = log.begin()
+    for t in ("md5", "bands"):
+        spark.createDataFrame([], "x string").write.parquet(txn.path(t))
+    txn.commit(meta={"format": "minhash-md5-exploded/v0", "batch_id": 0})
+    with pytest.raises(StreamingQueryException, match="hash "):
+        run_corpus_ingest_stream(
+            read_event_stream(spark, src, max_files=16),
+            str(tmp_path / "corpus2"),
+            foreign,
+            str(tmp_path / "ckpt2"),
+        )
+
+
+def test_analysis_cache_survives_crashed_commit(spark, tmp_path):
+    """Regression lineage (ADVICE r3 -> round-5 SnapshotLog): a crash
+    at ANY step of the cache swap must leave the previous snapshot
+    current and complete — no window where the cache is absent and a
+    later batch silently rebuilds from fresh rows only.  Injected at
+    the worst point (staged + published, record not yet linked)."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from bigsdb_spark import snaplog
+    from bigsdb_spark.streaming.events import (
+        read_analysis_cache,
         read_event_stream,
         run_analysis_cache_stream,
     )
@@ -514,14 +615,38 @@ def test_analysis_cache_recovers_interrupted_swap(spark, tmp_path):
         cache,
         str(tmp_path / "ckpt1"),
     )
-    # crash simulation: old cache was moved aside and deleted, _next
-    # fully written (has _SUCCESS) but never moved into place
-    shutil.move(cache, cache + "_next")
     src2 = str(tmp_path / "src2")
     spark.createDataFrame(
         [(2, 2, "Kleborate", '{"fields":[{"ST":"11"}]}')],
         "seq long, isolate_id long, name string, results string",
     ).coalesce(1).write.parquet(src2)
+
+    class Boom(RuntimeError):
+        pass
+
+    def hook(name):
+        if name == "pre_link":
+            raise Boom(name)
+
+    snaplog._FAILPOINT = hook
+    try:
+        with pytest.raises(StreamingQueryException):
+            run_analysis_cache_stream(
+                read_event_stream(spark, src2, max_files=16),
+                fields,
+                cache,
+                str(tmp_path / "ckpt2"),
+            )
+    finally:
+        snaplog._FAILPOINT = lambda name: None
+    # the crash left batch 1's snapshot current and complete
+    got = {
+        (r["isolate_id"], r["value"])
+        for r in read_analysis_cache(spark, cache).collect()
+    }
+    assert got == {(1, "258")}
+    # restart: the uncommitted batch replays (its checkpoint never
+    # committed) and the merge lands on top of the intact snapshot
     run_analysis_cache_stream(
         read_event_stream(spark, src2, max_files=16),
         fields,
@@ -530,7 +655,6 @@ def test_analysis_cache_recovers_interrupted_swap(spark, tmp_path):
     )
     got = {
         (r["isolate_id"], r["value"])
-        for r in spark.read.parquet(cache).collect()
+        for r in read_analysis_cache(spark, cache).collect()
     }
-    # isolate 1's slice survived the interrupted swap; isolate 2 added
     assert got == {(1, "258"), (2, "11")}
