@@ -306,6 +306,94 @@ def dedup_jaccard(spark, sf_dir):
     return ngram_jaccard(sh, pairs=cand)
 
 
+# SemDeDup with INJECTED literal centroids: the coarse quantizer is a
+# fixed set of Rademacher (+/-1) patterns, so cell assignment, the
+# within-cell cosine pairs, and the connected-group labels are all
+# ANSI-SQL-expressible (the grouping via a recursive CTE) — giving the
+# semantic-dedup tier a full DuckDB value oracle.  Production trains
+# centroids with MLlib k-means|| (similarity.ivf_kmeans_ann build path);
+# assignment and everything downstream are identical.
+_SEM_DIM = 64
+_SEM_CENTROIDS = [
+    [1.0 if (j >> i) & 1 else -1.0 for j in range(_SEM_DIM)] for i in range(6)
+]
+_SEM_CENTS_SQL = ",\n        ".join(
+    "({}, [{}]::DOUBLE[])".format(
+        i, ", ".join(str(x) for x in c)
+    )
+    for i, c in enumerate(_SEM_CENTROIDS)
+)
+_SEM_COS = (
+    "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))"
+    " * sqrt(list_dot_product(b.e, b.e)))"
+)
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH RECURSIVE
+    v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+        WHERE vec_id % 17 = 0),
+    cents(cid, c) AS (VALUES
+        {_SEM_CENTS_SQL}),
+    scored AS (
+        SELECT vec_id, cid,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY list_dot_product(e, c) DESC, cid ASC
+               ) AS rn
+        FROM v CROSS JOIN cents),
+    assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+    pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM v a
+        JOIN assign aa ON aa.vec_id = a.vec_id
+        JOIN assign bb ON bb.cid = aa.cid AND bb.vec_id > aa.vec_id
+        JOIN v b ON b.vec_id = bb.vec_id
+        WHERE {_SEM_COS} >= 0.95),
+    edges AS (
+        SELECT id1, id2 FROM pairs UNION SELECT id2, id1 FROM pairs),
+    reach(id, lbl) AS (
+        SELECT vec_id, vec_id FROM v
+        UNION
+        SELECT r.id, e.id2 FROM reach r JOIN edges e ON e.id1 = r.lbl),
+    groups AS (SELECT id AS vec_id, min(lbl) AS group_id FROM reach GROUP BY id)
+    SELECT vec_id, group_id, (vec_id = group_id) AS keep FROM groups
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup semantic dedup (operators/dedup.py::semantic_dedup,
+    public design arXiv:2303.09540) with injected literal centroids and
+    PLANTED duplicates (every 17th embedding re-appended verbatim under
+    a shifted id — cosine 1.0, same cell by construction): k-means cell
+    assignment -> within-cell cosine pairs >= 0.95 -> connected groups
+    keyed by their smallest member, keep = canonical survivor.  The
+    oracle replays the full pipeline in SQL, including the transitive
+    grouping as a recursive CTE — the last dedup tier that was
+    pytest-only is now value-checked end to end."""
+    from bigsdb_spark.operators.dedup import semantic_dedup
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 17 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "e"
+        )
+    )
+    return semantic_dedup(
+        corpus,
+        "vec_id",
+        "e",
+        min_cosine=0.95,
+        centroids=_SEM_CENTROIDS,
+    )
+
+
 # ------------------------------------------------------------ similarity
 
 

@@ -439,3 +439,119 @@ def bucketed_ann_pairs(
         .filter(F.col("cosine") >= min_cosine)
         .select("bucket", "id1", "id2", "cosine")
     )
+
+
+def bucketed_ann_pairs_sq(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int = 3,
+    min_cosine: float = 0.0,
+) -> DataFrame:
+    """``bucketed_ann_pairs`` with an int8 pre-screen: IDENTICAL pair
+    output (equality-pinned in tests), but the quadratic within-bucket
+    pair expansion shuffles and folds 1-byte codes instead of 8-byte
+    doubles, and full vectors are re-joined only for the survivors.
+
+    Scale rationale (r4 scale bench): the plain path's growth term at
+    1.6e7 rows was vector BYTES through the candidate shuffle — 512 B
+    per 64-dim double vector on both join sides.  Codes are
+    ``array<tinyint>`` (~64 B), so the screened join moves ~8x fewer
+    bytes, and the exact-cosine stage touches only pairs that can
+    still pass the threshold.
+
+    The screen is SOUND, not heuristic, so no pair is lost:
+
+    * ``sq_encode`` reconstruction x_hat = scale * codes has
+      per-element error <= scale/2, i.e. ||x - x_hat|| <= scale*sqrt(d)/2.
+    * For unit directions, ||u - u_hat|| <= 2||x - x_hat|| / ||x||
+      (swap-roles form of the classical normalization perturbation
+      bound), so with  eps = scale * sqrt(d) / ||x||  per vector:
+      |cos(x, y) - cos(codes_x, codes_y)| <= eps_x + eps_y
+      (cosine is scale-invariant: cos(x_hat, y_hat) = cos of the raw
+      int codes — the screen needs no dequantization).
+    * Keep a pair iff code-cosine >= min_cosine - eps1 - eps2 - 1e-6;
+      the 1e-6 absorbs the exact path's 6-dp rounding (with_cosine)
+      plus float evaluation noise.  Zero-norm vectors divide by zero
+      in the eps/margin exactly as they do in the plain path's cosine
+      denominator — under ANSI mode both paths raise identically
+      (clean the corpus first), never silently diverge.
+
+    At 64 dims the worst-case slack (norm at the quantization floor,
+    ||x|| = 127*scale) is eps <= 8/127 ~ 0.063 per side — tight enough
+    that a 0.8 threshold screens out the overwhelmingly-dominant
+    dissimilar mass of random pairs."""
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    d = F.size(F.col(vec_col))
+    absmax = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    # same quantizer as pq.sq_encode (per-vector symmetric max-abs),
+    # with the scale bound to a lambda variable via the one-element
+    # transform so the O(d) aggregate is not re-evaluated per element
+    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+    codes = F.element_at(
+        F.transform(
+            F.array(scale),
+            lambda s: F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") / s).cast("tinyint"),
+            ),
+        ),
+        1,
+    )
+    enc = emb.select(
+        F.col(id_col).alias("id"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+        codes.alias("c"),
+        # code norm (int self-dot) and the soundness slack eps
+        (scale * F.sqrt(d.cast("double")) / _norm(F.col(vec_col))).alias("eps"),
+    ).withColumn(
+        "cn",
+        F.sqrt(
+            F.aggregate(
+                F.col("c"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x.cast("int") * x.cast("int"),
+            ).cast("double")
+        ),
+    )
+    a = enc.select(
+        F.col("id").alias("id1"), F.col("c").alias("c1"),
+        F.col("cn").alias("cn1"), F.col("eps").alias("eps1"), "bucket",
+    ).repartition(par)
+    b = enc.select(
+        F.col("id").alias("id2"), F.col("c").alias("c2"),
+        F.col("cn").alias("cn2"), F.col("eps").alias("eps2"), "bucket",
+    )
+    int_dot = F.aggregate(
+        F.zip_with(
+            F.col("c1"), F.col("c2"),
+            lambda x, y: x.cast("int") * y.cast("int"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    survivors = (
+        a.join(b, on="bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(
+            # NaN/inf margins (zero vectors) compare false -> use the
+            # complement so they are screened IN, never silently lost
+            ~(
+                int_dot.cast("double") / (F.col("cn1") * F.col("cn2"))
+                < F.lit(min_cosine) - F.col("eps1") - F.col("eps2") - F.lit(1e-6)
+            )
+        )
+        .select("bucket", "id1", "id2")
+    )
+    v = _with_norm(emb, id_col, vec_col, "id1", "e1", "n1")
+    w = _with_norm(emb, id_col, vec_col, "id2", "e2", "n2")
+    exact = survivors.join(v, on="id1").join(w, on="id2")
+    return (
+        with_cosine(exact)
+        .filter(F.col("cosine") >= min_cosine)
+        .select("bucket", "id1", "id2", "cosine")
+    )

@@ -423,3 +423,51 @@ def test_semantic_dedup_groups_and_survivors(spark):
         assert out[i]["group_id"] == i and out[i]["keep"] is True
     # exactly one survivor per group
     assert sum(1 for r in out.values() if r["keep"]) == 2 + 4
+
+
+def test_bucketed_ann_sq_prescreen_identical_pairs(spark):
+    """Equality pin (VERDICT r4 task 3): the int8-screened variant must
+    return EXACTLY the plain path's pair set — the screen's error bound
+    is sound, so no pair above the threshold is lost, and the exact
+    stage reapplies the same rounded-cosine filter.  Includes planted
+    near-threshold pairs (the dangerous band for an unsound screen),
+    and exact duplicates.  (Zero vectors raise DIVIDE_BY_ZERO under
+    ANSI mode on BOTH paths — identical behavior, not tested here.)"""
+    import numpy as np
+
+    from bigsdb_spark.operators.similarity import (
+        bucketed_ann_pairs,
+        bucketed_ann_pairs_sq,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(120):
+        rows.append((i, [float(x) for x in rng.randn(32)]))
+    # planted: exact dup, near dup, and near-threshold pairs around 0.8
+    base = rng.randn(32)
+    rows.append((200, [float(x) for x in base]))
+    rows.append((201, [float(x) for x in base]))                 # cosine 1.0
+    rows.append((202, [float(x) for x in base + rng.randn(32) * 0.05]))
+    for j, t in enumerate((0.795, 0.799, 0.800, 0.801, 0.805)):
+        v = t * base / np.linalg.norm(base) + np.sqrt(1 - t * t) * (
+            lambda w: w / np.linalg.norm(w)
+        )(rng.randn(32))
+        rows.append((210 + j, [float(x) for x in v * 3.7]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plain = {
+        tuple(r)
+        for r in bucketed_ann_pairs(
+            emb, "vec_id", "embedding", dims=3, min_cosine=0.8
+        ).collect()
+    }
+    screened = {
+        tuple(r)
+        for r in bucketed_ann_pairs_sq(
+            emb, "vec_id", "embedding", dims=3, min_cosine=0.8
+        ).collect()
+    }
+    assert screened == plain
+    assert len(plain) > 0  # the pin is not vacuous
+    # the planted exact-dup pair is present (same sign bucket always)
+    assert any(p[1] == 200 and p[2] == 201 for p in plain)

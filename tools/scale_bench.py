@@ -27,6 +27,9 @@ Paths timed per tier (each skippable via --skip):
   repeated_spans     cross-doc repeated-substring spans (Lee et al.)
   bucketed_ann       sign-bucket pair mining, bucket count scaled with
                      n (occupancy held ~64) as a real deployment would
+  bucketed_ann_sq    same pair set via the int8 pre-screen (codes in
+                     the quadratic join, full vectors only for
+                     survivors) — the shuffle-bytes fix for the r4 tail
   sq_topk            int8 scalar-quantized top-k (pure codegen scan)
   ivf_pq_encode      Arrow encode pass (cell + PQ codes)
   ivf_pq_topk        ADC top-k over the probed cells
@@ -128,12 +131,19 @@ def main() -> None:
     ap.add_argument("--doc-tiers", default="1000000,4000000")
     ap.add_argument("--emb-tiers", default="1000000,4000000,16000000")
     ap.add_argument("--graph-tiers", default="1000000,4000000")
+    ap.add_argument(
+        "--semdedup-tiers",
+        default="1000000",
+        help="semantic_dedup tiers (must be a subset of --emb-tiers; "
+        "k scales with n at ~256 vectors/cell)",
+    )
     ap.add_argument("--out", default="/tmp/scale_bench")
     ap.add_argument("--skip", default="", help="comma list of paths to skip")
     args = ap.parse_args()
     doc_tiers = [int(x) for x in args.doc_tiers.split(",") if x]
     emb_tiers = [int(x) for x in args.emb_tiers.split(",") if x]
     graph_tiers = [int(x) for x in args.graph_tiers.split(",") if x]
+    semdedup_tiers = [int(x) for x in args.semdedup_tiers.split(",") if x]
     skip = set(args.skip.split(",")) if args.skip else set()
 
     spark = get_spark("scale_bench")
@@ -308,6 +318,19 @@ def main() -> None:
                 ).count()
             )
             record("bucketed_ann", n, sec, f"dims={dims}, {cnt} pairs")
+        if "bucketed_ann_sq" not in skip:
+            from bigsdb_spark.operators.similarity import bucketed_ann_pairs_sq
+
+            dims = max(3, int(math.log2(max(n, 64) / 64)))
+            sec, cnt = _timed(
+                lambda: bucketed_ann_pairs_sq(
+                    emb, "vec_id", "embedding", dims=dims, min_cosine=0.5
+                ).count()
+            )
+            record(
+                "bucketed_ann_sq", n, sec,
+                f"dims={dims}, {cnt} pairs (int8 screen)",
+            )
 
     # ---- semantic dedup at scale (MLlib-trained centroids) ----
     # Exercises the injectable-centroids path: occupancy-constant cell
@@ -319,33 +342,39 @@ def main() -> None:
 
         from bigsdb_spark.operators.dedup import semantic_dedup
 
-        n = emb_tiers[0]
-        emb = spark.read.parquet(f"{args.out}/emb_{n}")
-        k = max(64, n // 256)
-        feat = emb.select(
-            "vec_id", "embedding",
-            array_to_vector(F.col("embedding").cast("array<double>")).alias(
-                "features"
-            ),
-        )
-        t_train, model = _timed(
-            lambda: KMeans(k=k, seed=7, maxIter=5, featuresCol="features")
-            .fit(feat)
-        )
-        print(f"# semantic_dedup kmeans k={k} trained in {t_train:.1f}s", flush=True)
-        centers = [c.tolist() for c in model.clusterCenters()]
-        sec, kept = _timed(
-            lambda: semantic_dedup(
-                emb, "vec_id", "embedding", min_cosine=0.95,
-                centroids=centers,
+        # occupancy-constant scaling: k grows proportionally with n
+        # (cells hold ~256 vectors at every tier), exactly how a real
+        # deployment holds the per-cell pair expansion bounded
+        for n in semdedup_tiers:
+            emb = spark.read.parquet(f"{args.out}/emb_{n}")
+            k = max(64, n // 256)
+            feat = emb.select(
+                "vec_id", "embedding",
+                array_to_vector(F.col("embedding").cast("array<double>")).alias(
+                    "features"
+                ),
             )
-            .filter("keep")
-            .count()
-        )
-        record(
-            "semantic_dedup", n, sec,
-            f"k={k} cells, {kept} survivors of {n}",
-        )
+            t_train, model = _timed(
+                lambda: KMeans(k=k, seed=7, maxIter=5, featuresCol="features")
+                .fit(feat)
+            )
+            print(
+                f"# semantic_dedup kmeans k={k} trained in {t_train:.1f}s",
+                flush=True,
+            )
+            centers = [c.tolist() for c in model.clusterCenters()]
+            sec, kept = _timed(
+                lambda: semantic_dedup(
+                    emb, "vec_id", "embedding", min_cosine=0.95,
+                    centroids=centers,
+                )
+                .filter("keep")
+                .count()
+            )
+            record(
+                "semantic_dedup", n, sec,
+                f"k={k} cells, {kept} survivors of {n}",
+            )
 
     # ---- incremental ingest: per-delta cost vs a growing index ----
     # The claim under test: dedup_against_index scales with the DELTA,
