@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 import itertools
 import json
+import threading
 from dataclasses import dataclass, field
 
 
@@ -52,6 +53,11 @@ class JobService:
     user_quota: int = 2
     _jobs: dict[int, Job] = field(default_factory=dict)
     _seq: itertools.count = field(default_factory=itertools.count)
+    # admission and dequeue are check-then-act sequences; concurrent
+    # submitters (REST workers) must serialize through them or two
+    # identical fingerprints could both pass the duplicate scan (the
+    # reference gets this for free from the jobs DB's transaction)
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     @staticmethod
     def fingerprint(module: str, params: dict) -> str:
@@ -60,37 +66,41 @@ class JobService:
 
     def add_job(self, module: str, params: dict, user: str, priority: int = 5) -> Job:
         fp = self.fingerprint(module, params)
-        for j in self._jobs.values():
-            if j.fingerprint == fp and j.status in ("submitted", "started"):
-                raise DuplicateJobError(f"duplicate of job {j.job_id}")
-        active = sum(
-            1
-            for j in self._jobs.values()
-            if j.user == user and j.status in ("submitted", "started")
-        )
-        if active >= self.user_quota:
-            raise QuotaExceededError(f"user {user} has {active} active jobs")
-        seq = next(self._seq)
-        job = Job(
-            job_id=seq,
-            module=module,
-            params=params,
-            user=user,
-            priority=priority,
-            fingerprint=fp,
-            submit_seq=seq,
-        )
-        self._jobs[job.job_id] = job
-        return job
+        with self._lock:
+            for j in self._jobs.values():
+                if j.fingerprint == fp and j.status in ("submitted", "started"):
+                    raise DuplicateJobError(f"duplicate of job {j.job_id}")
+            active = sum(
+                1
+                for j in self._jobs.values()
+                if j.user == user and j.status in ("submitted", "started")
+            )
+            if active >= self.user_quota:
+                raise QuotaExceededError(f"user {user} has {active} active jobs")
+            seq = next(self._seq)
+            job = Job(
+                job_id=seq,
+                module=module,
+                params=params,
+                user=user,
+                priority=priority,
+                fingerprint=fp,
+                submit_seq=seq,
+            )
+            self._jobs[job.job_id] = job
+            return job
 
     def next_job(self) -> Job | None:
-        """Priority-ordered dequeue, FIFO within a priority level."""
-        queued = [j for j in self._jobs.values() if j.status == "submitted"]
-        if not queued:
-            return None
-        job = min(queued, key=lambda j: (j.priority, j.submit_seq))
-        job.status = "started"
-        return job
+        """Priority-ordered dequeue, FIFO within a priority level.
+        Serialized with admission so two workers cannot start the same
+        job."""
+        with self._lock:
+            queued = [j for j in self._jobs.values() if j.status == "submitted"]
+            if not queued:
+                return None
+            job = min(queued, key=lambda j: (j.priority, j.submit_seq))
+            job.status = "started"
+            return job
 
     def update_progress(self, job_id: int, percent: int, stage: str = "") -> None:
         j = self._jobs[job_id]

@@ -89,7 +89,7 @@ def top_n(df: DataFrame, order: list[Column], n: int) -> DataFrame:
 
 
 def explore_hierarchy(
-    df: DataFrame, fields: list[str], max_rows: int = 50_000
+    df: DataFrame, fields: list[str], max_rows: int = 50_000, offset: int = 0
 ) -> dict:
     """Data Explorer drill-down tree (DataExplorerPage.pm:79-157
     _create_hierarchy/_populate_node over the multi-field frequency
@@ -117,21 +117,37 @@ def explore_hierarchy(
     ones the explorer UI surfaces first) and flags the cut with
     ``root['truncated'] = True``; untruncated trees carry
     ``truncated = False``.  Counts in a truncated tree cover the kept
-    combinations only, matching the reference's paged view."""
+    combinations only, matching the reference's paged view.
+
+    A capped tree can be CONTINUED rather than re-run (the reference
+    pages the drill-down the same way, DataExplorerPage.pm:79-157):
+    the frequency frame's (count desc, fields asc) order is total and
+    deterministic, so ``offset`` is a stable cursor into it.  A
+    truncated page carries ``next_offset``; feed it back to fetch the
+    next slice and fold pages together with ``merge_hierarchy`` — the
+    paged union reassembles exactly the unpaged tree (pinned in
+    tests)."""
     freq_df = combination_counts(df, fields, null_label="No value")
     cnt = "__n" if "n" in fields else "n"
     if cnt != "n":
         freq_df = freq_df.withColumnRenamed("n", cnt)
-    # TakeOrderedAndProject: the limit rides the sort, so the driver
-    # never receives more than max_rows+1 rows however wide the
-    # cardinality product is (the +1 detects the cut)
-    freq = freq_df.orderBy(
-        F.desc(cnt), *[F.asc(f) for f in fields]
-    ).limit(max_rows + 1).collect()
+    # TakeOrderedAndProject: the limit (and cursor offset) ride the
+    # sort, so the driver never receives more than max_rows+1 rows
+    # however wide the cardinality product is (the +1 detects the cut)
+    ordered = freq_df.orderBy(F.desc(cnt), *[F.asc(f) for f in fields])
+    if offset:
+        ordered = ordered.offset(offset)
+    freq = ordered.limit(max_rows + 1).collect()
     truncated = len(freq) > max_rows
     if truncated:
         freq = freq[:max_rows]
-    root = {"count": 0, "children": [], "truncated": truncated}
+    root = {
+        "count": 0,
+        "children": [],
+        "truncated": truncated,
+        "offset": offset,
+        "next_offset": offset + max_rows if truncated else None,
+    }
     index: dict = {}  # path-tuple -> node, O(1) sibling lookup
     for rec in freq:
         root["count"] += rec[cnt]
@@ -150,3 +166,33 @@ def explore_hierarchy(
             hit["count"] += rec[cnt]
             nodes = hit.get("children", [])
     return root
+
+
+def merge_hierarchy(into: dict, page: dict) -> dict:
+    """Fold a continuation page (``explore_hierarchy`` with the prior
+    page's ``next_offset``) into an accumulated tree, in place.
+
+    Pages partition the count-ordered frequency frame, so every
+    (field, value) path's count appears in exactly one page — merging
+    sums disjoint contributions, and the union of all pages is exactly
+    the unpaged tree.  The merged tree adopts the newest page's cursor
+    state (``truncated``/``next_offset``): the fold is complete when
+    the last page came back untruncated."""
+
+    def _merge_children(a: list, b: list) -> None:
+        index = {(n["field"], n["value"]): n for n in a}
+        for n in b:
+            hit = index.get((n["field"], n["value"]))
+            if hit is None:
+                a.append(n)
+            else:
+                hit["count"] += n["count"]
+                if "children" in n:
+                    _merge_children(hit.setdefault("children", []), n["children"])
+
+    into["count"] += page["count"]
+    _merge_children(into["children"], page["children"])
+    into["truncated"] = page["truncated"]
+    into["offset"] = page["offset"]
+    into["next_offset"] = page["next_offset"]
+    return into

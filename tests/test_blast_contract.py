@@ -265,3 +265,76 @@ def test_reverse_exact_double_separator_era(parsed_strand):
     # an exactly matched locus drops from the partial tier
     rest = blast_partial_matches(parsed_strand, exact=blast_exact_matches(parsed_strand))
     assert rest.filter("locus = 'nadA'").count() == 0
+
+
+# --- multi-HSP records per (query, subject) pair (Blast.pm:443-502
+# iterates every tabular record independently; a contig holding two
+# copies of an allele, or one allele matching in two fragments, emits
+# one line per HSP) ---
+
+MULTIHSP = str(
+    pathlib.Path(__file__).parent / "fixtures" / "blast_outfmt6_multihsp.tsv"
+)
+
+
+@pytest.fixture(scope="module")
+def parsed_multihsp(spark):
+    lines = spark.read.text(MULTIHSP).withColumnRenamed("value", "line")
+    return parse_blast_tabular(lines).cache()
+
+
+def test_multihsp_tandem_copies_both_exact(parsed_multihsp):
+    """Two full-span HSPs of the SAME allele at different query starts
+    (a tandem duplication) are two exact matches — dedup is keyed on
+    (locus, allele, start), not on the query-subject pair; a third HSP
+    replaying start 201 is dropped by first-in-file-order (:363-364)."""
+    ex = {
+        r.start: r
+        for r in blast_exact_matches(parsed_multihsp)
+        .filter("locus = 'abcZ'")
+        .collect()
+    }
+    assert sorted(ex) == [201, 1201]                 # both copies kept
+    assert ex[201].identity == 100.0                 # first record won
+    assert ex[201].end == 300 and ex[1201].end == 1300
+
+
+def test_multihsp_partial_fragments_stay_separate(parsed_multihsp):
+    """One allele aligning as two HSPs (first half / second half of
+    fumC|4|120) yields two partial records, each with ITS OWN
+    predicted allele span extrapolated from its own fragment — the
+    parser must not collapse per (query, subject)."""
+    pm = (
+        blast_partial_matches(parsed_multihsp, identity=90.0, alignment=25.0)
+        .filter("locus = 'fumC'")
+        .orderBy("start")
+        .collect()
+    )
+    assert len(pm) == 2
+    first, second = pm
+    assert (first.start, first.end) == (501, 560)
+    assert (first.predicted_start, first.predicted_end) == (501, 620)
+    assert (second.start, second.end) == (601, 660)
+    assert (second.predicted_start, second.predicted_end) == (541, 660)
+
+
+def test_multihsp_best_poor_keeps_single_record(parsed_multihsp):
+    """With thresholds unset, a locus whose HSPs ALL fail still returns
+    exactly one record — the first in file order (BLAST emits
+    best-first; return_best_poor_*, :449-452) — never one per HSP."""
+    poor = (
+        blast_partial_matches(parsed_multihsp)
+        .filter("locus = 'glnA'")
+        .collect()
+    )
+    assert len(poor) == 1
+    assert poor[0].identity == 70.0 and poor[0].start == 10
+
+
+def test_multihsp_exact_locus_excluded_from_partial(parsed_multihsp):
+    """A locus with exact matches (even multi-copy) is dropped from the
+    partial tier wholesale (:464) — no HSP of abcZ leaks through."""
+    ex = blast_exact_matches(parsed_multihsp)
+    pm = blast_partial_matches(parsed_multihsp, exact=ex)
+    assert pm.filter("locus = 'abcZ'").count() == 0
+    assert pm.filter("locus = 'fumC'").count() == 2

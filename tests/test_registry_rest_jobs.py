@@ -144,6 +144,77 @@ def test_job_failure_is_status():
     assert done.status == "failed" and "ZeroDivisionError" in done.result
 
 
+def test_job_admission_exactly_once_under_concurrency():
+    """VERDICT r4 task 9: fingerprint dedup and quotas were only tested
+    sequentially; the admission scan is check-then-act, so concurrent
+    submitters must serialize through it.  N threads race the SAME
+    fingerprint — exactly one admission may win; then threads race
+    distinct fingerprints for one user — exactly quota admissions win."""
+    import threading
+
+    svc = JobService(user_quota=2)
+    n_threads = 16
+    results: list[object] = [None] * n_threads
+    barrier = threading.Barrier(n_threads)
+
+    def submit_dup(i):
+        barrier.wait()  # maximize overlap inside add_job
+        try:
+            results[i] = svc.add_job("BURST", {"scheme": 1}, user=f"u{i}")
+        except DuplicateJobError as e:
+            results[i] = e
+
+    threads = [
+        threading.Thread(target=submit_dup, args=(i,)) for i in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    admitted = [r for r in results if not isinstance(r, Exception)]
+    assert len(admitted) == 1  # exactly-once admission
+    assert sum(isinstance(r, DuplicateJobError) for r in results) == n_threads - 1
+
+    # quota race: one user, distinct params, quota=2, one slot already
+    # taken by nothing (fresh service) -> exactly 2 admissions
+    svc2 = JobService(user_quota=2)
+    results2: list[object] = [None] * n_threads
+    barrier2 = threading.Barrier(n_threads)
+
+    def submit_quota(i):
+        barrier2.wait()
+        try:
+            results2[i] = svc2.add_job("Export", {"i": i}, user="alice")
+        except QuotaExceededError as e:
+            results2[i] = e
+
+    threads = [
+        threading.Thread(target=submit_quota, args=(i,)) for i in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    admitted2 = [r for r in results2 if not isinstance(r, Exception)]
+    assert len(admitted2) == 2  # quota holds exactly under the race
+    # dequeue race: concurrent workers never start the same job
+    starts: list[object] = []
+    lock = threading.Lock()
+
+    def worker():
+        j = svc2.next_job()
+        with lock:
+            starts.append(j)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    started = [j.job_id for j in starts if j is not None]
+    assert len(started) == 2 and len(set(started)) == 2
+
+
 def test_materialization_swap_and_incremental(spark, tmp_path):
     mat = Materialization(spark, str(tmp_path), "scheme_fields_1")
     df1 = spark.createDataFrame([(1, "ST1"), (2, "ST2")], "id int, st string")
