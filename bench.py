@@ -85,6 +85,18 @@ def _corpus_assembly(spark, sf_dir):
 _PQ_QUERY = [((h * 37 + 11) % 2001 - 1000) / 1000.0 for h in range(64)]
 
 
+def _bucketed_ann_sq(spark, sf_dir):
+    # the int8-screened variant of sim_bucketed_ann: identical pair
+    # output, codes instead of vectors through the quadratic join —
+    # the shuffle-bytes term that dominates at 1.6e7 rows (BASELINE.md)
+    from bigsdb_spark.operators.similarity import bucketed_ann_pairs_sq
+
+    return bucketed_ann_pairs_sq(
+        tbl(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        dims=3, min_cosine=0.2,  # same params as the sim_bucketed_ann gate
+    )
+
+
 def _sq_topk(spark, sf_dir):
     # int8 scalar-quantized top-k: quantize + integer-dot + top-k as a
     # single joinless codegen scan (operators/pq.py)
@@ -119,6 +131,7 @@ EXTRA = {
     "corpus_assembly": _corpus_assembly,
     "sq_topk": _sq_topk,
     "sim_ivf_pq_topk": _ivf_pq,
+    "sim_bucketed_ann_sq": _bucketed_ann_sq,
 }
 
 HEADLINE = [
@@ -142,6 +155,7 @@ HEADLINE = [
     "sim_brute_topk",
     "sim_brute_topk_np",
     "sim_bucketed_ann",
+    "sim_bucketed_ann_sq",
     "sq_topk",
     "sim_ivf_pq_topk",
     "t_text_suite",

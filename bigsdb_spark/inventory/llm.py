@@ -154,10 +154,64 @@ _COS = (
 )
 
 
+# SemDeDup with INJECTED literal centroids: the coarse quantizer is a
+# fixed set of Rademacher (+/-1) patterns, so cell assignment, the
+# within-cell cosine pairs, and the connected-group labels are all
+# ANSI-SQL-expressible (the grouping via a recursive CTE) — giving the
+# semantic-dedup tier a full DuckDB value oracle as the third method
+# of the dedup_exact gate entry (the gate holds the 50-entry layout).
+# Production trains centroids with MLlib k-means|| (the
+# similarity.ivf_kmeans_ann build path); assignment and everything
+# downstream are identical.
+_SEM_DIM = 64
+_SEM_CENTROIDS = [
+    [1.0 if (j >> i) & 1 else -1.0 for j in range(_SEM_DIM)] for i in range(6)
+]
+_SEM_CENTS_SQL = ",\n        ".join(
+    "({}, [{}]::DOUBLE[])".format(i, ", ".join(str(x) for x in c))
+    for i, c in enumerate(_SEM_CENTROIDS)
+)
+_SEM_COS = (
+    "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))"
+    " * sqrt(list_dot_product(b.e, b.e)))"
+)
+_SEM_CTES = f"""
+    sv AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        UNION ALL
+        SELECT vec_id + 2000000, embedding::DOUBLE[] FROM embeddings
+        WHERE vec_id % 17 = 0),
+    cents(cid, c) AS (VALUES
+        {_SEM_CENTS_SQL}),
+    sscored AS (
+        SELECT vec_id, cid,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY list_dot_product(e, c) DESC, cid ASC
+               ) AS rn
+        FROM sv CROSS JOIN cents),
+    sassign AS (SELECT vec_id, cid FROM sscored WHERE rn = 1),
+    spairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM sv a
+        JOIN sassign aa ON aa.vec_id = a.vec_id
+        JOIN sassign bb ON bb.cid = aa.cid AND bb.vec_id > aa.vec_id
+        JOIN sv b ON b.vec_id = bb.vec_id
+        WHERE {_SEM_COS} >= 0.95),
+    sedges AS (
+        SELECT id1, id2 FROM spairs UNION SELECT id2, id1 FROM spairs),
+    reach(id, lbl) AS (
+        SELECT vec_id, vec_id FROM sv
+        UNION
+        SELECT r.id, e.id2 FROM reach r JOIN sedges e ON e.id1 = r.lbl),
+    sgroups AS (SELECT id AS vec_id, min(lbl) AS group_id FROM reach GROUP BY id)
+"""
+
+
 @register(
     "dedup_exact",
     oracle=f"""
-    WITH docs AS (
+    WITH RECURSIVE docs AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000 AS doc_id, text FROM documents
@@ -177,20 +231,26 @@ _COS = (
         FROM emb),
     s AS (
         SELECT a.vec_id AS id1, b.vec_id AS id2, a.e AS e1, b.e AS e2
-        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    {_SEM_CTES}
     SELECT 'exact' AS method, keeper AS id1, doc_id AS id2,
            CAST(1.0 AS DOUBLE) AS score
     FROM ex WHERE doc_id <> keeper
     UNION ALL
     SELECT 'embedding_cosine' AS method, id1, id2, {_COS} AS score
     FROM s WHERE {_COS} >= 0.98
+    UNION ALL
+    SELECT 'semantic' AS method, group_id AS id1, vec_id AS id2,
+           CAST(1.0 AS DOUBLE) AS score
+    FROM sgroups WHERE vec_id <> group_id
     """,
 )
 def dedup_exact(spark, sf_dir):
-    """Exact + embedding-cosine dedup in one checked frame, exercised
-    against PLANTED duplicates (every 17th document re-appended under a
-    shifted id; every 17th embedding re-appended halved — same
-    direction, cosine 1.0):
+    """Exact + embedding-cosine + SemDeDup semantic dedup in one
+    checked frame, exercised against PLANTED duplicates (every 17th
+    document re-appended under a shifted id; every 17th embedding
+    re-appended halved for the cosine tier and verbatim for the
+    semantic tier — cosine 1.0 either way):
 
     - method='exact': star-shaped (keeper, dup) pairs from the
       fingerprint window — linear in corpus size, no self-join
@@ -200,6 +260,13 @@ def dedup_exact(spark, sf_dir):
       exact cosine >= 0.98 (dedup.embedding_near_duplicates) — the
       semantic-dedup tier of a training-data pipeline; candidate
       generation is a hash join on the bucket id.
+    - method='semantic': SemDeDup (dedup.semantic_dedup, public design
+      arXiv:2303.09540) with injected literal Rademacher centroids —
+      cell assignment, within-cell cosine pairs >= 0.95, connected
+      duplicate groups keyed by smallest member; emitted as the same
+      star shape (group keeper, member).  The DuckDB oracle replays
+      the full pipeline including the transitive grouping (recursive
+      CTE), so the k-means-cells tier is value-checked end to end.
     """
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.unionByName(
@@ -230,7 +297,27 @@ def dedup_exact(spark, sf_dir):
         F.col("id2").cast("long").alias("id2"),
         F.col("cosine").alias("score"),
     )
-    return ex.unionByName(nd)
+    from bigsdb_spark.operators.dedup import semantic_dedup
+
+    sem_corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 17 == 0).select(
+            (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+        )
+    )
+    sem = (
+        semantic_dedup(
+            sem_corpus, "vec_id", "embedding",
+            min_cosine=0.95, centroids=_SEM_CENTROIDS,
+        )
+        .filter(F.col("vec_id") != F.col("group_id"))
+        .select(
+            F.lit("semantic").alias("method"),
+            F.col("group_id").cast("long").alias("id1"),
+            F.col("vec_id").cast("long").alias("id2"),
+            F.lit(1.0).alias("score"),
+        )
+    )
+    return ex.unionByName(nd).unionByName(sem)
 
 
 _LSH_CTE = f"""
@@ -304,94 +391,6 @@ def dedup_jaccard(spark, sf_dir):
     sig = minhash_signatures(sh, n_hashes=8)
     cand = lsh_candidate_pairs(sig, n_hashes=8, band_size=2)
     return ngram_jaccard(sh, pairs=cand)
-
-
-# SemDeDup with INJECTED literal centroids: the coarse quantizer is a
-# fixed set of Rademacher (+/-1) patterns, so cell assignment, the
-# within-cell cosine pairs, and the connected-group labels are all
-# ANSI-SQL-expressible (the grouping via a recursive CTE) — giving the
-# semantic-dedup tier a full DuckDB value oracle.  Production trains
-# centroids with MLlib k-means|| (similarity.ivf_kmeans_ann build path);
-# assignment and everything downstream are identical.
-_SEM_DIM = 64
-_SEM_CENTROIDS = [
-    [1.0 if (j >> i) & 1 else -1.0 for j in range(_SEM_DIM)] for i in range(6)
-]
-_SEM_CENTS_SQL = ",\n        ".join(
-    "({}, [{}]::DOUBLE[])".format(
-        i, ", ".join(str(x) for x in c)
-    )
-    for i, c in enumerate(_SEM_CENTROIDS)
-)
-_SEM_COS = (
-    "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))"
-    " * sqrt(list_dot_product(b.e, b.e)))"
-)
-
-
-@register(
-    "dedup_semantic",
-    oracle=f"""
-    WITH RECURSIVE
-    v AS (
-        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-        UNION ALL
-        SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
-        WHERE vec_id % 17 = 0),
-    cents(cid, c) AS (VALUES
-        {_SEM_CENTS_SQL}),
-    scored AS (
-        SELECT vec_id, cid,
-               row_number() OVER (
-                   PARTITION BY vec_id
-                   ORDER BY list_dot_product(e, c) DESC, cid ASC
-               ) AS rn
-        FROM v CROSS JOIN cents),
-    assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
-    pairs AS (
-        SELECT a.vec_id AS id1, b.vec_id AS id2
-        FROM v a
-        JOIN assign aa ON aa.vec_id = a.vec_id
-        JOIN assign bb ON bb.cid = aa.cid AND bb.vec_id > aa.vec_id
-        JOIN v b ON b.vec_id = bb.vec_id
-        WHERE {_SEM_COS} >= 0.95),
-    edges AS (
-        SELECT id1, id2 FROM pairs UNION SELECT id2, id1 FROM pairs),
-    reach(id, lbl) AS (
-        SELECT vec_id, vec_id FROM v
-        UNION
-        SELECT r.id, e.id2 FROM reach r JOIN edges e ON e.id1 = r.lbl),
-    groups AS (SELECT id AS vec_id, min(lbl) AS group_id FROM reach GROUP BY id)
-    SELECT vec_id, group_id, (vec_id = group_id) AS keep FROM groups
-    """,
-)
-def dedup_semantic(spark, sf_dir):
-    """SemDeDup semantic dedup (operators/dedup.py::semantic_dedup,
-    public design arXiv:2303.09540) with injected literal centroids and
-    PLANTED duplicates (every 17th embedding re-appended verbatim under
-    a shifted id — cosine 1.0, same cell by construction): k-means cell
-    assignment -> within-cell cosine pairs >= 0.95 -> connected groups
-    keyed by their smallest member, keep = canonical survivor.  The
-    oracle replays the full pipeline in SQL, including the transitive
-    grouping as a recursive CTE — the last dedup tier that was
-    pytest-only is now value-checked end to end."""
-    from bigsdb_spark.operators.dedup import semantic_dedup
-
-    emb = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    corpus = emb.unionByName(
-        emb.filter(F.col("vec_id") % 17 == 0).select(
-            (F.col("vec_id") + 1000000).alias("vec_id"), "e"
-        )
-    )
-    return semantic_dedup(
-        corpus,
-        "vec_id",
-        "e",
-        min_cosine=0.95,
-        centroids=_SEM_CENTROIDS,
-    )
 
 
 # ------------------------------------------------------------ similarity

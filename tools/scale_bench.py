@@ -464,16 +464,17 @@ def main() -> None:
             .collect()[0][0]
         )
         record("single_linkage", n, sec, f"{cnt} components")
-        from bigsdb_spark.operators.clustering import (
-            connected_components_star,
-        )
+        if "star_cc" not in skip:
+            from bigsdb_spark.operators.clustering import (
+                connected_components_star,
+            )
 
-        sec, cnt = _timed(
-            lambda: connected_components_star(edges, nodes)
-            .select(F.countDistinct("group_id"))
-            .collect()[0][0]
-        )
-        record("star_cc", n, sec, f"{cnt} components")
+            sec, cnt = _timed(
+                lambda: connected_components_star(edges, nodes)
+                .select(F.countDistinct("group_id"))
+                .collect()[0][0]
+            )
+            record("star_cc", n, sec, f"{cnt} components")
 
     print(json.dumps({"scale_bench": results}), flush=True)
 
