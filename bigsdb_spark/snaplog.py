@@ -105,7 +105,6 @@ class Transaction:
         self,
         meta: dict[str, Any] | None = None,
         expected_version: int | None = None,
-        max_retries: int = 10,
     ) -> Snapshot:
         """Publish the staged tables as the next snapshot.
 
@@ -136,9 +135,12 @@ class Transaction:
         log_dir = os.path.join(self._log.root, "_log")
         os.makedirs(log_dir, exist_ok=True)
         tmp = os.path.join(log_dir, f".tmp-{self.token}")
-        last_err: Exception | None = None
         try:
-            for _ in range(max_retries):
+            # losing the link race (EEXIST) proves ANOTHER writer just
+            # committed, so unbounded retry cannot livelock: a writer
+            # retries at most once per competing commit (lock-free
+            # progress).  Only expected_version mismatches abort.
+            while True:
                 latest = self._log.latest()
                 latest_v = latest.version if latest else -1
                 if expected_version is not None and latest_v != expected_version:
@@ -161,8 +163,7 @@ class Transaction:
                     # the atomic publish: first writer to claim the
                     # version number wins; EEXIST means we raced
                     os.link(tmp, os.path.join(log_dir, f"{version:011d}.json"))
-                except FileExistsError as exc:
-                    last_err = exc
+                except FileExistsError:
                     continue
                 self._linked = True  # commit is durable from here on
                 _fail("post_link")
@@ -170,9 +171,6 @@ class Transaction:
                 return Snapshot(
                     self._log.root, version, snap_rel, tuple(tables), meta or {}
                 )
-            raise CommitConflict(
-                f"lost the version race {max_retries} times"
-            ) from last_err
         finally:
             try:
                 os.unlink(tmp)

@@ -253,3 +253,37 @@ def test_materialization_incremental_retries_on_race(spark, tmp_path):
     got = sorted(tuple(r) for r in m.read().collect())
     # row 3 from the competing refresh survived the merge
     assert got == [(1, "a"), (2, "B!"), (3, "c")]
+
+
+def test_threaded_commit_race_loses_nothing(tmp_path):
+    """N threads race unversioned commits: every commit lands, versions
+    are a contiguous 0..N-1 sequence, and each payload is readable at
+    exactly one version — the link-first-wins loop serializes writers
+    without locks (the multi-writer claim under a real thread race)."""
+    import threading
+
+    log = SnapshotLog(str(tmp_path / "t"))
+    n = 12
+    barrier = threading.Barrier(n)
+    errors: list[BaseException] = []
+
+    def commit_one(i):
+        try:
+            txn = log.begin()
+            _write_table(txn, "data", f"payload-{i}")
+            barrier.wait()  # maximize link contention
+            txn.commit(meta={"writer": i})
+        except BaseException as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=commit_one, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert log.versions() == list(range(n))
+    payloads = sorted(
+        _read_table(log.snapshot(v), "data") for v in log.versions()
+    )
+    assert payloads == sorted(f"payload-{i}" for i in range(n))
