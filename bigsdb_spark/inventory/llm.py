@@ -547,6 +547,60 @@ _PII_PLANT_SQL = (
 )
 
 
+# DSIR (Xie et al. 2023) fixtures: hashed uni-/bi-gram buckets via the
+# first 4 hex chars of md5(gram) mod 256 — digit-by-digit in DuckDB so
+# the bucket ids (and therefore the fitted models) are engine-identical.
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_SQL = "d.source IN ('src0', 'src1')"
+
+
+def _hexd(src: str, pos: int) -> str:
+    return f"(strpos('0123456789abcdef', substr({src}, {pos}, 1)) - 1)"
+
+
+_DSIR_BUCKET_SQL = (
+    "("
+    + " + ".join(f"{_hexd('md5(gram)', i + 1)} * {16 ** (3 - i)}" for i in range(4))
+    + f") % {_DSIR_BUCKETS}"
+)
+_GUMBEL_V_SQL = " + ".join(
+    _hexd("md5('dsir' || doc_id)", i + 1) + f" * {16 ** (7 - i)}" for i in range(8)
+)
+_DSIR_CTES = f"""
+    uni AS (SELECT doc_id, tok AS gram FROM toks, UNNEST(t) AS u(tok)),
+    dsg AS (SELECT doc_id, gram FROM uni
+            UNION ALL SELECT doc_id, gram FROM g2),
+    dsf AS (SELECT doc_id, CAST({_DSIR_BUCKET_SQL} AS INT) AS bucket FROM dsg),
+    dsb AS (SELECT bucket, count(*) AS craw,
+                   sum(CASE WHEN {_DSIR_TARGET_SQL} THEN 1 ELSE 0 END) AS ctgt
+            FROM dsf JOIN documents d USING (doc_id) GROUP BY 1),
+    dst AS (SELECT sum(craw) AS nraw, sum(ctgt) AS ntgt FROM dsb),
+    dsr AS (SELECT bucket,
+                   ln((ctgt + 1) / (ntgt + {_DSIR_BUCKETS}))
+                 - ln((craw + 1) / (nraw + {_DSIR_BUCKETS})) AS log_ratio
+            FROM dsb CROSS JOIN dst),
+    dsw AS (SELECT doc_id, sum(log_ratio) AS logw
+            FROM dsf JOIN dsr USING (bucket) GROUP BY 1),
+    dsk AS (SELECT doc_id, logw,
+                   logw - ln(-ln((({_GUMBEL_V_SQL}) + 0.5) / 4294967296.0))
+                       AS gkey
+            FROM dsw),
+    dssel AS (SELECT doc_id, logw, gkey,
+                     row_number() OVER (ORDER BY gkey DESC, doc_id) AS rn
+              FROM dsk)
+"""
+_DSIR_UNION_SQL = f"""
+    UNION ALL
+    SELECT 'dsir_w', CAST(doc_id AS BIGINT), NULL, NULL, NULL,
+           round(logw, 4), NULL, NULL
+    FROM dsw
+    UNION ALL
+    SELECT 'dsir_sel', CAST(doc_id AS BIGINT), CAST(rn AS BIGINT), NULL, NULL,
+           round(logw, 4), round(gkey, 4), NULL
+    FROM dssel WHERE rn <= (SELECT count(*) // 5 FROM documents)
+"""
+
+
 def _policy_oracle() -> str:
     from bigsdb_spark.operators.corpus import EMAIL_RE, IPV4_RE, PHONE_RE
 
@@ -595,7 +649,8 @@ def _policy_oracle() -> str:
         FROM dg JOIN bg ON bg.gram = dg.gram GROUP BY 1),
     pii AS (
         SELECT doc_id, {_PII_PLANT_SQL} AS ptext FROM documents
-        WHERE doc_id % 10 = 0)
+        WHERE doc_id % 10 = 0),
+    {_DSIR_CTES.strip()}
     SELECT 'rep' AS kind, CAST(doc_id AS BIGINT) AS doc_id,
            CASE WHEN f_top2 <= 0.20 AND f_dup5 <= 0.15
                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS n_a,
@@ -617,6 +672,7 @@ def _policy_oracle() -> str:
                '{PHONE_RE}', '[PHONE]', 'g'),
                '{IPV4_RE}', '[IP]', 'g'))
     FROM pii
+    {_DSIR_UNION_SQL}
     """
 
 
@@ -630,10 +686,18 @@ def t_policy_suite(spark, sf_dir):
     train/test overlap scrub), and PII count + redaction (regexp
     expressions over deterministically planted addresses; the redacted
     text is value-checked via md5 against an independent DuckDB regex
-    engine)."""
+    engine), plus DSIR importance resampling (Xie et al. 2023,
+    arXiv:2302.03169: hashed-ngram target/raw models fitted in two
+    bucket-sized aggs, per-doc log-importance scores via broadcast
+    join, and a deterministic Gumbel top-k sample — kinds dsir_w /
+    dsir_sel, fit included in the value check)."""
     from bigsdb_spark.operators.corpus import (
         benchmark_ngram_hits,
+        dsir_log_ratios,
+        dsir_scores,
         gopher_repetition_flags,
+        gumbel_topk,
+        hashed_gram_buckets,
         pii_counts,
         redact_pii,
     )
@@ -682,4 +746,45 @@ def t_policy_suite(spark, sf_dir):
         nul_d.alias("f_b"),
         F.col("red_md5").alias("s"),
     )
-    return rep.unionByName(contam).unionByName(pii)
+
+    # DSIR importance resampling (Xie et al. 2023): fit the hashed-ngram
+    # target/raw models on source in (src0, src1) as the target domain,
+    # score every doc, and Gumbel-top-k sample 20% — both the full
+    # weight column and the selected sample are value-checked.
+    docs_src = tbl(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    # grams feed BOTH the fit and the score; checkpoint so the explode
+    # runs once (localCheckpoint, not cache — no unpersist handle here)
+    grams = hashed_gram_buckets(
+        docs_src, "doc_id", "text", buckets=_DSIR_BUCKETS
+    ).localCheckpoint(eager=True)
+    target = docs_src.filter(F.col("source").isin("src0", "src1")).select("doc_id")
+    ratios = dsir_log_ratios(grams, target, "doc_id", buckets=_DSIR_BUCKETS)
+    scored = dsir_scores(grams, ratios, "doc_id")
+    k = docs_src.count() // 5
+    sel = gumbel_topk(scored, "doc_id", "dsir_logw", k, seed="dsir")
+    dsir_w = scored.select(
+        F.lit("dsir_w").alias("kind"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        nul_l.alias("n_a"),
+        nul_l.alias("n_b"),
+        nul_l.alias("n_c"),
+        F.round("dsir_logw", 4).alias("f_a"),
+        nul_d.alias("f_b"),
+        nul_s.alias("s"),
+    )
+    dsir_sel = sel.select(
+        F.lit("dsir_sel").alias("kind"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("sel_rank").cast("long").alias("n_a"),
+        nul_l.alias("n_b"),
+        nul_l.alias("n_c"),
+        F.round("dsir_logw", 4).alias("f_a"),
+        F.round("gumbel_key", 4).alias("f_b"),
+        nul_s.alias("s"),
+    )
+    return (
+        rep.unionByName(contam)
+        .unionByName(pii)
+        .unionByName(dsir_w)
+        .unionByName(dsir_sel)
+    )

@@ -573,3 +573,137 @@ def strip_repeated_spans(
     return joined.withColumn(
         out_col, F.array_join(F.transform(kept, lambda s: s["t"]), " ")
     ).drop("_spans")
+
+
+# ------------------------------------------- DSIR importance resampling
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by how target-like its
+# hashed n-gram distribution is (log p_target/p_raw under two hashed
+# bag-of-ngrams models), then sample the keep-set with the Gumbel
+# top-k trick so selection is a weighted sample WITHOUT replacement.
+# The reference engine has no counterpart (its datasets are curated
+# registries, not crawled corpora); this is the corpus-mixing stage a
+# 100 TB training pipeline runs between policy filtering and packing.
+#
+# Scale shape: the FIT is two combinable groupBys that collapse to at
+# most ``buckets`` rows (map-side partial aggregation makes the
+# shuffle ~buckets rows per partition, independent of corpus size);
+# the SCORE is one explode + one broadcast join against the
+# bucket-ratio table + one per-doc re-agg whose partial agg collapses
+# to one row per (partition, doc) — a doc's grams never leave their
+# partition before combining; SELECTION is orderBy+limit, which Spark
+# plans as TakeOrderedAndProject (per-partition top-k, then a k-row
+# merge on the driver side of the exchange — never a global sort).
+# The md5-derived bucket hash is deliberately engine-portable so the
+# whole pipeline (fit included) is value-checkable in DuckDB.
+
+
+def hashed_gram_buckets(
+    df: DataFrame, id_col: str, text_col: str, buckets: int = 256
+) -> DataFrame:
+    """(id, bucket) — one row per word uni-/bi-gram INSTANCE, hashed
+    into ``buckets`` buckets via the first 4 hex chars of md5(gram)
+    mod buckets (portable: DuckDB reproduces it digit-by-digit).
+    ``buckets`` <= 65536; the DSIR paper uses 10k."""
+    if not 1 <= buckets <= 65536:
+        raise ValueError("buckets must be in [1, 65536]")
+    grams = F.concat(
+        word_ngram_array(F.col(text_col), 1), word_ngram_array(F.col(text_col), 2)
+    )
+    ex = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 4), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+    return ex.select(id_col, bucket.cast("int").alias("bucket"))
+
+
+def dsir_log_ratios(
+    grams: DataFrame,
+    target_ids: DataFrame,
+    id_col: str,
+    buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Fit the two hashed-ngram models and return (bucket, log_ratio)
+    with log_ratio = ln p_target(bucket) - ln p_raw(bucket), Laplace-
+    smoothed with ``alpha``.  ``grams`` is hashed_gram_buckets output
+    over the RAW corpus; ``target_ids`` the target-domain id set
+    (dimension-sized or not — it is reduced before any join).  Only
+    buckets that occur in the raw corpus appear (absent buckets can
+    never be scored).  Result is <= ``buckets`` rows: collect-safe,
+    broadcast-safe."""
+    tagged = grams.join(
+        F.broadcast(target_ids.select(id_col).distinct().withColumn("_t", F.lit(1))),
+        id_col,
+        "left",
+    )
+    per_bucket = tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_raw"),
+        F.sum(F.coalesce(F.col("_t"), F.lit(0))).alias("_tgt"),
+    )
+    totals = per_bucket.agg(
+        F.sum("_raw").alias("_nraw"), F.sum("_tgt").alias("_ntgt")
+    )
+    b = float(buckets)
+    return per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("_tgt") + alpha) / (F.col("_ntgt") + alpha * b))
+            - F.log((F.col("_raw") + alpha) / (F.col("_nraw") + alpha * b))
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_scores(
+    grams: DataFrame, ratios: DataFrame, id_col: str
+) -> DataFrame:
+    """(id, dsir_logw): per-document importance log-weight — the sum of
+    its gram instances' bucket log-ratios.  Broadcast join (ratios is
+    <= buckets rows) + combinable per-doc agg."""
+    return (
+        grams.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("log_ratio").alias("dsir_logw"))
+    )
+
+
+def gumbel_topk(
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+    k: int,
+    temperature: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Gumbel top-k sample of ``k`` rows without replacement,
+    proportional to softmax(score/temperature): key = score/T + G with
+    G = -ln(-ln(u)) standard Gumbel noise.  u derives from
+    md5(seed || id) — deterministic, order-independent, engine-
+    portable (no RNG state to reseed per partition).  Output adds
+    ``gumbel_key`` and the 1-based ``sel_rank``.
+
+    orderBy+limit plans as TakeOrderedAndProject (per-partition heap
+    top-k; only k rows cross the exchange); the rank window then runs
+    over the k survivors — k is the OUTPUT size, so the single
+    window partition is the result itself, not the corpus."""
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.col(score_col) / F.lit(float(temperature)) - F.log(-F.log(u))
+    top = (
+        scored.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("gumbel_key"), F.col(id_col))
+    return top.withColumn("sel_rank", F.row_number().over(w))

@@ -318,3 +318,98 @@ def test_repeated_spans_cross_document(spark):
     assert clean[1] == "alpha beta gamma"
     assert clean[2] == "x y z"
     assert clean[3] == doc3 and clean[4] == selfrep  # untouched
+
+
+def test_dsir_importance_resampling(spark):
+    """DSIR (Xie et al. 2023): the fitted bucket log-ratios match an
+    independent pure-Python computation, per-doc scores are the sum of
+    their gram-bucket ratios, target-like docs outscore off-domain
+    docs, and Gumbel top-k is deterministic, rank-complete, and
+    weight-respecting."""
+    import hashlib
+    import math
+
+    from bigsdb_spark.operators.corpus import (
+        dsir_log_ratios,
+        dsir_scores,
+        gumbel_topk,
+        hashed_gram_buckets,
+    )
+
+    B = 64
+    rows = [
+        (0, "spark join shuffle join spark"),     # target-like
+        (1, "spark join shuffle batch plan"),     # target-like
+        (2, "cat dog bird fish cow"),             # off-domain
+        (3, "cat dog horse goat pig"),            # off-domain
+        (4, "spark join shuffle cow pig"),        # mixed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = hashed_gram_buckets(df, "doc_id", "text", buckets=B)
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % B
+
+    # python reference: every uni- and bi-gram instance, hashed
+    py_grams = []
+    for doc_id, text in rows:
+        t = text.split(" ")
+        gs = t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+        py_grams.extend((doc_id, bucket(g)) for g in gs)
+    got = sorted((r["doc_id"], r["bucket"]) for r in grams.collect())
+    assert got == sorted(py_grams)
+
+    target_ids = {0, 1}
+    target = df.filter(df.doc_id < 2).select("doc_id")
+    ratios = dsir_log_ratios(grams, target, "doc_id", buckets=B)
+    craw, ctgt = {}, {}
+    for doc_id, b in py_grams:
+        craw[b] = craw.get(b, 0) + 1
+        if doc_id in target_ids:
+            ctgt[b] = ctgt.get(b, 0) + 1
+    nraw, ntgt = len(py_grams), sum(ctgt.values())
+    expect = {
+        b: math.log((ctgt.get(b, 0) + 1) / (ntgt + B))
+        - math.log((craw[b] + 1) / (nraw + B))
+        for b in craw
+    }
+    got_r = {r["bucket"]: r["log_ratio"] for r in ratios.collect()}
+    assert set(got_r) == set(expect)
+    for b in expect:
+        assert abs(got_r[b] - expect[b]) < 1e-12
+
+    scored = dsir_scores(grams, ratios, "doc_id")
+    got_w = {r["doc_id"]: r["dsir_logw"] for r in scored.collect()}
+    py_w = {}
+    for doc_id, b in py_grams:
+        py_w[doc_id] = py_w.get(doc_id, 0.0) + expect[b]
+    for d in py_w:
+        assert abs(got_w[d] - py_w[d]) < 1e-10
+    # in-domain docs must outscore off-domain docs
+    assert min(got_w[0], got_w[1]) > max(got_w[2], got_w[3])
+    assert got_w[2] < got_w[4] < got_w[0]
+
+    sel = gumbel_topk(scored, "doc_id", "dsir_logw", k=3, seed="s")
+    out = sel.collect()
+    assert len(out) == 3
+    assert sorted(r["sel_rank"] for r in out) == [1, 2, 3]
+    # deterministic: a second run (and a repartitioned input) selects
+    # the identical sample in the identical order
+    again = gumbel_topk(
+        scored.repartition(7), "doc_id", "dsir_logw", k=3, seed="s"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # weight-respecting: boost one doc's score far above the rest and
+    # it must enter every sample regardless of seed
+    boosted = scored.withColumn(
+        "dsir_logw",
+        F.when(F.col("doc_id") == 3, F.lit(500.0)).otherwise(F.col("dsir_logw")),
+    )
+    for seed in ["a", "b", "c"]:
+        picked = {
+            r["doc_id"]
+            for r in gumbel_topk(
+                boosted, "doc_id", "dsir_logw", k=2, seed=seed
+            ).collect()
+        }
+        assert 3 in picked

@@ -463,3 +463,32 @@ def test_salted_lsh_band_join_spreads_hot_bucket(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "salt" in plan and "rep" in plan  # salt keys reached the join
+
+
+def test_dsir_pipeline_plan_shape(spark):
+    """DSIR: the fit's target join and the score's ratio join must both
+    broadcast (dimension side <= buckets rows); Gumbel top-k selection
+    must plan as TakeOrderedAndProject (per-partition heap top-k), not
+    a global Sort."""
+    from bigsdb_spark.operators.corpus import (
+        dsir_log_ratios,
+        dsir_scores,
+        gumbel_topk,
+        hashed_gram_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} tok{i + 2}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    grams = hashed_gram_buckets(docs, "doc_id", "text", buckets=64)
+    ratios = dsir_log_ratios(
+        grams, docs.filter("doc_id < 4").select("doc_id"), "doc_id", buckets=64
+    )
+    assert "BroadcastHashJoin" in plan_of(ratios)
+    scored = dsir_scores(grams, ratios, "doc_id")
+    score_plan = plan_of(scored)
+    assert "BroadcastHashJoin" in score_plan
+    assert "SortMergeJoin" not in score_plan
+    sel_plan = plan_of(gumbel_topk(scored, "doc_id", "dsir_logw", k=5))
+    assert "TakeOrderedAndProject" in sel_plan
