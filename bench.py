@@ -123,8 +123,19 @@ def _ivf_pq(spark, sf_dir):
     )
 
 
+def _bpe_count(spark, sf_dir):
+    # full tokenizer lifecycle: distributed word counting -> driver
+    # merge loop (vocab-sized) -> Arrow-batched memoized application
+    from bigsdb_spark.operators.bpe import bpe_token_count, bpe_train
+
+    docs = tbl(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=200, max_words=50_000)
+    return bpe_token_count(docs, "doc_id", "text", merges)
+
+
 EXTRA = {
     "sim_brute_topk_np": _sim_topk_np,
+    "bpe_token_count": _bpe_count,
     "sim_ivf_kmeans": _sim_ivf,
     "dedup_minhash_lsh": _dedup_minhash,
     "dedup_minhash_fused": _dedup_minhash_fused,
@@ -161,6 +172,7 @@ HEADLINE = [
     "t_text_suite",
     "t_policy_suite",
     "corpus_assembly",
+    "bpe_token_count",
     "stream_sessionize",
 ]
 
