@@ -76,17 +76,51 @@ class Materialization:
     def exists(self) -> bool:
         return self.log.latest() is not None
 
-    def read(self) -> DataFrame:
-        snap = self.log.latest()
-        if snap is None:
-            raise FileNotFoundError(f"no current version for {self.dir}")
+    def read(self, version: str | int | None = None) -> DataFrame:
+        """Read the latest snapshot, or — time travel — any retained
+        version (``v_%06d`` string or bare int).  Retention is the
+        ``keep_versions`` knob of the refresh path: an old version
+        reads fine until gc drops it, then raises like a missing
+        table."""
+        if version is None:
+            snap = self.log.latest()
+            if snap is None:
+                raise FileNotFoundError(f"no current version for {self.dir}")
+        else:
+            v = (
+                int(version.removeprefix("v_"))
+                if isinstance(version, str)
+                else int(version)
+            )
+            if v not in self.log.versions():
+                raise FileNotFoundError(
+                    f"version v_{v:06d} of {self.dir} does not exist or "
+                    "was dropped by retention"
+                )
+            snap = self.log.snapshot(v)
         return self.spark.read.parquet(snap.path(self.TABLE))
+
+    def history(self) -> list[dict]:
+        """Commit history of the retained snapshots, oldest first:
+        version string, payload tables, and the caller metadata each
+        commit recorded — the audit surface a lakehouse table format
+        exposes (DESCRIBE HISTORY), driven from the same log that
+        serves reads."""
+        return [
+            {
+                "version": f"v_{s.version:06d}",
+                "tables": list(s.tables),
+                "meta": dict(s.meta),
+            }
+            for s in map(self.log.snapshot, self.log.versions())
+        ]
 
     def _swap_in(
         self,
         df: DataFrame,
         keep_versions: int = 2,
         expected_version: int | None = None,
+        meta: dict | None = None,
     ) -> str:
         """Stage a complete new version, commit it atomically, then gc
         superseded snapshots — the reference's full create-new ->
@@ -97,7 +131,7 @@ class Materialization:
         txn = self.log.begin()
         try:
             df.write.mode("overwrite").parquet(txn.path(self.TABLE))
-            snap = txn.commit(expected_version=expected_version)
+            snap = txn.commit(meta=meta, expected_version=expected_version)
         except BaseException:
             txn.abort()
             raise
@@ -105,7 +139,7 @@ class Materialization:
         return f"v_{snap.version:06d}"
 
     def refresh_full(self, df: DataFrame) -> str:
-        return self._swap_in(df)
+        return self._swap_in(df, meta={"op": "full"})
 
     def refresh_incremental(
         self,
@@ -125,7 +159,9 @@ class Materialization:
             snap = self.log.latest()
             if snap is None:
                 try:
-                    return self._swap_in(recomputed, expected_version=-1)
+                    return self._swap_in(
+                        recomputed, expected_version=-1, meta={"op": "merge"}
+                    )
                 except CommitConflict:
                     continue  # someone created v0 under us; merge with it
             current = self.spark.read.parquet(snap.path(self.TABLE))
@@ -136,7 +172,9 @@ class Materialization:
             )
             try:
                 return self._swap_in(
-                    kept.unionByName(recomputed), expected_version=snap.version
+                    kept.unionByName(recomputed),
+                    expected_version=snap.version,
+                    meta={"op": "merge"},
                 )
             except CommitConflict:
                 continue

@@ -287,3 +287,37 @@ def test_threaded_commit_race_loses_nothing(tmp_path):
         _read_table(log.snapshot(v), "data") for v in log.versions()
     )
     assert payloads == sorted(f"payload-{i}" for i in range(n))
+
+
+def test_materialization_time_travel_and_history(spark, tmp_path):
+    """read(version) serves any retained snapshot unchanged while new
+    versions land; history() exposes the commit trail with per-op
+    metadata; retention gc turns a dropped version into a clean
+    FileNotFoundError."""
+    from bigsdb_spark.cache import Materialization
+
+    mat = Materialization(spark, str(tmp_path), "tt")
+    mat.refresh_full(spark.range(3).withColumnRenamed("id", "k"))
+    v0 = mat.current_version()
+    mat.refresh_incremental(
+        spark.createDataFrame([(1,)], "k long"),
+        spark.createDataFrame([(1,)], "k long"),
+        key="k",
+    )
+    v1 = mat.current_version()
+    assert (v0, v1) == ("v_000000", "v_000001")
+    # time travel: the superseded version is intact and distinct
+    assert sorted(r["k"] for r in mat.read(v0).collect()) == [0, 1, 2]
+    assert sorted(r["k"] for r in mat.read(0).collect()) == [0, 1, 2]
+    assert sorted(r["k"] for r in mat.read().collect()) == [0, 1, 2]
+    hist = mat.history()
+    assert [h["version"] for h in hist] == ["v_000000", "v_000001"]
+    assert [h["meta"]["op"] for h in hist] == ["full", "merge"]
+    assert all(h["tables"] == ["data"] for h in hist)
+    # a third refresh pushes v0 past keep_versions=2 -> retention error
+    mat.refresh_full(spark.range(5).withColumnRenamed("id", "k"))
+    with pytest.raises(FileNotFoundError, match="retention"):
+        mat.read(v0)
+    assert [h["version"] for h in mat.history()] == ["v_000001", "v_000002"]
+    with pytest.raises(FileNotFoundError):
+        mat.read(99)

@@ -25,6 +25,9 @@ Paths timed per tier (each skippable via --skip):
   minhash_lsh_xx     same, xxhash64 hash family
   minhash_lsh_fused  zero-shuffle fused signatures + grouped band join
   repeated_spans     cross-doc repeated-substring spans (Lee et al.)
+  dsir               DSIR importance resampling end to end (10k-bucket
+                     hashed-gram fit + broadcast scoring + Gumbel
+                     top-10% selection)
   bucketed_ann       sign-bucket pair mining, bucket count scaled with
                      n (occupancy held ~64) as a real deployment would
   bucketed_ann_sq    same pair set via the int8 pre-screen (codes in
@@ -254,6 +257,35 @@ def main() -> None:
                 ).count()
             )
             record("repeated_spans", n, sec, f"{cnt} spans")
+        if "dsir" not in skip:
+            from bigsdb_spark.operators.corpus import (
+                dsir_log_ratios,
+                dsir_scores,
+                gumbel_topk,
+                hashed_gram_buckets,
+            )
+
+            def _dsir():
+                # full pipeline: hashed-gram explode -> fit (two
+                # bucket-sized aggs) -> broadcast-join scoring ->
+                # Gumbel top-10% (TakeOrderedAndProject); target
+                # domain = every 10th doc
+                grams = hashed_gram_buckets(
+                    docs, "doc_id", "text", buckets=10_000
+                )
+                ratios = dsir_log_ratios(
+                    grams,
+                    docs.filter(F.col("doc_id") % 10 == 0).select("doc_id"),
+                    "doc_id",
+                    buckets=10_000,
+                )
+                scored = dsir_scores(grams, ratios, "doc_id")
+                return gumbel_topk(
+                    scored, "doc_id", "dsir_logw", k=n // 10
+                ).count()
+
+            sec, cnt = _timed(_dsir)
+            record("dsir", n, sec, f"{cnt} selected of {n}")
         if "minhash_lsh_fused" not in skip:
             from bigsdb_spark.operators.dedup import (
                 minhash_signatures_fused,
