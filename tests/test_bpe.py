@@ -94,3 +94,57 @@ def test_spark_training_truncates_to_max_words(spark):
 
     top = word_frequencies(df, "text", max_words=1)
     assert top == [("common", 100)]
+
+
+# ---- Hypothesis properties over the pure-Python core (no Spark) ----
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_words = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=6),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _replay_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply the trained merges strictly in training order — the
+    definitional segmentation; segment_word's greedy-lowest-rank must
+    coincide with it."""
+    sym = list(word) + [END]
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+@settings(max_examples=200, deadline=None)
+@given(_words, st.integers(min_value=0, max_value=30))
+def test_property_roundtrip_and_replay_equivalence(words, n_merges):
+    freqs = [(w, i + 1) for i, w in enumerate(dict.fromkeys(words))]
+    merges = bpe_train_from_frequencies(freqs, n_merges)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for w, _ in freqs:
+        seg = segment_word(w, ranks)
+        # roundtrip: tokens concatenate back to the word
+        assert "".join(seg) == w + END
+        # greedy-by-rank == replay-in-training-order
+        assert seg == _replay_merges(w, merges)
+    # merges are unique pairs (no pair is ever learned twice)
+    assert len(set(merges)) == len(merges)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_words)
+def test_property_training_is_frequency_weighted_not_order_dependent(words):
+    freqs = [(w, 3) for w in dict.fromkeys(words)]
+    merges = bpe_train_from_frequencies(freqs, 10)
+    assert merges == bpe_train_from_frequencies(list(reversed(freqs)), 10)
