@@ -235,7 +235,12 @@ class SnapshotLog:
         return self.snapshot(vs[-1]) if vs else None
 
     # -- maintenance -----------------------------------------------------
-    def gc(self, keep: int = 2, sweep_orphans: bool = False) -> list[str]:
+    def gc(
+        self,
+        keep: int = 2,
+        sweep_orphans: bool = False,
+        scratch_ttl_s: float = 0.0,
+    ) -> list[str]:
         """Drop snapshots older than the newest ``keep``.  Returns the
         removed paths.  ``keep >= 1`` always; in-flight readers of the
         previous snapshot need ``keep >= 2`` (the pointer protocol's
@@ -243,10 +248,15 @@ class SnapshotLog:
 
         ``sweep_orphans=True`` additionally removes unreferenced
         scratch — aborted ``_staging`` dirs and published-but-never-
-        linked ``snap-`` dirs from crashed commits.  Only pass it when
-        no writer is in flight (e.g. single-writer startup recovery):
-        a concurrent writer between its publish and link steps holds
-        exactly such a dir."""
+        linked ``snap-`` dirs from crashed commits.  With the default
+        ``scratch_ttl_s=0`` that is only safe when no writer is in
+        flight (single-writer startup recovery): a concurrent writer
+        between its publish and link steps holds exactly such a dir.
+        Pass a positive ``scratch_ttl_s`` to make the sweep safe under
+        concurrency — scratch younger than the TTL is presumed to
+        belong to a live writer and is skipped; anything older than a
+        sane TTL (commits take seconds, not hours) is a crash
+        leftover."""
         keep = max(1, keep)
         removed: list[str] = []
         vs = self.versions()
@@ -260,16 +270,34 @@ class SnapshotLog:
                 removed.append(p)
             os.unlink(os.path.join(self._log_dir(), f"{v:011d}.json"))
         if sweep_orphans:
+            import time
+
+            def _expired(p: str) -> bool:
+                if scratch_ttl_s <= 0:
+                    return True
+                try:
+                    return time.time() - os.path.getmtime(p) > scratch_ttl_s
+                except OSError:
+                    return False  # vanished under us: a live writer moved it
+
             all_referenced = {
                 self.snapshot(v).snapshot_dir for v in self.versions()
             }
             for d in os.listdir(self.root):
                 if d.startswith("snap-") and d not in all_referenced:
                     p = os.path.join(self.root, d)
-                    shutil.rmtree(p, ignore_errors=True)
-                    removed.append(p)
+                    if _expired(p):
+                        shutil.rmtree(p, ignore_errors=True)
+                        removed.append(p)
             staging = os.path.join(self.root, "_staging")
             if os.path.isdir(staging):
-                shutil.rmtree(staging, ignore_errors=True)
-                removed.append(staging)
+                if scratch_ttl_s <= 0:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    removed.append(staging)
+                else:
+                    for d in os.listdir(staging):
+                        p = os.path.join(staging, d)
+                        if _expired(p):
+                            shutil.rmtree(p, ignore_errors=True)
+                            removed.append(p)
         return removed

@@ -321,3 +321,40 @@ def test_materialization_time_travel_and_history(spark, tmp_path):
     assert [h["version"] for h in mat.history()] == ["v_000001", "v_000002"]
     with pytest.raises(FileNotFoundError):
         mat.read(99)
+
+
+def test_gc_scratch_ttl_protects_live_writers(tmp_path):
+    """With a positive scratch_ttl_s, fresh scratch (a live writer
+    mid-commit) survives the orphan sweep while stale crash leftovers
+    are removed — making startup recovery safe to run under
+    concurrency."""
+    log = SnapshotLog(str(tmp_path / "t"))
+    # a committed snapshot so gc has a live version to reference
+    txn0 = log.begin()
+    os.makedirs(txn0.path("data"))
+    open(os.path.join(txn0.path("data"), "f"), "w").write("x")
+    txn0.commit()
+    # live writer: published payload, record not yet linked
+    live = log.begin()
+    os.makedirs(live.path("data"))
+    open(os.path.join(live.path("data"), "f"), "w").write("y")
+    # stale leftovers: an old staging dir and an old unlinked snap dir
+    stale_staging = os.path.join(log.root, "_staging", "deadbeef")
+    os.makedirs(stale_staging)
+    stale_snap = os.path.join(log.root, "snap-oldcrash")
+    os.makedirs(stale_snap)
+    old = 1_000_000_000  # well past any TTL
+    os.utime(stale_staging, (old, old))
+    os.utime(stale_snap, (old, old))
+
+    removed = log.gc(keep=2, sweep_orphans=True, scratch_ttl_s=3600)
+    assert stale_staging in removed and stale_snap in removed
+    assert os.path.isdir(live._dir)  # fresh scratch untouched
+    # the live writer can still commit normally afterwards
+    snap = live.commit()
+    assert snap.version == 1
+    # ttl=0 keeps the old semantics: everything unreferenced goes
+    crash = log.begin()
+    os.makedirs(crash.path("data"))
+    log.gc(keep=2, sweep_orphans=True)
+    assert not os.path.isdir(crash._dir)
