@@ -4,7 +4,8 @@ embeddings tables — the beyond-reference extension family (SURVEY §7 M8).
 
 The md5-based minhash/LSH keeps every step oracle-checkable in DuckDB;
 the normalized-text expression is character-identical on both engines.
-SimHash and the multimodal decode stub are likewise hash-derived
+SimHash, the DSIR fit/score/Gumbel-sample (md5 bucket hash + md5-seeded
+noise), and the multimodal decode stub are likewise hash-derived
 (md5 / sha256), so even those have full value oracles — only the
 k-means IVF quantizer and the numpy block-matmul top-k stay
 pytest-verified (MLlib seeds and per-task top-k pruning are not

@@ -599,22 +599,40 @@ def strip_repeated_spans(
 
 
 def hashed_gram_buckets(
-    df: DataFrame, id_col: str, text_col: str, buckets: int = 256
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 256,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """(id, bucket) — one row per word uni-/bi-gram INSTANCE, hashed
-    into ``buckets`` buckets via the first 4 hex chars of md5(gram)
-    mod buckets (portable: DuckDB reproduces it digit-by-digit).
-    ``buckets`` <= 65536; the DSIR paper uses 10k."""
-    if not 1 <= buckets <= 65536:
-        raise ValueError("buckets must be in [1, 65536]")
+    into ``buckets`` buckets.  ``hash_family``:
+
+    * ``md5`` (default): first 4 hex chars of md5(gram) mod buckets —
+      engine-portable (DuckDB reproduces it digit-by-digit), so the
+      whole DSIR pipeline including the fit is oracle-checkable;
+      ``buckets`` <= 65536.
+    * ``xxhash64``: JVM-native hashing for serving (~same model
+      quality, bucket values engine-specific) — the same
+      gate-vs-serving split as the minhash signature family.
+
+    A model is only valid with scores from the SAME family (bucket
+    ids differ across families); the DSIR paper uses 10k buckets."""
+    if hash_family not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    if hash_family == "md5" and not 1 <= buckets <= 65536:
+        raise ValueError("buckets must be in [1, 65536] for md5")
     grams = F.concat(
         word_ngram_array(F.col(text_col), 1), word_ngram_array(F.col(text_col), 2)
     )
     ex = df.select(F.col(id_col), F.explode(grams).alias("gram"))
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("gram")), 1, 4), 16, 10).cast("long"),
-        F.lit(buckets),
-    )
+    if hash_family == "md5":
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 4), 16, 10).cast("long"),
+            F.lit(buckets),
+        )
+    else:
+        bucket = F.pmod(F.xxhash64(F.col("gram")), F.lit(buckets))
     return ex.select(id_col, bucket.cast("int").alias("bucket"))
 
 

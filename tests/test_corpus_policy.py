@@ -413,3 +413,44 @@ def test_dsir_importance_resampling(spark):
             ).collect()
         }
         assert 3 in picked
+
+
+def test_dsir_xxhash64_family_equivalent_model_shape(spark):
+    """The xxhash64 serving family yields the same gram-instance
+    multiset size per doc (bucket values differ by design), valid
+    bucket range, and an end-to-end pipeline whose in-domain docs
+    still outscore off-domain docs."""
+    from bigsdb_spark.operators.corpus import (
+        dsir_log_ratios,
+        dsir_scores,
+        hashed_gram_buckets,
+    )
+
+    rows = [
+        (0, "spark join shuffle join spark"),
+        (1, "spark join shuffle batch plan"),
+        (2, "cat dog bird fish cow"),
+        (3, "cat dog horse goat pig"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g_md5 = hashed_gram_buckets(df, "doc_id", "text", buckets=64)
+    g_xx = hashed_gram_buckets(
+        df, "doc_id", "text", buckets=64, hash_family="xxhash64"
+    )
+    per_doc = lambda g: dict(  # noqa: E731
+        (r["doc_id"], r["n"])
+        for r in g.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    )
+    assert per_doc(g_md5) == per_doc(g_xx)
+    assert g_xx.filter("bucket < 0 OR bucket >= 64").count() == 0
+    target = df.filter("doc_id < 2").select("doc_id")
+    ratios = dsir_log_ratios(g_xx, target, "doc_id", buckets=64)
+    w = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_scores(g_xx, ratios, "doc_id").collect()
+    }
+    assert min(w[0], w[1]) > max(w[2], w[3])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_family"):
+        hashed_gram_buckets(df, "doc_id", "text", hash_family="sha1")

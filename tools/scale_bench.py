@@ -27,7 +27,9 @@ Paths timed per tier (each skippable via --skip):
   repeated_spans     cross-doc repeated-substring spans (Lee et al.)
   dsir               DSIR importance resampling end to end (10k-bucket
                      hashed-gram fit + broadcast scoring + Gumbel
-                     top-10% selection)
+                     top-10% selection; md5 oracle family)
+  dsir_xx            same pipeline on xxhash64 buckets (JVM-native
+                     serving family)
   bucketed_ann       sign-bucket pair mining, bucket count scaled with
                      n (occupancy held ~64) as a real deployment would
   bucketed_ann_sq    same pair set via the int8 pre-screen (codes in
@@ -286,6 +288,34 @@ def main() -> None:
 
             sec, cnt = _timed(_dsir)
             record("dsir", n, sec, f"{cnt} selected of {n}")
+        if "dsir_xx" not in skip:
+            from bigsdb_spark.operators.corpus import (
+                dsir_log_ratios,
+                dsir_scores,
+                gumbel_topk,
+                hashed_gram_buckets,
+            )
+
+            def _dsir_xx():
+                # serving family: xxhash64 buckets (JVM-native, no md5
+                # string allocs) — same pipeline, engine-specific ids
+                grams = hashed_gram_buckets(
+                    docs, "doc_id", "text", buckets=10_000,
+                    hash_family="xxhash64",
+                )
+                ratios = dsir_log_ratios(
+                    grams,
+                    docs.filter(F.col("doc_id") % 10 == 0).select("doc_id"),
+                    "doc_id",
+                    buckets=10_000,
+                )
+                scored = dsir_scores(grams, ratios, "doc_id")
+                return gumbel_topk(
+                    scored, "doc_id", "dsir_logw", k=n // 10
+                ).count()
+
+            sec, cnt = _timed(_dsir_xx)
+            record("dsir_xx", n, sec, f"{cnt} selected of {n}")
         if "minhash_lsh_fused" not in skip:
             from bigsdb_spark.operators.dedup import (
                 minhash_signatures_fused,
