@@ -221,6 +221,39 @@ def main() -> None:
             f"spread {spread:.2f}x)",
             file=sys.stderr,
         )
+    # per-tier sub-timings for the two composite gate entries, so
+    # round-over-round deltas stay attributable to the tier that moved
+    # (VERDICT r5 #2) — same best-of-N protocol, NOT added to the total
+    # (the composite entries above already pay for the unioned plan)
+    from bigsdb_spark.inventory.llm import dedup_exact_tiers, policy_suite_tiers
+
+    subtimings: dict[str, dict[str, float]] = {}
+    for comp, tiers_of in (
+        ("dedup_exact", lambda t: dedup_exact_tiers(spark, sf_dir)[t]),
+        (
+            "t_policy_suite",
+            lambda t: policy_suite_tiers(spark, sf_dir, only={t})[t],
+        ),
+    ):
+        names = (
+            ["exact", "embedding_cosine", "semantic"]
+            if comp == "dedup_exact"
+            else ["rep", "contam", "pii", "dsir_w", "dsir_sel"]
+        )
+        subtimings[comp] = {}
+        for tier in names:
+            runs = []
+            for _ in range(repeats):
+                t0 = time.time()
+                tiers_of(tier).count()
+                runs.append(time.time() - t0)
+                reset()
+            subtimings[comp][tier] = round(min(runs), 3)
+            print(
+                f"    {comp}/{tier}: {subtimings[comp][tier]}s",
+                file=sys.stderr,
+            )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -229,6 +262,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "subtimings": subtimings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -253,6 +253,10 @@ def dedup_exact(spark, sf_dir):
     re-appended halved for the cosine tier and verbatim for the
     semantic tier — cosine 1.0 either way):
 
+    The three tiers are built by :func:`dedup_exact_tiers` (so
+    ``bench.py`` can time each independently) and unioned here —
+    the gate entry's plan is exactly the union of the tier plans.
+
     - method='exact': star-shaped (keeper, dup) pairs from the
       fingerprint window — linear in corpus size, no self-join
       (dedup.exact_duplicate_pairs; generalizes GenomeComparator
@@ -269,6 +273,14 @@ def dedup_exact(spark, sf_dir):
       the full pipeline including the transitive grouping (recursive
       CTE), so the k-means-cells tier is value-checked end to end.
     """
+    t = dedup_exact_tiers(spark, sf_dir)
+    return t["exact"].unionByName(t["embedding_cosine"]).unionByName(
+        t["semantic"]
+    )
+
+
+def dedup_exact_tiers(spark, sf_dir) -> dict:
+    """Per-tier frames behind ``dedup_exact`` (bench sub-timings)."""
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.unionByName(
         docs.filter(F.col("doc_id") % 17 == 0).select(
@@ -318,7 +330,7 @@ def dedup_exact(spark, sf_dir):
             F.lit(1.0).alias("score"),
         )
     )
-    return ex.unionByName(nd).unionByName(sem)
+    return {"exact": ex, "embedding_cosine": nd, "semantic": sem}
 
 
 _LSH_CTE = f"""
@@ -691,7 +703,27 @@ def t_policy_suite(spark, sf_dir):
     arXiv:2302.03169: hashed-ngram target/raw models fitted in two
     bucket-sized aggs, per-doc log-importance scores via broadcast
     join, and a deterministic Gumbel top-k sample — kinds dsir_w /
-    dsir_sel, fit included in the value check)."""
+    dsir_sel, fit included in the value check).
+
+    The four tiers are built by :func:`policy_suite_tiers` (bench
+    sub-timings) and unioned here — same plans either way."""
+    t = policy_suite_tiers(spark, sf_dir)
+    return (
+        t["rep"]
+        .unionByName(t["contam"])
+        .unionByName(t["pii"])
+        .unionByName(t["dsir_w"])
+        .unionByName(t["dsir_sel"])
+    )
+
+
+def policy_suite_tiers(spark, sf_dir, only: set | None = None) -> dict:
+    """Per-tier frames behind ``t_policy_suite`` (bench sub-timings).
+
+    Building the ``dsir_*`` tiers is eager (the shared gram frame is
+    localCheckpoint-ed so the explode runs once for fit AND score);
+    pass ``only`` (a set of tier names) to skip that eager work when
+    timing just the lazy rep/contam/pii tiers."""
     from bigsdb_spark.operators.corpus import (
         benchmark_ngram_hits,
         dsir_log_ratios,
@@ -748,6 +780,10 @@ def t_policy_suite(spark, sf_dir):
         F.col("red_md5").alias("s"),
     )
 
+    out = {"rep": rep, "contam": contam, "pii": pii}
+    if only is not None and not {"dsir_w", "dsir_sel"} & only:
+        return {k: v for k, v in out.items() if k in only}
+
     # DSIR importance resampling (Xie et al. 2023): fit the hashed-ngram
     # target/raw models on source in (src0, src1) as the target domain,
     # score every doc, and Gumbel-top-k sample 20% — both the full
@@ -783,9 +819,8 @@ def t_policy_suite(spark, sf_dir):
         F.round("gumbel_key", 4).alias("f_b"),
         nul_s.alias("s"),
     )
-    return (
-        rep.unionByName(contam)
-        .unionByName(pii)
-        .unionByName(dsir_w)
-        .unionByName(dsir_sel)
-    )
+    out["dsir_w"] = dsir_w
+    out["dsir_sel"] = dsir_sel
+    if only is not None:
+        return {k: v for k, v in out.items() if k in only}
+    return out

@@ -534,6 +534,86 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     return agg.select("doc", sim.cast("long").alias("simhash"))
 
 
+def _lloyd_np(x, k: int, iters: int, seed: int):
+    """Lloyd's k-means via the expanded-identity matmul form:
+    argmin ||x-c||^2 == argmax x.c - 0.5||c||^2, so the working set is
+    the n*k score matrix (not pq._kmeans_np's n*k*d difference tensor,
+    which at corpus-training sample sizes would be tens of GiB).
+    Deterministic: seeded init, ties to the lowest center index."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = x[
+        rng.choice(len(x), size=min(k, len(x)), replace=False)
+    ].astype(np.float64)
+    if len(centers) < k:  # degenerate tiny input: pad by repetition
+        centers = np.vstack([centers] * (k // len(centers) + 1))[:k]
+    for _ in range(iters):
+        assign = (x @ centers.T - 0.5 * (centers**2).sum(axis=1)).argmax(
+            axis=1
+        )
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                centers[c] = x[mask].mean(axis=0)
+    return centers
+
+
+def train_hierarchical_cells(
+    emb: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    branch: int | None = None,
+    sample: int = 131072,
+    iters: int = 10,
+    seed: int = 42,
+) -> dict:
+    """Two-level k-means codebook for corpus-scale SemDeDup cells —
+    the coarse-quantizer-tree design of faiss's IMI / IVF-on-IVF
+    (public: Babenko & Lempitsky, "The Inverted Multi-Index", CVPR
+    2012; faiss wiki "Guidelines to choose an index").
+
+    SemDeDup at occupancy ~256 needs k = n/256 cells; a FLAT codebook
+    costs O(n*k*d) assignment flops — at 4e6 vectors (k=15625, d=64)
+    that is ~4e15 flops, and at 100 TB it is simply not runnable.  A
+    two-level codebook (sqrt(k) coarse centers, ``branch`` fine centers
+    under each) assigns in O(n*(sqrt(k)+branch)*d) — ~125x fewer flops
+    at 4e6, growing as sqrt(k) rather than k.  The broadcast stays
+    O(k*d) either way (same as the flat centroid list).
+
+    Training is sample-bounded exactly like faiss (max_points_per_
+    centroid): coarse Lloyd on the hash-ranked sample, then an
+    independent Lloyd per coarse cell over its sample members.  Cells
+    are a heuristic partition in SemDeDup (the paper accepts missing
+    cross-cell pairs by construction), so a two-level partition is the
+    same semantics with a feasible assignment cost.
+
+    Returns ``{"coarse": (n_coarse, d) list, "fine": (n_coarse, branch,
+    d) list}`` for :func:`semantic_dedup`'s ``hierarchy`` parameter;
+    global cell id = coarse_idx * branch + fine_idx.
+    """
+    import math
+
+    import numpy as np
+
+    from bigsdb_spark.operators.pq import _sample_np
+
+    if branch is None:
+        branch = max(2, int(math.ceil(math.sqrt(n_cells))))
+    n_coarse = max(1, int(math.ceil(n_cells / branch)))
+    x = _sample_np(emb, vec_col, sample)
+    coarse = _lloyd_np(x, n_coarse, iters, seed)
+    assign = (x @ coarse.T - 0.5 * (coarse**2).sum(axis=1)).argmax(axis=1)
+    fine = np.empty((n_coarse, branch, x.shape[1]), dtype=np.float64)
+    for c in range(n_coarse):
+        members = x[assign == c]
+        if len(members) == 0:  # empty coarse cell: inherit its center
+            fine[c, :] = coarse[c]
+        else:
+            fine[c] = _lloyd_np(members, branch, iters, seed + 1 + c)
+    return {"coarse": coarse.tolist(), "fine": fine.tolist()}
+
+
 def semantic_dedup(
     emb: DataFrame,
     id_col: str,
@@ -544,6 +624,7 @@ def semantic_dedup(
     iters: int = 10,
     seed: int = 42,
     centroids: list | None = None,
+    hierarchy: dict | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (public design: Abbas et
     al., "SemDeDup: Data-efficient learning at web-scale through
@@ -572,8 +653,11 @@ def semantic_dedup(
     The numpy trainer caps at the sample size, so for corpus-scale
     cell counts (occupancy-constant ``n_cells ~ n/64``) pass
     ``centroids`` trained by MLlib k-means|| (the
-    ``similarity.ivf_kmeans_ann`` build path) — assignment and
-    everything downstream are identical.
+    ``similarity.ivf_kmeans_ann`` build path), or — past ~1e4 cells,
+    where even assignment against a flat codebook is O(n*k*d) —
+    a two-level codebook from :func:`train_hierarchical_cells` via
+    ``hierarchy`` (assignment O(n*sqrt(k)*d); everything downstream of
+    the cell id is identical on all three paths).
     """
     from typing import Iterator
 
@@ -584,7 +668,13 @@ def semantic_dedup(
     from bigsdb_spark.operators.pq import _kmeans_np, _sample_np
     from bigsdb_spark.operators.similarity import _norm
 
-    if centroids is not None:
+    if hierarchy is not None and centroids is not None:
+        raise ValueError("pass centroids OR hierarchy, not both")
+    if hierarchy is not None:
+        coarse = np.array(hierarchy["coarse"], dtype=np.float64)
+        fine = np.array(hierarchy["fine"], dtype=np.float64)
+        cells = None
+    elif centroids is not None:
         cells = np.array(centroids, dtype=np.float64)
     else:
         cells = _kmeans_np(
@@ -599,11 +689,27 @@ def semantic_dedup(
             if pdf.empty:
                 continue
             x = np.array(list(pdf[vec_col]), dtype=np.float64)
-            score = x @ cells.T - 0.5 * (cells**2).sum(axis=1)
+            if cells is not None:
+                cell = (
+                    x @ cells.T - 0.5 * (cells**2).sum(axis=1)
+                ).argmax(axis=1)
+            else:
+                # two-level: nearest coarse center, then nearest fine
+                # center within it — einsum over the gathered (batch,
+                # branch, d) fine slab keeps it one BLAS-ish pass
+                ci = (
+                    x @ coarse.T - 0.5 * (coarse**2).sum(axis=1)
+                ).argmax(axis=1)
+                fc = fine[ci]  # (batch, branch, d)
+                fi = (
+                    np.einsum("bd,bkd->bk", x, fc)
+                    - 0.5 * (fc**2).sum(axis=2)
+                ).argmax(axis=1)
+                cell = ci * fine.shape[1] + fi
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "cell": score.argmax(axis=1).astype(np.int32),
+                    "cell": cell.astype(np.int32),
                     vec_col: pdf[vec_col],
                 }
             )

@@ -425,6 +425,78 @@ def test_semantic_dedup_groups_and_survivors(spark):
     assert sum(1 for r in out.values() if r["keep"]) == 2 + 4
 
 
+def test_semantic_dedup_hierarchical_quantizer(spark):
+    """Two-level SemDeDup cells (train_hierarchical_cells): the planted
+    near-identical groups must still collapse to one survivor each —
+    members of a tight group land in the SAME fine cell because every
+    quantizer level picks the nearest center and the group's diameter
+    (~0.01) is far below inter-center distances on random data."""
+    import numpy as np
+
+    from bigsdb_spark.operators.dedup import (
+        semantic_dedup,
+        train_hierarchical_cells,
+    )
+
+    rng = np.random.RandomState(5)
+    base_a = rng.randn(16); base_b = rng.randn(16)
+    rows = []
+    for i in range(3):
+        v = base_a + rng.randn(16) * 0.01
+        rows.append((10 + i, [float(x) for x in v]))
+    for i in range(2):
+        v = base_b + rng.randn(16) * 0.01
+        rows.append((20 + i, [float(x) for x in v]))
+    for i in range(4):
+        rows.append((30 + i, [float(x) for x in rng.randn(16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    h = train_hierarchical_cells(emb, "embedding", n_cells=4, branch=2,
+                                 sample=16)
+    assert len(h["coarse"]) == 2 and len(h["fine"]) == 2
+    assert all(len(f) == 2 for f in h["fine"])  # branch fine centers each
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", min_cosine=0.95, hierarchy=h
+        ).collect()
+    }
+    assert [out[i]["group_id"] for i in (10, 11, 12)] == [10, 10, 10]
+    assert [out[i]["group_id"] for i in (20, 21)] == [20, 20]
+    assert sum(1 for r in out.values() if r["keep"]) == 2 + 4
+
+
+def test_semantic_dedup_hierarchy_degenerates_to_flat(spark):
+    """A 1-coarse-cell hierarchy whose fine level IS the flat codebook
+    must reproduce the flat ``centroids`` path row for row (the two
+    assignment kernels are then the same argmax over the same centers,
+    and everything downstream is shared code)."""
+    import numpy as np
+
+    import pytest
+
+    from bigsdb_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(9)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[float(x) for x in rng.randn(8)] for _ in range(4)]
+    flat = semantic_dedup(
+        emb, "vec_id", "embedding", min_cosine=0.9, centroids=cents
+    )
+    hier = semantic_dedup(
+        emb, "vec_id", "embedding", min_cosine=0.9,
+        hierarchy={"coarse": [[0.0] * 8], "fine": [cents]},
+    )
+    assert sorted(map(tuple, flat.collect())) == sorted(
+        map(tuple, hier.collect())
+    )
+    with pytest.raises(ValueError, match="not both"):
+        semantic_dedup(
+            emb, "vec_id", "embedding", centroids=cents,
+            hierarchy={"coarse": [[0.0] * 8], "fine": [cents]},
+        )
+
+
 def test_bucketed_ann_sq_prescreen_identical_pairs(spark):
     """Equality pin (VERDICT r4 task 3): the int8-screened variant must
     return EXACTLY the plain path's pair set — the screen's error bound
