@@ -28,12 +28,13 @@ prefix. Reference semantics reproduced exactly:
 The assignment loop is inherently sequential (each result depends on
 all previous ones), so codes are resolved in order — but the expensive
 part, the distance scan of each new profile against every already-coded
-profile, runs in Spark per micro-batch: the (small) batch is broadcast
-against the coded-profile DataFrame, distances are computed with
-zip_with expressions, and a window argmin returns one nearest-candidate
-row per batch member. The driver never holds the full profile corpus —
-only the running code list (ids + small int arrays) and one batch of
-profiles at a time.
+profile, runs in Spark per micro-batch: the (small) batch rides in an
+Arrow UDF closure over the coded-profile DataFrame, each partition
+computes the vectorized pairwise distances and emits a per-partition
+partial argmin (one candidate row per batch member), and the driver
+merges n_partitions x batch candidates. The driver never holds the
+full profile corpus — only the running code list (ids + small int
+arrays) and one batch of profiles at a time.
 
 This operator is driver-orchestrated by design; the gate records a
 rows-only check (hand fixtures in tests/test_stats_clustering.py pin
@@ -42,9 +43,7 @@ the reference semantics).
 
 from __future__ import annotations
 
-from itertools import zip_longest
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MISSING = ("N", "0")
@@ -105,65 +104,150 @@ def lincode_hierarchy(counts: DataFrame) -> dict:
     return root
 
 
-def _diffs_and_denom(p1, p2, locus_count: int):
-    """diffs / missing_in_either as codegen expressions over two aligned
-    allele arrays ('N'/'0' = missing). NULL slots (zip_with padding when
-    profile lengths differ) count as missing, so ragged inputs degrade
-    to distance-100 instead of propagating NULL through the argmin."""
-    miss = lambda x: x.isNull() | x.isin(*MISSING)  # noqa: E731
-    diffs = F.aggregate(
-        F.zip_with(
-            p1, p2,
-            lambda a, b: ((a != b) & ~miss(a) & ~miss(b)).cast("int"),
-        ),
-        F.lit(0), lambda acc, v: acc + v,
-    )
-    missing_in_either = F.aggregate(
-        F.zip_with(p1, p2, lambda a, b: (miss(a) | miss(b)).cast("int")),
-        F.lit(0), lambda acc, v: acc + v,
-    )
-    return diffs, F.lit(locus_count) - missing_in_either
+def _pad_profiles(profiles: list, width: int, chars: int):
+    """Profiles -> a fixed-width numpy string matrix padded with 'N'
+    (missing), plus the per-profile true lengths."""
+    import numpy as np
+
+    mat = np.full((len(profiles), width), "N", dtype=f"<U{max(chars, 1)}")
+    lens = np.zeros(len(profiles), dtype=np.int64)
+    for i, p in enumerate(profiles):
+        mat[i, : len(p)] = ["N" if a is None else a for a in p]
+        lens[i] = len(p)
+    return mat, lens
 
 
 def nearest_coded(
-    batch: DataFrame,
+    batch_rows: dict,
     coded: DataFrame,
     locus_count: int,
 ) -> list:
     """One Spark job: for every batch profile, the nearest profile in
     ``coded`` by normalized distance (ties -> earliest insertion order).
 
-    ``batch``:  (profile_key, profile)        — small, broadcast side.
-    ``coded``:  (ins_idx, profile)            — all previously coded.
-    Returns rows (profile_key, ins_idx, diffs, distance).
+    ``batch_rows``: {profile_key: profile} — small; rides to every task
+    as padded numpy matrices in the UDF closure.
+    ``coded``: (ins_idx, profile) DataFrame — all previously coded,
+    scanned distributed.  Each partition computes vectorized pairwise
+    diff / missing counts against the whole batch (fixed-width numpy
+    string matrices, coded side in <=2048-row blocks to bound the
+    boolean temporaries) and emits ONE candidate row per batch profile
+    — a per-partition partial argmin — so the driver merge sees only
+    n_partitions x |batch| rows.  An expression-level
+    zip_with/aggregate fold here stays INTERPRETED (higher-order
+    functions don't enter whole-stage codegen) and measured ~2e5
+    pairs/s; this Arrow pass does the same scan at numpy speed.
+
+    Distance semantics (reference lincodes.pl:249-252): diffs count
+    slots where both sides are non-missing ('N'/'0') and differ;
+    missing_in_either counts missing slots over max(len(p1), len(p2))
+    zip slots (a shorter profile's tail is missing);
+    distance = 100*diffs/(locus_count - missing_in_either), or 100.0
+    when the denominator is zero (the reference's inf can never win
+    its strict '<' argmin — 100.0 is the same "never the closest",
+    without the division).
+
+    Returns dict rows (profile_key, ins_idx, diffs, distance).
     """
-    b = F.broadcast(batch.select(
-        F.col("profile_key"), F.col("profile").alias("p2")
-    ))
-    pairs = coded.select(
-        "ins_idx", F.col("profile").alias("p1")
-    ).crossJoin(b)
-    diffs, denom = _diffs_and_denom(F.col("p1"), F.col("p2"), locus_count)
-    # denom == 0 (no shared non-missing loci): the reference's PDL
-    # division yields inf, which its strict `< min_distance=100` can
-    # never select — 100.0 here is the same "never the closest" value
-    # (and avoids ANSI-mode DIVIDE_BY_ZERO).
-    scored = pairs.select(
-        "profile_key", "ins_idx",
-        diffs.alias("diffs"),
-        F.when(denom > 0, F.lit(100.0) * diffs / denom)
-        .otherwise(F.lit(100.0))
-        .alias("distance"),
+    import numpy as np
+    import pandas as pd
+
+    keys = list(batch_rows)
+    bprofiles = [batch_rows[k] for k in keys]
+    bchars = max(
+        (len(a) for p in bprofiles for a in p if a is not None), default=1
     )
-    w = Window.partitionBy("profile_key").orderBy(
-        F.asc("distance"), F.asc("ins_idx")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("profile_key", "ins_idx", "diffs", "distance")
-        .collect()
-    )
+    width = max(locus_count, max((len(p) for p in bprofiles), default=0))
+    bmat, blen = _pad_profiles(bprofiles, width, bchars)
+    bmiss = (bmat == "N") | (bmat == "0")
+    q = len(keys)
+
+    def _scan(pdfs):
+        best_dist = np.full(q, np.inf)
+        best_ins = np.full(q, np.iinfo(np.int64).max, dtype=np.int64)
+        best_diffs = np.zeros(q, dtype=np.int64)
+        seen = False
+        for pdf in pdfs:
+            for lo in range(0, len(pdf), 2048):
+                chunk = pdf.iloc[lo : lo + 2048]
+                profs = chunk["profile"].tolist()
+                if not profs:
+                    continue
+                seen = True
+                chars = max(
+                    bchars,
+                    max(
+                        (len(a) for p in profs for a in p if a is not None),
+                        default=1,
+                    ),
+                )
+                w2 = max(width, max(len(p) for p in profs))
+                pmat, plen = _pad_profiles(profs, w2, chars)
+                if w2 > width:
+                    bm = np.full((q, w2), "N", dtype=pmat.dtype)
+                    bm[:, :width] = bmat
+                    bms = (bm == "N") | (bm == "0")
+                else:
+                    bm, bms = bmat, bmiss
+                miss = (
+                    (pmat == "N") | (pmat == "0")
+                )[:, None, :] | bms[None, :, :]
+                d = ((pmat[:, None, :] != bm[None, :, :]) & ~miss).sum(
+                    axis=2
+                )
+                mie = miss.sum(axis=2) - (
+                    w2 - np.maximum(plen[:, None], blen[None, :])
+                )
+                denom = locus_count - mie
+                dist = np.where(
+                    denom > 0, 100.0 * d / np.where(denom > 0, denom, 1), 100.0
+                )
+                ins = chunk["ins_idx"].to_numpy(dtype=np.int64)
+                # chunk argmin per batch column, ties -> lowest ins_idx
+                # (partition row order is NOT ins order: the coded
+                # frame comes from a join)
+                colmin = dist.min(axis=0)
+                ins_masked = np.where(
+                    dist == colmin, ins[:, None], np.iinfo(np.int64).max
+                )
+                jrow = ins_masked.argmin(axis=0)
+                cols = np.arange(q)
+                c_ins = ins_masked[jrow, cols]
+                c_d = d[jrow, cols]
+                better = (colmin < best_dist) | (
+                    (colmin == best_dist) & (c_ins < best_ins)
+                )
+                best_dist = np.where(better, colmin, best_dist)
+                best_ins = np.where(better, c_ins, best_ins)
+                best_diffs = np.where(better, c_d, best_diffs)
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "qi": np.arange(q, dtype=np.int32),
+                    "ins_idx": best_ins,
+                    "diffs": best_diffs,
+                    "distance": best_dist,
+                }
+            )
+
+    partial = coded.mapInPandas(
+        _scan, schema="qi int, ins_idx long, diffs long, distance double"
+    ).collect()
+    best: dict[int, tuple] = {}
+    for r in partial:
+        cand = (r["distance"], r["ins_idx"], r["diffs"])
+        cur = best.get(r["qi"])
+        if cur is None or (cand[0], cand[1]) < (cur[0], cur[1]):
+            best[r["qi"]] = cand
+    return [
+        {
+            "profile_key": keys[qi],
+            "ins_idx": int(b[1]),
+            "diffs": int(b[2]),
+            "distance": float(b[0]),
+        }
+        for qi, b in best.items()
+    ]
 
 
 def assign_lincodes(
@@ -219,6 +303,24 @@ def assign_lincodes(
 
     codes: list[list[int]] = []
     coded_ids: list = []
+    # incremental allocation counters — the naive forms ("max first
+    # component over all codes", "max component t among codes sharing
+    # my prefix": lincodes.pl:300-330 runs SQL max() queries for these)
+    # would be an O(total codes) driver scan PER profile, i.e. O(n^2)
+    # interpreter time that measured 30+ s/batch at 1e4 profiles.
+    # top_max tracks the first component; next_at[prefix] tracks the
+    # max used component right after that prefix.
+    top_max = 0
+    next_at: dict[tuple, int] = {}
+
+    def note_code(code: list[int]) -> list[int]:
+        nonlocal top_max
+        top_max = max(top_max, code[0])
+        for t in range(1, n_comp):
+            key = tuple(code[:t])
+            if code[t] > next_at.get(key, 0):
+                next_at[key] = code[t]
+        return code
 
     def new_code(nearest_idx: int | None, diffs: int, distance: float):
         if nearest_idx is not None and diffs == 0:
@@ -237,18 +339,15 @@ def assign_lincodes(
         # component so codes keep the scheme's declared length.
         t_idx = min(t_idx, n_comp - 1) if n_comp > 0 else 0
         if t_idx == 0 or nearest_idx is None:
-            top = max((c[0] for c in codes), default=0) + 1
-            return [top] + [0] * (n_comp - 1)
+            return [top_max + 1] + [0] * (n_comp - 1)
         prefix = codes[nearest_idx][:t_idx]
-        nxt = max(
-            (c[t_idx] for c in codes
-             if c[:t_idx] == prefix and len(c) > t_idx),
-            default=0,
-        ) + 1
+        nxt = next_at.get(tuple(prefix), 0) + 1
         code = prefix + [nxt]
         while len(code) < n_comp:
             code.append(0)
         return code
+
+    import numpy as np
 
     for batch_ids in _id_batches():
         lst = spark.createDataFrame([(i,) for i in batch_ids], ["profile_key"])
@@ -267,43 +366,69 @@ def assign_lincodes(
                 ),
                 on="profile_key",
             ).select("ins_idx", "profile")
-            for r in nearest_coded(
-                prof.join(F.broadcast(lst), on="profile_key"),
-                coded_src, locus_count,
-            ):
+            for r in nearest_coded(batch_rows, coded_src, locus_count):
                 pre_nearest[r["profile_key"]] = (
                     int(r["ins_idx"]), int(r["diffs"]), float(r["distance"])
                 )
-        # sequential resolution inside the (bounded) batch: compare the
-        # Spark-computed nearest-vs-coded candidate with batch-local
-        # earlier members (at most batch_size-1 comparisons per profile)
+        # sequential resolution inside the (bounded) batch, vectorized:
+        # each profile compares against the batch members coded before
+        # it in ONE numpy pass (the old per-pair python loop was
+        # O(batch^2 * loci) of interpreter time — at batch 1024 it cost
+        # more than the Spark scan it complements). Profiles are padded
+        # to a common width with 'N'; the zip_longest semantics (slots
+        # beyond the longer profile don't count as missing) are
+        # restored by subtracting the per-pair padding from mie.
+        width = max(
+            locus_count,
+            max((len(v) for v in batch_rows.values()), default=0),
+        )
+        # dtype width = longest allele string in the batch (a fixed
+        # width would silently truncate long allele identifiers)
+        chars = max(
+            (len(a) for v in batch_rows.values() for a in v if a is not None),
+            default=1,
+        )
+        sdt = f"<U{max(chars, 1)}"
+        bmat = np.full((len(batch_ids), width), "N", dtype=sdt)
+        blen = np.zeros(len(batch_ids), dtype=np.int64)
+        base_idx = len(codes)
+        k = 0  # batch members coded so far
         for key in batch_ids:
             cur = batch_rows[key]
+            arr = np.full(width, "N", dtype=sdt)
+            arr[: len(cur)] = ["N" if a is None else a for a in cur]
+            amiss = (arr == "N") | (arr == "0")
             if not codes:
-                codes.append([0] * n_comp)
+                codes.append(note_code([0] * n_comp))
                 coded_ids.append(key)
+                bmat[k], blen[k] = arr, len(cur)
+                k += 1
                 continue
             best = pre_nearest.get(key)  # (ins_idx, diffs, distance)
-            for j in range(len(coded_ids) - 1, -1, -1):
-                if coded_ids[j] not in batch_rows:
-                    break  # older than this batch -> covered by Spark scan
-                other = batch_rows[coded_ids[j]]
-                d = sum(
-                    1 for a, b in zip_longest(other, cur, fillvalue="N")
-                    if a != b and a not in MISSING and b not in MISSING
+            if k:
+                sub, sublen = bmat[:k], blen[:k]
+                miss = (sub == "N") | (sub == "0") | amiss
+                d = ((sub != arr) & ~miss).sum(axis=1)
+                mie = miss.sum(axis=1) - (
+                    width - np.maximum(sublen, len(cur))
                 )
-                mie = sum(
-                    1 for a, b in zip_longest(other, cur, fillvalue="N")
-                    if a in MISSING or b in MISSING
+                denom = locus_count - mie
+                dist = np.where(
+                    denom > 0, 100.0 * d / np.where(denom > 0, denom, 1), 100.0
                 )
-                dist = 100.0 * d / (locus_count - mie) if locus_count > mie else 100.0
-                if best is None or dist < best[2] or (
-                    dist == best[2] and j < best[0]
+                j = int(np.argmin(dist))  # ties -> earliest batch member
+                cand = (base_idx + j, int(d[j]), float(dist[j]))
+                if (
+                    best is None
+                    or cand[2] < best[2]
+                    or (cand[2] == best[2] and cand[0] < best[0])
                 ):
-                    best = (j, d, dist)
+                    best = cand
             nearest_idx, diffs, distance = best
-            codes.append(new_code(nearest_idx, diffs, distance))
+            codes.append(note_code(new_code(nearest_idx, diffs, distance)))
             coded_ids.append(key)
+            bmat[k], blen[k] = arr, len(cur)
+            k += 1
 
     out = [(coded_ids[i], codes[i]) for i in range(len(coded_ids))]
     prof.unpersist()

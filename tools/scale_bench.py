@@ -39,6 +39,16 @@ Paths timed per tier (each skippable via --skip):
   ivf_pq_encode      Arrow encode pass (cell + PQ codes)
   ivf_pq_topk        ADC top-k over the probed cells
   semantic_dedup     SemDeDup with MLlib-trained centroids (tier 0)
+  semantic_dedup_hier SemDeDup with a two-level hierarchical codebook
+                     (k ~ n/256 at O(n*sqrt(k)*d) assignment — the
+                     feasible occupancy-constant path past 1e6 rows)
+  bpe                BPE train (distributed freq agg + driver merges)
+                     and the Arrow token-count pass
+  lincode            assign_lincodes (sequential-by-reference batches;
+                     the distributed nearest-profile scan is the term
+                     that grows — per-batch wall tracks the coded set)
+  ann_equality       symmetric difference of the persisted plain /
+                     int8-screened ann pair sets (must be 0)
   incremental_ingest four 250k-doc deltas vs a growing corpus index
   corpus_assembly    token stats + packing + shard assignment
   single_linkage     connected components by label propagation
@@ -142,6 +152,12 @@ def main() -> None:
         help="semantic_dedup tiers (must be a subset of --emb-tiers; "
         "k scales with n at ~256 vectors/cell)",
     )
+    ap.add_argument(
+        "--lincode-tiers",
+        default="25000,100000",
+        help="assign_lincodes tiers (sequential-by-reference profile "
+        "coding; the distributed term is the per-batch nearest scan)",
+    )
     ap.add_argument("--out", default="/tmp/scale_bench")
     ap.add_argument("--skip", default="", help="comma list of paths to skip")
     args = ap.parse_args()
@@ -149,6 +165,7 @@ def main() -> None:
     emb_tiers = [int(x) for x in args.emb_tiers.split(",") if x]
     graph_tiers = [int(x) for x in args.graph_tiers.split(",") if x]
     semdedup_tiers = [int(x) for x in args.semdedup_tiers.split(",") if x]
+    lincode_tiers = [int(x) for x in args.lincode_tiers.split(",") if x]
     skip = set(args.skip.split(",")) if args.skip else set()
 
     spark = get_spark("scale_bench")
@@ -327,6 +344,22 @@ def main() -> None:
                 ).count()
             )
             record("minhash_lsh_fused", n, sec, f"{cnt} candidate pairs")
+        if "bpe" not in skip:
+            from bigsdb_spark.operators.bpe import bpe_token_count, bpe_train
+
+            # train = distributed word-frequency agg (capped at the
+            # 50k most frequent words, a TakeOrderedAndProject) + the
+            # vocab-sized driver merge loop; apply = one Arrow pass
+            sec, merges = _timed(
+                lambda: bpe_train(docs, "text", n_merges=200, max_words=50_000)
+            )
+            record("bpe_train", n, sec, "200 merges over 50k word cap")
+            sec, total = _timed(
+                lambda: bpe_token_count(docs, "doc_id", "text", merges)
+                .agg(F.sum("n_bpe_tokens"))
+                .collect()[0][0]
+            )
+            record("bpe_token_count", n, sec, f"{total} tokens")
 
     # ---- embedding paths ----
     from bigsdb_spark.operators.pq import (
@@ -372,26 +405,53 @@ def main() -> None:
                 ).collect()
             )
             record("ivf_pq_topk", n, sec, "8/256 cells probed")
+        # both ann paths are forced by WRITING the (tiny: ~1e4-row)
+        # pair set to parquet instead of count() — the plan is the
+        # same, the write adds <1 s, and pair-set EQUALITY between the
+        # plain and int8-screened variants (the r4/r5 soundness claim)
+        # can then be checked from the persisted outputs without
+        # re-running the expensive joins
+        dims = max(3, int(math.log2(max(n, 64) / 64)))
         if "bucketed_ann" not in skip:
-            dims = max(3, int(math.log2(max(n, 64) / 64)))
-            sec, cnt = _timed(
+            sec, _ = _timed(
                 lambda: bucketed_ann_pairs(
                     emb, "vec_id", "embedding", dims=dims, min_cosine=0.5
-                ).count()
+                )
+                .select("id1", "id2")
+                .write.mode("overwrite")
+                .parquet(f"{args.out}/ann_pairs_{n}")
             )
+            cnt = spark.read.parquet(f"{args.out}/ann_pairs_{n}").count()
             record("bucketed_ann", n, sec, f"dims={dims}, {cnt} pairs")
         if "bucketed_ann_sq" not in skip:
             from bigsdb_spark.operators.similarity import bucketed_ann_pairs_sq
 
-            dims = max(3, int(math.log2(max(n, 64) / 64)))
-            sec, cnt = _timed(
+            sec, _ = _timed(
                 lambda: bucketed_ann_pairs_sq(
                     emb, "vec_id", "embedding", dims=dims, min_cosine=0.5
-                ).count()
+                )
+                .select("id1", "id2")
+                .write.mode("overwrite")
+                .parquet(f"{args.out}/ann_pairs_sq_{n}")
             )
+            cnt = spark.read.parquet(f"{args.out}/ann_pairs_sq_{n}").count()
             record(
                 "bucketed_ann_sq", n, sec,
                 f"dims={dims}, {cnt} pairs (int8 screen)",
+            )
+        if (
+            "bucketed_ann" not in skip
+            and "bucketed_ann_sq" not in skip
+            and "ann_equality" not in skip
+        ):
+            plain = spark.read.parquet(f"{args.out}/ann_pairs_{n}")
+            sq = spark.read.parquet(f"{args.out}/ann_pairs_sq_{n}")
+            sec, diff = _timed(
+                lambda: plain.exceptAll(sq).count() + sq.exceptAll(plain).count()
+            )
+            record(
+                "ann_pair_equality", n, sec,
+                f"symmetric difference {diff} (0 = identical pair sets)",
             )
 
     # ---- semantic dedup at scale (MLlib-trained centroids) ----
@@ -436,6 +496,100 @@ def main() -> None:
             record(
                 "semantic_dedup", n, sec,
                 f"k={k} cells, {kept} survivors of {n}",
+            )
+
+    # ---- semantic dedup with HIERARCHICAL cells (the k ~ n path) ----
+    # Occupancy-constant k = n/256 makes a flat codebook infeasible
+    # past ~1e6 rows (assignment is O(n*k*d): 4e15 flops at 4e6) — the
+    # two-level codebook assigns in O(n*sqrt(k)*d).  Training is
+    # sample-bounded driver numpy (like faiss); the measured pass is
+    # assignment + within-cell pair join + grouping.
+    if "semantic_dedup_hier" not in skip:
+        from bigsdb_spark.operators.dedup import (
+            semantic_dedup,
+            train_hierarchical_cells,
+        )
+
+        for n in semdedup_tiers:
+            emb = spark.read.parquet(f"{args.out}/emb_{n}")
+            k = max(64, n // 256)
+            t_train, h = _timed(
+                lambda: train_hierarchical_cells(
+                    emb, "embedding", n_cells=k, sample=131072, iters=10
+                )
+            )
+            nc, br = len(h["coarse"]), len(h["fine"][0])
+            print(
+                f"# hier codebook {nc}x{br} (k={k}) trained in "
+                f"{t_train:.1f}s",
+                flush=True,
+            )
+            sec, kept = _timed(
+                lambda: semantic_dedup(
+                    emb, "vec_id", "embedding", min_cosine=0.95, hierarchy=h
+                )
+                .filter("keep")
+                .count()
+            )
+            record(
+                "semantic_dedup_hier", n, sec,
+                f"{nc}x{br} cells, {kept} survivors of {n}",
+            )
+
+    # ---- LIN codes: sequential-by-reference driver loop at scale ----
+    # assign_lincodes is order-dependent by construction (each profile
+    # is coded against all PREVIOUSLY coded profiles:
+    # reference scripts/maintenance/lincodes.pl:177) — the claim under
+    # test is that the driver loop is NOT the bottleneck: per-batch
+    # wall tracks the distributed nearest-profile scan (which grows
+    # with the coded set), not a fixed driver overhead, so total time
+    # follows the O(n^2/2) pair count, not the O(n/batch) batch count.
+    # Profiles: 32 loci in families of 4 (parent + 3 single-locus
+    # mutants) so the threshold hierarchy has real structure.
+    if "lincode" not in skip and lincode_tiers:
+        from bigsdb_spark.operators.lincodes import assign_lincodes
+
+        for n in lincode_tiers:
+            p = f"{args.out}/profiles_{n}"
+            if not os.path.exists(os.path.join(p, "_SUCCESS")):
+                fam = F.col("id") - F.pmod(F.col("id"), F.lit(4))
+                mut_locus = F.pmod(F.xxhash64(F.col("id"), F.lit(99)), F.lit(32)) + 1
+                prof = F.transform(
+                    F.sequence(F.lit(1), F.lit(32)),
+                    lambda i: F.when(
+                        (F.pmod(F.col("id"), F.lit(4)) != 0) & (mut_locus == i),
+                        (F.pmod(F.xxhash64(F.col("id"), i), F.lit(30)) + 31),
+                    )
+                    .otherwise(F.pmod(F.xxhash64(fam, i), F.lit(30)) + 1)
+                    .cast("string"),  # allele ids are strings ('N'/'0' = missing)
+                )
+                (
+                    spark.range(n, numPartitions=max(8, n // 25_000))
+                    .select(
+                        F.format_string("p%08d", F.col("id")).alias(
+                            "profile_key"
+                        ),
+                        prof.alias("profile"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(p)
+                )
+            profiles = spark.read.parquet(p)
+            bs = 1024  # the per-batch Spark-job floor is ~4 s; batch
+            # size is the documented knob that amortizes it (reference
+            # codes one profile per query; any batch size preserves
+            # the sequential insertion-order semantics within batches)
+            sec, codes = _timed(
+                lambda: assign_lincodes(
+                    spark, profiles, thresholds=[8, 4, 2, 1],
+                    locus_count=32, batch_size=bs,
+                )
+            )
+            n_batches = (n + bs - 1) // bs
+            record(
+                "lincode_assign", n, sec,
+                f"{n_batches} batches of {bs}, {sec / n_batches:.2f}s/batch, "
+                f"{codes.count()} coded",
             )
 
     # ---- incremental ingest: per-delta cost vs a growing index ----
