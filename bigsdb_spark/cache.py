@@ -60,7 +60,22 @@ class Materialization:
 
     Version strings keep the historical ``v_%06d`` shape (they are the
     log's integer versions), so callers and tests see the same names
-    the pointer protocol produced."""
+    the pointer protocol produced.
+
+    Retention policy: every refresh commits a new version and then
+    gc's the log down to ``keep_versions`` (default 2 = the new
+    version plus its predecessor — the minimum that keeps a reader
+    who resolved the previous snapshot just before the swap safe, and
+    the same implicit retention the reference's create->rename->drop
+    swap provides, sql/isolatedb.sql:1580-1586).  Raise
+    ``keep_versions`` on the refresh call to hold a longer time-travel
+    window: a reader is guaranteed its pinned version's files for the
+    next ``keep_versions - 1`` refreshes, after which reads of that
+    version raise like a missing table.  gc runs inline after each
+    refresh commit (the streaming refresh jobs inherit this — no
+    separate janitor to schedule); orphan sweeping of crashed-writer
+    scratch is the separate age-gated ``SnapshotLog.gc(sweep_orphans=
+    True, scratch_ttl_s=...)`` documented in snaplog.py."""
 
     TABLE = "data"
 
@@ -138,8 +153,8 @@ class Materialization:
         self.log.gc(keep=keep_versions)
         return f"v_{snap.version:06d}"
 
-    def refresh_full(self, df: DataFrame) -> str:
-        return self._swap_in(df, meta={"op": "full"})
+    def refresh_full(self, df: DataFrame, keep_versions: int = 2) -> str:
+        return self._swap_in(df, keep_versions, meta={"op": "full"})
 
     def refresh_incremental(
         self,
@@ -147,6 +162,7 @@ class Materialization:
         changed_keys: DataFrame,
         key: str,
         max_retries: int = 3,
+        keep_versions: int = 2,
     ) -> str:
         """MERGE semantics: keep current rows whose key is NOT in
         ``changed_keys``, add ``recomputed`` rows (which must cover
@@ -160,7 +176,8 @@ class Materialization:
             if snap is None:
                 try:
                     return self._swap_in(
-                        recomputed, expected_version=-1, meta={"op": "merge"}
+                        recomputed, keep_versions,
+                        expected_version=-1, meta={"op": "merge"},
                     )
                 except CommitConflict:
                     continue  # someone created v0 under us; merge with it
@@ -173,6 +190,7 @@ class Materialization:
             try:
                 return self._swap_in(
                     kept.unionByName(recomputed),
+                    keep_versions,
                     expected_version=snap.version,
                     meta={"op": "merge"},
                 )

@@ -118,6 +118,7 @@ def blast_partial_matches(
     identity: float | None = None,
     alignment: float | None = None,
     exact: DataFrame | None = None,
+    program: str = "blastn",
 ) -> DataFrame:
     """_parse_blast_partial: threshold filter + best-poor fallback +
     predicted allele ends + the gap-split second record.
@@ -129,10 +130,26 @@ def blast_partial_matches(
     frame) drops loci that already matched exactly — the reference's
     ``next if $exact_matches->{$locus}`` (:464) — via a broadcast
     anti-join on the (small) exactly-matched locus list.
+
+    ``program`` is the reference's per-run selection matrix
+    (_determine_blast_program, Blast.pm:904-911: DNA db x DNA query ->
+    blastn, peptide query -> tblastn; peptide db x DNA query ->
+    blastx, peptide query -> blastp).  The only program-dependent
+    parse rule is the tblast* residue->nucleotide factor: alignment
+    lengths come back in residues while the subject header carries the
+    locus's NUCLEOTIDE length, so record[3] is tripled BEFORE the
+    alignment threshold (:466-468) and emitted tripled.  blastx needs
+    no factor — a peptide locus's header length is in residues, the
+    same unit blastx reports (only the query coords are nucleotide).
+    The legacy ``$params->{'tblastx'}`` re-multiplication at :495 is a
+    dead calling convention superseded by the :466 program check and
+    is not reproduced.
     """
     keep_poor = identity is None or alignment is None
     id_thr = 90.0 if identity is None else float(identity)
     al_thr = 50.0 if alignment is None else float(alignment)
+    if "tblast" in program:
+        parsed = parsed.withColumn("alignment", F.col("alignment") * 3)
     if exact is not None:
         parsed = parsed.join(
             F.broadcast(exact.select("locus").distinct()),

@@ -338,3 +338,79 @@ def test_multihsp_exact_locus_excluded_from_partial(parsed_multihsp):
     pm = blast_partial_matches(parsed_multihsp, exact=ex)
     assert pm.filter("locus = 'abcZ'").count() == 0
     assert pm.filter("locus = 'fumC'").count() == 2
+
+
+# ---- peptide-locus programs: blastx / tblastn (Blast.pm:904-911) ----
+
+FIXTURE_X = str(
+    pathlib.Path(__file__).parent / "fixtures" / "blast_outfmt6_blastx.tsv"
+)
+
+
+@pytest.fixture(scope="module")
+def parsed_x(spark):
+    lines = spark.read.text(FIXTURE_X).withColumnRenamed("value", "line")
+    return parse_blast_tabular(lines).cache()
+
+
+def test_blastx_exact_protein_span_nucleotide_query(parsed_x):
+    """blastx (peptide locus, DNA query): subject coords and the header
+    length are both in RESIDUES, so the exact tier's full-span check
+    needs no program factor — while the query span is nucleotides
+    (3x the alignment).  Both frames pinned: forward (+ strand) and
+    the negative-frame record, which blastx reports as qstart > qend
+    with the subject still ascending."""
+    got = {
+        (r.locus, r.allele): r
+        for r in blast_exact_matches(parsed_x).collect()
+    }
+    fwd = got[("penA", "7")]
+    assert (fwd.start, fwd.end, fwd.reverse) == (101, 394, False)
+    assert fwd.end - fwd.start + 1 == 3 * fwd.alignment  # nt span, res align
+    rev = got[("penA", "9")]
+    assert (rev.start, rev.end, rev.reverse) == (207, 500, True)
+    assert rev.length == 98  # '||' era header parsed on peptide loci too
+
+
+def test_blastx_partial_predicted_ends_reference_units(parsed_x):
+    """blastx partial records keep the reference's exact arithmetic:
+    thresholds compare residue alignment against the residue header
+    length (60 >= 50% of 80 passes, no factor), and _predict_allele_
+    ends (:642-668) subtracts the RESIDUE subject offset from the
+    NUCLEOTIDE query start — the reference's unit mix, reproduced
+    verbatim rather than 'fixed', so downstream consumers see the same
+    numbers the Perl pipeline produces."""
+    got = {
+        (r.locus, r.allele): r
+        for r in blast_partial_matches(parsed_x).collect()
+        if r.locus == "mtrR"
+    }
+    m = got[("mtrR", "4")]
+    assert (m.start, m.end, m.reverse) == (601, 780, False)
+    assert m.alignment == 60 and m.length == 80
+    assert (m.predicted_start, m.predicted_end) == (591, 670)
+
+
+def test_tblastn_alignment_tripled_before_threshold(parsed_x):
+    """tblastn (DNA locus, peptide query): alignment comes back in
+    residues but the header length is nucleotides, so record[3] is
+    tripled BEFORE the alignment threshold (:466-468).  dnaE: 90
+    residues -> 270 nt >= 50% of 300 only WITH the factor; without it
+    the record survives solely as the best-poor fallback (and drops
+    under explicit thresholds)."""
+    with_factor = blast_partial_matches(
+        parsed_x, program="tblastn"
+    ).filter("locus = 'dnaE'").collect()
+    assert len(with_factor) == 1 and with_factor[0].alignment == 270
+    # default program (blastn): 90 < 150 -> best-poor only
+    poor = blast_partial_matches(parsed_x).filter("locus = 'dnaE'").collect()
+    assert len(poor) == 1 and poor[0].alignment == 90
+    strict = blast_partial_matches(
+        parsed_x, identity=90.0, alignment=50.0
+    ).filter("locus = 'dnaE'")
+    assert strict.count() == 0
+    # explicit thresholds + the right program: passes on merit
+    strict_t = blast_partial_matches(
+        parsed_x, identity=90.0, alignment=50.0, program="tblastn"
+    ).filter("locus = 'dnaE'")
+    assert strict_t.count() == 1

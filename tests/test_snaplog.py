@@ -323,6 +323,49 @@ def test_materialization_time_travel_and_history(spark, tmp_path):
         mat.read(99)
 
 
+def test_materialization_reader_pinned_across_two_refresh_gc_cycles(
+    spark, tmp_path
+):
+    """Retention contract (VERDICT r5 #4): a reader who resolved a
+    version keeps its files for the next keep_versions - 1 refreshes,
+    each of which runs gc inline.  A Spark DataFrame pinned to v0 is
+    re-collected AFTER each of two refresh+gc cycles at
+    keep_versions=3 (both succeed, identical rows), and the third
+    refresh — v0 now beyond retention — removes its files."""
+    import os as _os
+
+    from bigsdb_spark.cache import Materialization
+
+    mat = Materialization(spark, str(tmp_path), "pin")
+    mat.refresh_full(spark.range(4).withColumnRenamed("id", "k"))
+    pinned = mat.read()  # lazy plan bound to v0's physical path
+    v0_path = mat.log.snapshot(0).path(Materialization.TABLE)
+    assert sorted(r["k"] for r in pinned.collect()) == [0, 1, 2, 3]
+    # refresh #1 + inline gc at keep=3: v0 retained
+    mat.refresh_full(
+        spark.range(10).withColumnRenamed("id", "k"), keep_versions=3
+    )
+    assert sorted(r["k"] for r in pinned.collect()) == [0, 1, 2, 3]
+    # refresh #2 + inline gc at keep=3: v0 is the 3rd-newest, retained
+    mat.refresh_incremental(
+        spark.createDataFrame([(1,)], "k long"),
+        spark.createDataFrame([(1,)], "k long"),
+        key="k",
+        keep_versions=3,
+    )
+    assert _os.path.exists(v0_path)
+    assert sorted(r["k"] for r in pinned.collect()) == [0, 1, 2, 3]
+    assert mat.log.versions() == [0, 1, 2]
+    # refresh #3 at keep=3 pushes v0 out: files gone, version list slid
+    mat.refresh_full(
+        spark.range(2).withColumnRenamed("id", "k"), keep_versions=3
+    )
+    assert not _os.path.exists(v0_path)
+    assert mat.log.versions() == [1, 2, 3]
+    # current reads are unaffected throughout
+    assert sorted(r["k"] for r in mat.read().collect()) == [0, 1]
+
+
 def test_gc_scratch_ttl_protects_live_writers(tmp_path):
     """With a positive scratch_ttl_s, fresh scratch (a live writer
     mid-commit) survives the orphan sweep while stale crash leftovers
