@@ -24,6 +24,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a localCheckpoint's stored blocks.
+
+    Spark keeps each localCheckpoint's partitions in the block manager
+    for the lifetime of the session (ContextCleaner only reclaims them
+    after the Python reference is GC'd, which lags under memory
+    pressure). An iterative algorithm that checkpoints every round
+    therefore accumulates one dead copy of the working set per round —
+    at 1.6e7 nodes that alone exhausts a 16g local JVM. No public API
+    frees them, so reach the LogicalRDD's backing RDD through py4j and
+    unpersist it; on any interface drift just let ContextCleaner do it.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def single_linkage(pairs: DataFrame, nodes: DataFrame, max_iter: int = 50) -> DataFrame:
@@ -34,20 +53,30 @@ def single_linkage(pairs: DataFrame, nodes: DataFrame, max_iter: int = 50) -> Da
     Returns (id, group_id) with group_id = smallest member id, matching
     cluster.pl's merge-into-smallest-group semantics.
     """
+    # serialized MEMORY_AND_DISK blocks (PySpark's MEMORY_AND_DISK is
+    # JVM-serialized): ~3-5x smaller than the deserialized default and
+    # evictable to disk, so a big edge set can't pin the whole heap
+    ckpt_level = StorageLevel.MEMORY_AND_DISK
     edges = (
         pairs.select("id1", "id2")
         .union(pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
         .distinct()
-        .localCheckpoint(eager=True)  # joined every round: don't re-run the
-        # upstream pair-distance self-join once per iteration
+        .localCheckpoint(eager=True, storageLevel=ckpt_level)
+        # joined every round: don't re-run the upstream pair-distance
+        # self-join once per iteration
     )
     # right-size the iteration: a small graph on 32 shuffle partitions
     # pays ~32x task overhead per round for nothing
     if edges.count() < 1_000_000:
-        edges = edges.repartition(8, "id2").localCheckpoint(eager=True)
+        small = edges.repartition(8, "id2").localCheckpoint(
+            eager=True, storageLevel=ckpt_level
+        )
+        _free_local_checkpoint(edges)
+        edges = small
     labels = nodes.select(F.col(nodes.columns[0]).alias("id")).withColumn(
         "group_id", F.col("id")
     )
+    prev_ckpt: DataFrame | None = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["id2"] == labels["id"])
@@ -80,7 +109,14 @@ def single_linkage(pairs: DataFrame, nodes: DataFrame, max_iter: int = 50) -> Da
             )
             .withColumnRenamed("new_group_id", "group_id")
         )
-        materialized = updated.localCheckpoint(eager=True)  # one job/round
+        materialized = updated.localCheckpoint(
+            eager=True, storageLevel=ckpt_level
+        )  # one job/round
+        # the previous round's checkpoint is dead the moment this one
+        # exists — free its blocks so rounds don't stack up in the heap
+        if prev_ckpt is not None:
+            _free_local_checkpoint(prev_ckpt)
+        prev_ckpt = materialized
         labels = materialized.select("id", "group_id")
         # cheap scan of the checkpointed partitions — no recompute
         if materialized.filter(F.col("_changed")).limit(1).count() == 0:
@@ -147,7 +183,7 @@ def connected_components_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
 
     def _min_nbr(e: DataFrame) -> DataFrame:
@@ -186,7 +222,9 @@ def connected_components_star(
             small.union(keep1)
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
         )
         # fixed point: every node's edges point only at one min —
         # i.e. the symmetric closure no longer changes the hang-offs.
@@ -199,12 +237,16 @@ def connected_components_star(
                 new_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
         )
+        _free_local_checkpoint(new_edges)  # superseded by sym_new
         unchanged = (
             sym_new.count() == edges.count()
             and sym_new.exceptAll(edges).limit(1).count() == 0
         )
+        _free_local_checkpoint(edges)  # previous round, now dead
         edges = sym_new
         if unchanged:
             break
