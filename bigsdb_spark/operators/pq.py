@@ -73,19 +73,42 @@ def _train_pq_np(
 
 def _sample_np(emb: DataFrame, vec_col: str, sample: int) -> np.ndarray:
     """Deterministic ORDER-INDEPENDENT training sample: rank rows by a
-    content hash of the vector and take the smallest ``sample`` — a
-    TakeOrderedAndProject (per-partition top-k + driver merge, no full
-    sort shuffle), so the SAME rows are chosen however the input is
-    partitioned, ordered, or clustered.  A bare ``limit(sample)`` takes
-    whichever partitions list first, so ingest-ordered data (one domain
-    first) would train biased codebooks and silently degrade recall."""
-    rows = (
-        emb.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col)), F.col(vec_col).cast("string"))
-        .limit(sample)
-        .collect()
+    content hash of the vector and take the smallest ``sample``, so the
+    SAME rows are chosen however the input is partitioned, ordered, or
+    clustered.  A bare ``limit(sample)`` takes whichever partitions list
+    first, so ingest-ordered data (one domain first) would train biased
+    codebooks and silently degrade recall.
+
+    A plain ``orderBy(hash).limit(sample)`` is a TakeOrderedAndProject:
+    every task ships its own top-``sample`` to the driver, so driver
+    bytes grow with partitions x sample — at sample=131072 over a
+    4e6-row/64-dim tier that is >1 GiB of task results and trips
+    spark.driver.maxResultSize.  Pre-filter to a hash cutoff sized for
+    ~4x the sample first (hash is uniform over the int64 range, so the
+    cutoff admits ~4*sample rows whatever n is); the exact top-k then
+    runs over O(sample) rows and the driver receives O(sample) bytes no
+    matter how large or how partitioned the corpus is.  Widen the
+    cutoff and retry in the (Chernoff-improbable) event the margin
+    under-fills."""
+    src = emb.select(
+        F.col(vec_col).alias("v"), F.xxhash64(F.col(vec_col)).alias("h")
     )
-    return np.array([r[0] for r in rows], dtype=np.float64)
+    n = src.count()
+    oversample = 4
+    while True:
+        cand = src
+        if n > oversample * sample:
+            frac = (oversample * sample) / n
+            cutoff = -(2**63) + int(frac * 2**64)
+            cand = src.filter(F.col("h") < F.lit(cutoff))
+        rows = (
+            cand.orderBy("h", F.col("v").cast("string"))
+            .limit(sample)
+            .collect()
+        )
+        if len(rows) >= min(sample, n) or oversample * sample >= n:
+            return np.array([r[0] for r in rows], dtype=np.float64)
+        oversample *= 4
 
 
 def _block_codes(x: np.ndarray, books: list[np.ndarray]) -> np.ndarray:

@@ -162,3 +162,30 @@ def test_training_sample_is_order_independent(spark):
     model_a = train_ivf_pq(emb, n_cells=8, m=8, k=16, sample=256)
     model_b = train_ivf_pq(adversarial, n_cells=8, m=8, k=16, sample=256)
     assert model_a == model_b
+
+
+def test_training_sample_cutoff_path_matches_global_topk(spark):
+    """Regression (r6 scale ladder): _sample_np's original
+    orderBy(hash).limit(k) is a TakeOrderedAndProject — every task
+    ships its own top-k, so driver bytes grow with partitions x k and
+    sample=131072 over a 4e6-row tier tripped
+    spark.driver.maxResultSize.  The fix pre-filters to a hash cutoff
+    sized for ~4x the sample (driver receives O(k) bytes at any corpus
+    size).  Pin the equivalence: the cutoff path must select the
+    IDENTICAL rows the global top-k would."""
+    from bigsdb_spark.operators.pq import _sample_np
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    k = max(8, n // 16)  # forces the n > 4*k cutoff branch
+    assert n > 4 * k
+    got = _sample_np(emb, "embedding", k)
+    want_rows = (
+        emb.select("embedding")
+        .orderBy(F.xxhash64(F.col("embedding")), F.col("embedding").cast("string"))
+        .limit(k)
+        .collect()
+    )
+    import numpy as np
+
+    assert np.array_equal(got, np.array([r[0] for r in want_rows]))
