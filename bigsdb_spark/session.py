@@ -33,6 +33,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE coalesces partitions DOWN but never splits them UP: with a
+        # fixed 32-partition floor, a 1.6e7-row gram explode spills (the
+        # round-6 ladder measured 4.9-7.7x per 4x growth there).  On a
+        # cluster you size the PRE-coalesce count for the biggest stage
+        # and let AQE shrink the small ones; SPARK_GRAFT_INITIAL_PARTITIONS
+        # exposes exactly that knob (absent = Spark default = the floor).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_PARTITIONS", str(shuffle_partitions)
+            ),
+        )
         # Dimension tables (region, nation, loci, schemes, user lists) are
         # tiny; always broadcast them rather than shuffling the fact side.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
