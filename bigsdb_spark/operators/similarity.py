@@ -453,12 +453,18 @@ def bucketed_ann_pairs_sq(
     pair expansion shuffles and folds 1-byte codes instead of 8-byte
     doubles, and full vectors are re-joined only for the survivors.
 
-    Scale rationale (r4 scale bench): the plain path's growth term at
-    1.6e7 rows was vector BYTES through the candidate shuffle — 512 B
-    per 64-dim double vector on both join sides.  Codes are
-    ``array<tinyint>`` (~64 B), so the screened join moves ~8x fewer
-    bytes, and the exact-cosine stage touches only pairs that can
-    still pass the threshold.
+    Scale rationale — REFUTED by measurement (r6, BASELINE.md): the
+    design bet was that the within-bucket join's growth term is vector
+    BYTES through the shuffle (512 B per 64-dim double vector vs ~64 B
+    of ``array<tinyint>`` codes, ~8x).  The r6 shuffle-bytes probe
+    (tools/shuffle_probe.py, AppStatusStore counters, 4e6 tier,
+    identical 405089-pair output) measured only a 1.25x write
+    reduction and a 0.89x read INCREASE — the survivor re-join
+    re-shuffles the full vectors the screen deferred, and ids + bucket
+    keys dominate the join traffic.  Wall clock is also worse at every
+    measured tier (1e6/4e6/1.6e7).  Prefer ``bucketed_ann_pairs``;
+    this variant is retained because its output is pinned identical
+    and the sound-screen construction below is reusable.
 
     The screen is SOUND, not heuristic, so no pair is lost:
 
