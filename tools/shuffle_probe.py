@@ -68,6 +68,30 @@ def _shuffle_totals(spark) -> tuple[int, int]:
     return w, r
 
 
+def _stage_rows(spark) -> dict[int, tuple[str, int, int]]:
+    """{stageId: (name, write, read)} for every stage the app has run —
+    lets the probe attribute the byte totals to specific exchanges."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    store = sc._jsc.sc().statusStore()
+    stages = store.stageList(
+        jvm.java.util.ArrayList(),
+        False,
+        False,
+        sc._gateway.new_array(jvm.double, 0),
+        jvm.java.util.ArrayList(),
+    )
+    out: dict[int, tuple[str, int, int]] = {}
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        out[s.stageId()] = (
+            s.name(),
+            s.shuffleWriteBytes(),
+            s.shuffleReadBytes(),
+        )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=4_000_000)
@@ -97,7 +121,7 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for name, fn in (("plain", bucketed_ann_pairs), ("sq", bucketed_ann_pairs_sq)):
-        w0, r0 = _shuffle_totals(spark)
+        before = _stage_rows(spark)
         t0 = time.monotonic()
         pairs = (
             fn(emb, "vec_id", "embedding", dims=dims, min_cosine=0.5)
@@ -105,19 +129,45 @@ def main() -> None:
             .count()
         )
         sec = round(time.monotonic() - t0, 2)
-        w1, r1 = _shuffle_totals(spark)
+        after = _stage_rows(spark)
+        new_stages = sorted(
+            (
+                (sid, *vals)
+                for sid, vals in after.items()
+                if sid not in before and (vals[1] or vals[2])
+            ),
+            key=lambda t: -(t[2] + t[3]),
+        )
+        w1 = sum(t[2] for t in new_stages)
+        r1 = sum(t[3] for t in new_stages)
         results[name] = {
             "sec": sec,
-            "shuffle_write": w1 - w0,
-            "shuffle_read": r1 - r0,
+            "shuffle_write": w1,
+            "shuffle_read": r1,
             "pairs": pairs,
+            "top_stages": [
+                {
+                    "stage": sid,
+                    "name": sname.split("\n")[0][:80],
+                    "write": w,
+                    "read": r,
+                }
+                for sid, sname, w, r in new_stages[:6]
+            ],
         }
         print(
-            f"# {name}: {sec}s, write {(w1 - w0) / 1e9:.2f} GB, "
-            f"read {(r1 - r0) / 1e9:.2f} GB, {pairs} pairs",
+            f"# {name}: {sec}s, write {w1 / 1e9:.2f} GB, "
+            f"read {r1 / 1e9:.2f} GB, {pairs} pairs",
             file=sys.stderr,
             flush=True,
         )
+        for sid, sname, w, r in new_stages[:6]:
+            print(
+                f"#   stage {sid} [{sname.split(chr(10))[0][:60]}]: "
+                f"write {w / 1e9:.2f} GB, read {r / 1e9:.2f} GB",
+                file=sys.stderr,
+                flush=True,
+            )
 
     def _ratio(k: str) -> float:
         den = results["sq"][k]
