@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 _WS = r"\s+"
 
@@ -371,22 +372,34 @@ def lsh_candidate_pairs_salted(
     n_hashes: int = 8,
     band_size: int = 2,
     salt_buckets: int = 8,
+    hot_threshold: int = 1024,
 ) -> DataFrame:
-    """``lsh_candidate_pairs`` with HOT-BUCKET salting — the explicit
-    skew fix for a band bucket holding a pathological share of the
-    corpus (boilerplate docs all hashing to one bucket put that whole
-    bucket's quadratic expansion in ONE task; AQE's skew split helps
-    for shuffle sizes but cannot split a single join key).
+    """``lsh_candidate_pairs`` with SELECTIVE hot-bucket salting — the
+    explicit skew fix for a band bucket holding a pathological share
+    of the corpus (boilerplate docs all hashing to one bucket put that
+    whole bucket's quadratic expansion in ONE task; AQE's skew split
+    helps for shuffle sizes but cannot split a single join key).
 
     Self-join salting: side A gets ``salt = hash(doc) % R``; side B
     replicates each row R times with ``rep = 0..R-1``; the join adds
     ``a.salt == b.rep`` to the bucket equality, so every (d1, d2) pair
     still matches EXACTLY once (d2's replicas meet d1 only at
     rep == salt(d1)) while a hot bucket's expansion spreads over R
-    tasks.  Cost: R× replication of the banded rows — use for corpora
-    where profiling shows hot buckets; the unsalted form is cheaper
-    when buckets are uniform.  Same (doc1, doc2) contract as
-    ``lsh_candidate_pairs`` (equality pinned in tests)."""
+    tasks.
+
+    Salting is applied ONLY to buckets holding more than
+    ``hot_threshold`` docs (size counted with one small agg; the hot
+    key set broadcasts); everything else takes the plain band join.
+    The r6 skew probe showed why: the original
+    everything-salted form replicated the ENTIRE banded frame R times
+    — 4e6 docs x 4 bands x R=8 = 1.3e8 join-side rows — and OOM'd a
+    16g heap on a corpus whose skew was one 10k-doc bucket.  Cold
+    buckets are the overwhelming mass and need no spreading; hot
+    buckets are few and small in ROW count (their cost is the
+    quadratic expansion, which is exactly what the salt spreads).
+    ``hot_threshold=0`` recovers the salt-everything form.  Same
+    (doc1, doc2) contract as ``lsh_candidate_pairs`` (equality pinned
+    in tests, incl. across the hot/cold boundary)."""
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -406,25 +419,40 @@ def lsh_candidate_pairs_salted(
         .select(
             "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
-    a = banded.withColumn(
+    hot_keys = (
+        banded.groupBy("band", "bucket")
+        .count()
+        .filter(F.col("count") > F.lit(max(hot_threshold, 1)))
+        .select("band", "bucket")
+    )
+    hot = banded.join(F.broadcast(hot_keys), ["band", "bucket"], "left_semi")
+    cold = banded.join(F.broadcast(hot_keys), ["band", "bucket"], "left_anti")
+
+    ca, cb = cold.alias("a"), cold.alias("b")
+    cold_pairs = ca.join(
+        cb,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    ).select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+
+    a = hot.withColumn(
         "salt", F.pmod(F.xxhash64("doc"), F.lit(salt_buckets)).cast("int")
     ).alias("a")
-    b = banded.withColumn(
+    b = hot.withColumn(
         "rep", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     ).alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.salt") == F.col("b.rep"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
-        .distinct()
-    )
+    hot_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.salt") == F.col("b.rep"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    ).select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+
+    return cold_pairs.union(hot_pairs).distinct()
 
 
 def ngram_jaccard(

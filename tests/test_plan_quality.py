@@ -456,13 +456,23 @@ def test_salted_lsh_band_join_spreads_hot_bucket(spark):
     plain = {
         (r["doc1"], r["doc2"]) for r in lsh_candidate_pairs(sigs).collect()
     }
-    salted_df = lsh_candidate_pairs_salted(sigs, salt_buckets=4)
+    # hot_threshold=8: the ~13-doc boiler buckets cross it (really
+    # salted), the unique docs stay on the plain cold branch — the
+    # equality check crosses the hot/cold boundary
+    salted_df = lsh_candidate_pairs_salted(
+        sigs, salt_buckets=4, hot_threshold=8
+    )
     salted = {(r["doc1"], r["doc2"]) for r in salted_df.collect()}
     assert salted == plain and len(plain) > 100  # hot bucket is real
     plan = plan_of(salted_df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "salt" in plan and "rep" in plan  # salt keys reached the join
+    # selective form: everything-hot (threshold 0) still equals plain
+    all_salted = lsh_candidate_pairs_salted(
+        sigs, salt_buckets=4, hot_threshold=0
+    )
+    assert {(r["doc1"], r["doc2"]) for r in all_salted.collect()} == plain
 
 
 def test_dsir_pipeline_plan_shape(spark):

