@@ -694,7 +694,6 @@ def semantic_dedup(
 
     from bigsdb_spark.operators.clustering import single_linkage
     from bigsdb_spark.operators.pq import _kmeans_np, _sample_np
-    from bigsdb_spark.operators.similarity import _norm
 
     if hierarchy is not None and centroids is not None:
         raise ValueError("pass centroids OR hierarchy, not both")
@@ -745,26 +744,49 @@ def semantic_dedup(
     assigned = emb.select(id_col, vec_col).mapInPandas(
         _assign, schema=out_schema
     )
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    withn = assigned.select(
-        F.col(id_col).alias("id"),
-        "cell",
-        F.col(vec_col).alias("e"),
-        _norm(F.col(vec_col)).alias("n"),
-    )
-    a = withn.select(
-        F.col("id").alias("id1"), F.col("e").alias("e1"),
-        F.col("n").alias("n1"), "cell",
-    )
-    b = withn.select(
-        F.col("id").alias("id2"), F.col("e").alias("e2"),
-        F.col("n").alias("n2"), "cell",
-    ).repartition(par, "cell")
-    from bigsdb_spark.operators.similarity import with_cosine
 
-    pairs = with_cosine(
-        a.join(b, "cell").filter(F.col("id1") < F.col("id2"))
-    ).filter(F.col("cosine") >= min_cosine).select("id1", "id2")
+    # Within-cell pair scoring: ONE Arrow pass per cell with a BLAS
+    # GEMM, not a cell-equi self-join + per-row expression-fold cosine.
+    # The join form shuffles BOTH sides and evaluates an interpreted
+    # zip_with/aggregate dot per joined row — at 1.6e7 docs that is
+    # ~4e9 interpreted 64-dim folds, measured tracking toward hours
+    # (same pathology the LIN-code scan hit, COVERAGE.md D5).  Here
+    # each cell's occupancy-bounded block (~256 rows) becomes one
+    # 256x256 matrix product; ids stream back through Arrow.  Cosine
+    # is rounded to 6dp exactly like similarity.with_cosine, so the
+    # pair set matches the join form (equality pinned in tests).
+    # Oversized cells (degenerate codebooks) are row-blocked so task
+    # memory stays O(block x cell), never O(cell^2) at once.
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"id1": pdf[id_col][:0], "id2": pdf[id_col][:0]}
+            )
+        ids = pdf[id_col].to_numpy()
+        x = np.array(list(pdf[vec_col]), dtype=np.float64)
+        n = np.sqrt((x * x).sum(axis=1))
+        o1, o2 = [], []
+        block = 4096
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, m, block):
+                xb = x[s : s + block]
+                cb = np.round(
+                    (xb @ x.T) / np.outer(n[s : s + block], n), 6
+                )
+                ib, jb = np.nonzero(cb >= min_cosine)
+                gi = ids[ib + s]
+                gj = ids[jb]
+                keep = gi < gj  # the id1 < id2 pair contract
+                o1.append(gi[keep])
+                o2.append(gj[keep])
+        return pd.DataFrame(
+            {"id1": np.concatenate(o1), "id2": np.concatenate(o2)}
+        )
+
+    pairs = assigned.groupBy("cell").applyInPandas(
+        _cell_pairs, schema=f"id1 {id_type}, id2 {id_type}"
+    )
     nodes = emb.select(F.col(id_col).alias("id"))
     groups = single_linkage(pairs, nodes)
     return groups.select(
