@@ -543,3 +543,18 @@ def test_bucketed_ann_sq_prescreen_identical_pairs(spark):
     assert len(plain) > 0  # the pin is not vacuous
     # the planted exact-dup pair is present (same sign bucket always)
     assert any(p[1] == 200 and p[2] == 201 for p in plain)
+    # the per-bucket GEMM variant: identical (bucket, id1, id2) set AND
+    # cosines equal after the shared 6dp rounding (numpy GEMM vs the
+    # interpreted fold may differ in the last ulp pre-rounding; assert
+    # to 1e-6 so a genuine formula error still fails loudly)
+    from bigsdb_spark.operators.similarity import bucketed_ann_pairs_gemm
+
+    gemm = {
+        tuple(r)
+        for r in bucketed_ann_pairs_gemm(
+            emb, "vec_id", "embedding", dims=3, min_cosine=0.8
+        ).collect()
+    }
+    assert {g[:3] for g in gemm} == {p[:3] for p in plain}
+    pc = {p[:3]: p[3] for p in plain}
+    assert all(abs(g[3] - pc[g[:3]]) <= 1e-6 for g in gemm)

@@ -423,6 +423,35 @@ def main() -> None:
             )
             cnt = spark.read.parquet(f"{args.out}/ann_pairs_{n}").count()
             record("bucketed_ann", n, sec, f"dims={dims}, {cnt} pairs")
+        if "bucketed_ann_gemm" not in skip:
+            from bigsdb_spark.operators.similarity import (
+                bucketed_ann_pairs_gemm,
+            )
+
+            sec, _ = _timed(
+                lambda: bucketed_ann_pairs_gemm(
+                    emb, "vec_id", "embedding", dims=dims, min_cosine=0.5
+                )
+                .select("id1", "id2")
+                .write.mode("overwrite")
+                .parquet(f"{args.out}/ann_pairs_gemm_{n}")
+            )
+            cnt = spark.read.parquet(f"{args.out}/ann_pairs_gemm_{n}").count()
+            record(
+                "bucketed_ann_gemm", n, sec,
+                f"dims={dims}, {cnt} pairs (per-bucket GEMM)",
+            )
+            if "bucketed_ann" not in skip:
+                plain = spark.read.parquet(f"{args.out}/ann_pairs_{n}")
+                g = spark.read.parquet(f"{args.out}/ann_pairs_gemm_{n}")
+                sec, diff = _timed(
+                    lambda: plain.exceptAll(g).count()
+                    + g.exceptAll(plain).count()
+                )
+                record(
+                    "ann_gemm_equality", n, sec,
+                    f"symmetric difference {diff} (0 = identical pair sets)",
+                )
         if "bucketed_ann_sq" not in skip:
             from bigsdb_spark.operators.similarity import bucketed_ann_pairs_sq
 
