@@ -97,6 +97,17 @@ def _bucketed_ann_sq(spark, sf_dir):
     )
 
 
+def _bucketed_ann_gemm(spark, sf_dir):
+    # the r6 serving default: per-bucket BLAS scorer, identical pair
+    # set to the join form — 6-14x faster at 1e6-1.6e7 (BASELINE.md)
+    from bigsdb_spark.operators.similarity import bucketed_ann_pairs_gemm
+
+    return bucketed_ann_pairs_gemm(
+        tbl(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        dims=3, min_cosine=0.2,  # same params as the sim_bucketed_ann gate
+    )
+
+
 def _sq_topk(spark, sf_dir):
     # int8 scalar-quantized top-k: quantize + integer-dot + top-k as a
     # single joinless codegen scan (operators/pq.py)
@@ -143,6 +154,7 @@ EXTRA = {
     "sq_topk": _sq_topk,
     "sim_ivf_pq_topk": _ivf_pq,
     "sim_bucketed_ann_sq": _bucketed_ann_sq,
+    "sim_bucketed_ann_gemm": _bucketed_ann_gemm,
 }
 
 HEADLINE = [
@@ -167,6 +179,7 @@ HEADLINE = [
     "sim_brute_topk_np",
     "sim_bucketed_ann",
     "sim_bucketed_ann_sq",
+    "sim_bucketed_ann_gemm",
     "sq_topk",
     "sim_ivf_pq_topk",
     "t_text_suite",
