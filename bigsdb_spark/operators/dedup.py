@@ -753,16 +753,25 @@ def semantic_dedup(
     # (same pathology the LIN-code scan hit, COVERAGE.md D5).  Here
     # each cell's occupancy-bounded block (~256 rows) becomes one
     # 256x256 matrix product; ids stream back through Arrow.  Cosine
-    # is rounded to 6dp exactly like similarity.with_cosine, so the
-    # pair set matches the join form (equality pinned in tests).
-    # Oversized cells (degenerate codebooks) are row-blocked so task
-    # memory stays O(block x cell), never O(cell^2) at once.
+    # is rounded to 6dp with F.round's half-away-from-zero tie rule
+    # (similarity.np_round_half_up), so the pair set matches the join
+    # form (pinned in tests; empirical up to last-ulp BLAS summation
+    # order and decimal-repr rounding — see bucketed_ann_pairs_gemm).
+    # Zero-norm vectors never pair (NaN cosine compares False) and so
+    # come out as singleton groups — cosine is undefined for them, and
+    # a join-form scorer must pre-filter norm > 0 to agree (Spark
+    # orders NaN above every double).  Oversized cells (degenerate
+    # codebooks) are GEMM-tiled so task memory stays O(block^2); only
+    # the Arrow group materialization grows with occupancy, which is
+    # why n_cells must scale with n.
     def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
         if m < 2:
             return pd.DataFrame(
                 {"id1": pdf[id_col][:0], "id2": pdf[id_col][:0]}
             )
+        from bigsdb_spark.operators.similarity import np_round_half_up
+
         ids = pdf[id_col].to_numpy()
         x = np.array(list(pdf[vec_col]), dtype=np.float64)
         n = np.sqrt((x * x).sum(axis=1))
@@ -770,16 +779,18 @@ def semantic_dedup(
         block = 4096
         with np.errstate(divide="ignore", invalid="ignore"):
             for s in range(0, m, block):
-                xb = x[s : s + block]
-                cb = np.round(
-                    (xb @ x.T) / np.outer(n[s : s + block], n), 6
-                )
-                ib, jb = np.nonzero(cb >= min_cosine)
-                gi = ids[ib + s]
-                gj = ids[jb]
-                keep = gi < gj  # the id1 < id2 pair contract
-                o1.append(gi[keep])
-                o2.append(gj[keep])
+                xb, nb = x[s : s + block], n[s : s + block]
+                for t in range(0, m, block):
+                    cb = np_round_half_up(
+                        (xb @ x[t : t + block].T)
+                        / np.outer(nb, n[t : t + block])
+                    )
+                    ib, jb = np.nonzero(cb >= min_cosine)
+                    gi = ids[ib + s]
+                    gj = ids[jb + t]
+                    keep = gi < gj  # the id1 < id2 pair contract
+                    o1.append(gi[keep])
+                    o2.append(gj[keep])
         return pd.DataFrame(
             {"id1": np.concatenate(o1), "id2": np.concatenate(o2)}
         )

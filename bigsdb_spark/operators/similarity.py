@@ -47,6 +47,21 @@ def with_cosine(pairs: DataFrame, a: str = "e1", b: str = "e2") -> DataFrame:
     )
 
 
+def np_round_half_up(c, decimals: int = 6):
+    """numpy counterpart of ``F.round``'s HALF_UP tie rule (round half
+    away from zero) — ``np.round`` rounds half to EVEN, so GEMM-scored
+    cosines would round ties the other way.  Still only empirically
+    equal to Spark's value: ``F.round`` on doubles goes through the
+    decimal shortest representation (BigDecimal.valueOf), while this
+    rounds the binary double directly, so a value whose shortest decimal
+    form ends exactly in '…5' can differ in the last printed digit.
+    NaN propagates (floor/copysign of NaN is NaN)."""
+    import numpy as np
+
+    scale = 10.0 ** decimals
+    return np.copysign(np.floor(np.abs(c) * scale + 0.5), c) / scale
+
+
 def _with_norm(emb: DataFrame, id_col: str, vec_col: str, ids: str, e: str, n: str):
     """Project (id, vector, norm) once — O(corpus) instead of O(pairs)."""
     return emb.select(
@@ -332,7 +347,33 @@ def ivf_kmeans_ann(
     ``KMeans.fit`` — the index BUILD. Real deployments fit once and
     serve many queries against the saved model/centroids; per-query
     search cost is the probed-lists join only.
+
+    Zero-norm vectors are dropped on both sides (r7): their cosine is
+    NaN, and Spark's NaN-is-greatest ordering would rank a zero-norm
+    corpus vector as EVERY query's top neighbour.  Same semantics in
+    the GEMM variant below.
     """
+    a, b = _ivf_probe_sides(emb, id_col, vec_col, n_centroids, seed, n_probe)
+    pairs = a.join(b, on="centroid").filter(F.col("qid") != F.col("nn_id"))
+    scored = with_cosine(pairs).select("qid", "nn_id", "cosine", "centroid")
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= top_k
+    ).drop("rn")
+
+
+def _ivf_probe_sides(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    seed: int,
+    n_probe: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF front half: k-means|| fit + inverted-list assignment.
+    Returns (query_side, corpus_side) — the query side exploded to its
+    ``n_probe`` closest cells, both sides carrying precomputed norms,
+    zero-norm rows dropped (cosine undefined)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -346,7 +387,7 @@ def ivf_kmeans_ann(
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feat)
     assigned = model.transform(feat).select(
         "id", "e", F.col("prediction").alias("centroid"), _norm(F.col("e")).alias("n")
-    )
+    ).filter(F.col("n") > 0)
     n_probe = max(1, min(n_probe, n_centroids))
     # (squared-L2-to-centroid, cid) structs; array_sort orders by the
     # first struct field, so slicing gives the n_probe closest cells
@@ -380,10 +421,108 @@ def ivf_kmeans_ann(
         F.col("id").alias("nn_id"), F.col("e").alias("e2"),
         F.col("n").alias("n2"), "centroid",
     )
-    pairs = a.join(b, on="centroid").filter(F.col("qid") != F.col("nn_id"))
-    scored = with_cosine(pairs).select("qid", "nn_id", "cosine", "centroid")
+    return a, b
+
+
+def ivf_kmeans_ann_gemm(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    top_k: int = 5,
+    seed: int = 42,
+    n_probe: int = 1,
+) -> DataFrame:
+    """``ivf_kmeans_ann`` with the probed-list scoring done as a
+    per-cell BLAS matrix product — the r6 GEMM-scorer rewrite
+    (bucketed_ann_pairs_gemm / dedup.semantic_dedup) applied to the
+    query-vs-corpus top-k shape.  Same (qid, nn_id, cosine, centroid)
+    output as the join form (equality empirical up to last-ulp BLAS
+    summation order and 6dp tie rounding — see np_round_half_up).
+
+    Plan shape: instead of shuffling the exploded query side AND the
+    corpus side into a join and folding an interpreted cosine per
+    joined row, both sides shuffle ONCE into their cell
+    (groupBy(centroid).applyInPandas over a union frame) and each cell
+    scores queries x corpus in one tiled GEMM.  Per (query, cell) the
+    task emits every candidate tied-or-above its k-th rounded cosine —
+    a SUPERSET of the cell's true top-k under the (cosine desc, nn_id
+    asc) order — and the same global window as the join form picks the
+    final top-k, so tie semantics are identical by construction.
+    ``n_centroids`` must scale with the corpus (one cell materializes
+    in one Python worker — the same occupancy contract as
+    semantic_dedup's n_cells / bucketed_ann_pairs_gemm's dims)."""
+    import numpy as np
+    import pandas as pd
+
+    a, b = _ivf_probe_sides(emb, id_col, vec_col, n_centroids, seed, n_probe)
+    id_type = dict(b.dtypes)["nn_id"]
+    union = a.select(
+        F.lit(True).alias("is_q"), F.col("qid").alias("id"),
+        F.col("e1").alias("e"), "centroid",
+    ).unionByName(
+        b.select(
+            F.lit(False).alias("is_q"), F.col("nn_id").alias("id"),
+            F.col("e2").alias("e"), "centroid",
+        )
+    )
+
+    def _cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "qid": pdf["id"][:0],
+                "nn_id": pdf["id"][:0],
+                "cosine": pd.Series([], dtype="float64"),
+                "centroid": pdf["centroid"][:0],
+            }
+        )
+        q = pdf[pdf["is_q"]]
+        c = pdf[~pdf["is_q"]]
+        if q.empty or c.empty:
+            return empty
+        cid = pdf["centroid"].iloc[0]
+        qids = q["id"].to_numpy()
+        cids_ = c["id"].to_numpy()
+        xq = np.array(list(q["e"]), dtype=np.float64)
+        xc = np.array(list(c["e"]), dtype=np.float64)
+        nq = np.sqrt((xq * xq).sum(axis=1))
+        nc = np.sqrt((xc * xc).sum(axis=1))
+        m = len(cids_)
+        oq, on, oc = [], [], []
+        block = 4096
+        for s in range(0, len(qids), block):
+            cb = np_round_half_up(
+                (xq[s : s + block] @ xc.T)
+                / np.outer(nq[s : s + block], nc)
+            )
+            # self matches out of the ranking (join form: qid != nn_id)
+            cb[qids[s : s + block, None] == cids_[None, :]] = -np.inf
+            take = min(top_k, m)
+            part = np.argpartition(-cb, take - 1, axis=1)[:, :take]
+            vk = np.take_along_axis(cb, part, axis=1).min(axis=1)
+            keep = (cb >= vk[:, None]) & np.isfinite(cb)
+            ii, jj = np.nonzero(keep)
+            oq.append(qids[ii + s])
+            on.append(cids_[jj])
+            oc.append(cb[ii, jj])
+        qid_out = np.concatenate(oq)
+        return pd.DataFrame(
+            {
+                "qid": qid_out,
+                "nn_id": np.concatenate(on),
+                "cosine": np.concatenate(oc),
+                "centroid": np.full(len(qid_out), cid),
+            }
+        )
+
+    cand = union.groupBy("centroid").applyInPandas(
+        _cell_topk,
+        schema=(
+            f"qid {id_type}, nn_id {id_type}, cosine double, centroid int"
+        ),
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nn_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(
+    return cand.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= top_k
     ).drop("rn")
 
@@ -419,14 +558,22 @@ def bucketed_ann_pairs(
     nodes) overflows whole-stage-codegen method limits and evaluates
     ~3x slower than the fold's single tight-loop expression node
     (measured at sf0.1: fold 3.9 s vs unrolled 10.5 s). Filters still
-    reach the scan — repartition is not a pushdown barrier."""
+    reach the scan — repartition is not a pushdown barrier.
+
+    Zero-norm vectors are dropped before the join: their cosine is
+    0/0 = NaN, and Spark SQL orders NaN above every double, so without
+    the filter ``NaN >= min_cosine`` would silently admit every pair
+    touching a zero vector. Dropping them makes the three serving
+    forms (plain / _gemm / _sq) agree on degenerate input — in the
+    GEMM form numpy's ``NaN >= x`` is False, which excludes exactly
+    the same pairs (equality pinned in tests)."""
     par = emb.sparkSession.sparkContext.defaultParallelism
     withb = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("e"),
         _norm(F.col(vec_col)).alias("n"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
-    )
+    ).filter(F.col("n") > 0)
     a = withb.select(
         F.col("id").alias("id1"), F.col("e").alias("e1"), F.col("n").alias("n1"), "bucket"
     ).repartition(par)
@@ -450,9 +597,18 @@ def bucketed_ann_pairs_gemm(
 ) -> DataFrame:
     """``bucketed_ann_pairs`` with the within-bucket scoring done as a
     per-bucket BLAS matrix product instead of a self-join + per-row
-    cosine fold: same (bucket, id1, id2, cosine) output (pair equality
-    pinned in tests; cosine rounded to 6dp exactly like
-    ``with_cosine``).
+    cosine fold: same (bucket, id1, id2, cosine) output. Equality with
+    the join form is EMPIRICAL, not guaranteed bit-for-bit: the cosine
+    is rounded to 6dp with the same half-away-from-zero tie rule as
+    ``F.round`` (see ``np_round_half_up``), but BLAS sums the dot in a
+    different order than the left-to-right ``zip_with`` fold and
+    Spark's round goes through the decimal shortest representation, so
+    a cosine within ~1 ulp of the ``min_cosine`` boundary or of a 6dp
+    tie can land on the other side.  Measured symmetric difference is 0
+    at 1e6/4e6/1.6e7 (BASELINE.md r6) and near-threshold plants are
+    pinned in tests.  Zero-norm vectors never pair: numpy's
+    ``NaN >= x`` is False, matching the plain form's explicit
+    ``norm > 0`` pre-filter.
 
     Why it wins (r6, proven first on SemDeDup's identical shape —
     dedup.semantic_dedup): the join form shuffles BOTH projected sides
@@ -460,11 +616,18 @@ def bucketed_ann_pairs_gemm(
     joined row; grouping by bucket shuffles the corpus ONCE and turns
     each occupancy-bounded bucket into one numpy GEMM, which the
     measured SemDeDup swap made ~5x faster end-to-end at 1e6-4e6 rows.
-    Oversized buckets are row-blocked so task memory stays
-    O(block x bucket), never O(bucket^2) at once.  Trade: ids + vectors
-    cross the Python/Arrow boundary, so the JVM-only join form can
-    still win when buckets are tiny and the corpus is cold-cached;
-    measure per deployment (tools/scale_bench.py covers both)."""
+
+    ``dims`` sizes the buckets and MUST scale with the corpus:
+    ``groupBy(bucket).applyInPandas`` materializes one whole bucket
+    (~n / 2**dims rows) in a single Python worker, so hold occupancy
+    roughly constant (dims ~ log2(n / target_occupancy), the same knob
+    as semantic_dedup's ``n_cells`` ∝ n — the r6 ladder used
+    13/15/17 at 1e6/4e6/1.6e7).  The GEMM itself is tiled to
+    O(block²) memory, so only the Arrow group materialization grows
+    with occupancy.  Trade: ids + vectors cross the Python/Arrow
+    boundary, so the JVM-only join form can still win when buckets are
+    tiny and the corpus is cold-cached; measure per deployment
+    (tools/scale_bench.py covers both)."""
     import numpy as np
     import pandas as pd
 
@@ -491,18 +654,22 @@ def bucketed_ann_pairs_gemm(
         x = np.array(list(pdf["e"]), dtype=np.float64)
         n = np.sqrt((x * x).sum(axis=1))
         bkt = pdf["bucket"].iloc[0]
-        o_b, o1, o2, oc = [], [], [], []
+        o1, o2, oc = [], [], []
         block = 4096
         with np.errstate(divide="ignore", invalid="ignore"):
             for s in range(0, m, block):
-                xb = x[s : s + block]
-                cb = np.round((xb @ x.T) / np.outer(n[s : s + block], n), 6)
-                ib, jb = np.nonzero(cb >= min_cosine)
-                gi, gj = ids[ib + s], ids[jb]
-                keep = gi < gj
-                o1.append(gi[keep])
-                o2.append(gj[keep])
-                oc.append(cb[ib, jb][keep])
+                xb, nb = x[s : s + block], n[s : s + block]
+                for t in range(0, m, block):
+                    cb = np_round_half_up(
+                        (xb @ x[t : t + block].T)
+                        / np.outer(nb, n[t : t + block])
+                    )
+                    ib, jb = np.nonzero(cb >= min_cosine)
+                    gi, gj = ids[ib + s], ids[jb + t]
+                    keep = gi < gj
+                    o1.append(gi[keep])
+                    o2.append(gj[keep])
+                    oc.append(cb[ib, jb][keep])
         id1 = np.concatenate(o1)
         return pd.DataFrame(
             {
@@ -559,10 +726,11 @@ def bucketed_ann_pairs_sq(
       int codes — the screen needs no dequantization).
     * Keep a pair iff code-cosine >= min_cosine - eps1 - eps2 - 1e-6;
       the 1e-6 absorbs the exact path's 6-dp rounding (with_cosine)
-      plus float evaluation noise.  Zero-norm vectors divide by zero
-      in the eps/margin exactly as they do in the plain path's cosine
-      denominator — under ANSI mode both paths raise identically
-      (clean the corpus first), never silently diverge.
+      plus float evaluation noise.  Zero-norm vectors are dropped by
+      the same ``norm > 0`` pre-filter as the plain form (their cosine
+      is 0/0 = NaN, which Spark's NaN ordering would otherwise admit
+      through the final ``>= min_cosine`` filter) — all three serving
+      forms agree on degenerate input.
 
     At 64 dims the worst-case slack (norm at the quantization floor,
     ||x|| = 127*scale) is eps <= 8/127 ~ 0.063 per side — tight enough
@@ -589,7 +757,7 @@ def bucketed_ann_pairs_sq(
         ),
         1,
     )
-    enc = emb.select(
+    enc = emb.filter(_norm(F.col(vec_col)) > 0).select(
         F.col(id_col).alias("id"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
         codes.alias("c"),

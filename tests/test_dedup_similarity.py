@@ -408,6 +408,7 @@ def test_semantic_dedup_groups_and_survivors(spark):
         rows.append((20 + i, [float(x) for x in v]))      # group B: 20,21
     for i in range(4):                                     # distinct
         rows.append((30 + i, [float(x) for x in rng.randn(16)]))
+    rows.append((40, [0.0] * 16))  # zero-norm: undefined cosine
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = {
         r["vec_id"]: r
@@ -421,8 +422,11 @@ def test_semantic_dedup_groups_and_survivors(spark):
     assert [out[i]["group_id"] for i in (20, 21)] == [20, 20]
     for i in range(30, 34):
         assert out[i]["group_id"] == i and out[i]["keep"] is True
+    # zero-norm vector never pairs (NaN cosine compares False in the
+    # GEMM scorer — documented semantics): singleton group, kept
+    assert out[40]["group_id"] == 40 and out[40]["keep"] is True
     # exactly one survivor per group
-    assert sum(1 for r in out.values() if r["keep"]) == 2 + 4
+    assert sum(1 for r in out.values() if r["keep"]) == 2 + 4 + 1
 
 
 def test_semantic_dedup_hierarchical_quantizer(spark):
@@ -503,8 +507,12 @@ def test_bucketed_ann_sq_prescreen_identical_pairs(spark):
     is sound, so no pair above the threshold is lost, and the exact
     stage reapplies the same rounded-cosine filter.  Includes planted
     near-threshold pairs (the dangerous band for an unsound screen),
-    and exact duplicates.  (Zero vectors raise DIVIDE_BY_ZERO under
-    ANSI mode on BOTH paths — identical behavior, not tested here.)"""
+    exact duplicates, and a ZERO vector (r6 ADVICE): its cosine is
+    0/0 = NaN, which Spark's NaN-is-greatest ordering would admit
+    through ``>= min_cosine`` — all three forms must instead drop
+    every pair touching it (plain/sq via the norm > 0 pre-filter,
+    GEMM via numpy's NaN-compares-False), so the pinned equality
+    holds on degenerate input too."""
     import numpy as np
 
     from bigsdb_spark.operators.similarity import (
@@ -526,6 +534,7 @@ def test_bucketed_ann_sq_prescreen_identical_pairs(spark):
             lambda w: w / np.linalg.norm(w)
         )(rng.randn(32))
         rows.append((210 + j, [float(x) for x in v * 3.7]))
+    rows.append((300, [0.0] * 32))  # zero-norm: must never pair
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     plain = {
         tuple(r)
@@ -543,6 +552,10 @@ def test_bucketed_ann_sq_prescreen_identical_pairs(spark):
     assert len(plain) > 0  # the pin is not vacuous
     # the planted exact-dup pair is present (same sign bucket always)
     assert any(p[1] == 200 and p[2] == 201 for p in plain)
+    # the zero vector pairs with NOTHING on any path (min_cosine=0.8 is
+    # positive; with a NaN-admitting filter it would pair with its
+    # whole sign-bucket)
+    assert not any(300 in (p[1], p[2]) for p in plain)
     # the per-bucket GEMM variant: identical (bucket, id1, id2) set AND
     # cosines equal after the shared 6dp rounding (numpy GEMM vs the
     # interpreted fold may differ in the last ulp pre-rounding; assert
