@@ -108,3 +108,34 @@ def test_ivf_multiprobe_recall_monotone_and_exact_at_full_probe(
     assert probe_all == brute_set  # full probe == exact
     # recall monotone: probing more cells never loses true neighbours
     assert len(probe1 & brute_set) <= len(probe_all & brute_set)
+
+
+def test_ivf_gemm_matches_join_form(spark, clustered_vectors):
+    """r7: the per-cell GEMM scorer (ivf_kmeans_ann_gemm) returns the
+    join form's exact result — same (qid, nn_id, centroid) set at
+    single- and full-probe, cosines equal after the shared 6dp
+    rounding — and a planted zero-norm vector is excluded from both
+    sides on both paths (NaN cosine would otherwise be every query's
+    'best' neighbour under Spark's NaN-is-greatest ordering)."""
+    from bigsdb_spark.operators.similarity import ivf_kmeans_ann_gemm
+
+    emb = clustered_vectors.union(
+        spark.createDataFrame(
+            [(999, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+    )
+    for n_probe in (1, 3):
+        join_rows = ivf_kmeans_ann(
+            emb, "vec_id", "embedding", n_centroids=3, top_k=3, n_probe=n_probe
+        ).collect()
+        gemm_rows = ivf_kmeans_ann_gemm(
+            emb, "vec_id", "embedding", n_centroids=3, top_k=3, n_probe=n_probe
+        ).collect()
+        jset = {(r.qid, r.nn_id, r.centroid) for r in join_rows}
+        gset = {(r.qid, r.nn_id, r.centroid) for r in gemm_rows}
+        assert gset == jset and len(jset) > 0
+        jcos = {(r.qid, r.nn_id): r.cosine for r in join_rows}
+        assert all(
+            abs(r.cosine - jcos[(r.qid, r.nn_id)]) <= 1e-6 for r in gemm_rows
+        )
+        assert not any(999 in (r.qid, r.nn_id) for r in join_rows + gemm_rows)
