@@ -39,6 +39,37 @@ def _pseudo_dna(spark, sf_dir):
     ).filter(F.length("seq") > 0)
 
 
+def _fasta_roundtrip_dna(spark, sf_dir):
+    """S2/F7/S6-fasta exercised INSIDE the oracle gate (r7): the
+    sequence suite's input takes a real round trip through the FASTA
+    sink (``to_fasta``'s 60-char line wrapping + ``write_fasta``) and
+    the distributed '>'-record FASTA reader (``read_fasta``,
+    Utils.pm:270 read_fasta) before any stat is computed.  The trip is
+    lossless for this corpus (upper-case ACGT, no whitespace), so the
+    DuckDB oracle is UNCHANGED — but a wrapping, record-split, header,
+    or whitespace-reassembly defect now breaks the entry's row count or
+    value hash loudly instead of living only in the golden-file tests.
+    Scratch lives under the repo's spark-warehouse dir (driver cwd is
+    not ours), overwritten per run."""
+    import os
+
+    from bigsdb_spark.sources.fasta import read_fasta
+    from bigsdb_spark.sources.sinks import write_fasta
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(
+        repo_root, "spark-warehouse", "gate_scratch", "fasta_roundtrip"
+    )
+    write_fasta(_pseudo_dna(spark, sf_dir), "doc_id", "seq", path)
+    back = read_fasta(spark, path)
+    return back.select(
+        F.col("seq_id").cast("long").alias("doc_id"),
+        F.col("sequence").alias("seq"),
+    )
+
+
 @register(
     "f10_partial_match",
     oracle=f"""
@@ -154,8 +185,11 @@ def f_suite(spark, sf_dir):
     plus the two codon-table functions: DNA->peptide translation
     (BioPerl translate; one Arrow pandas-UDF pass shared by both
     columns) and the complete-CDS check (Utils.pm:74), value-checked
-    against an independent VALUES-table translation in the oracle."""
-    d = _pseudo_dna(spark, sf_dir)
+    against an independent VALUES-table translation in the oracle.
+    Since r7 the input sequences round-trip through the FASTA
+    writer/reader first (S2/F7 in the gate — see
+    ``_fasta_roundtrip_dna``)."""
+    d = _fasta_roundtrip_dna(spark, sf_dir)
     d = d.withColumn("protein", translate_dna(F.col("seq")))
     return d.select(
         "doc_id",
