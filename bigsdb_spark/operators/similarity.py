@@ -322,6 +322,8 @@ def ivf_kmeans_ann(
     top_k: int = 5,
     seed: int = 42,
     n_probe: int = 1,
+    centroids=None,
+    hierarchy=None,
 ) -> DataFrame:
     """True IVF: k-means|| coarse centroids (Spark MLlib) partition the
     corpus into inverted lists; each query searches its ``n_probe``
@@ -353,7 +355,10 @@ def ivf_kmeans_ann(
     corpus vector as EVERY query's top neighbour.  Same semantics in
     the GEMM variant below.
     """
-    a, b = _ivf_probe_sides(emb, id_col, vec_col, n_centroids, seed, n_probe)
+    a, b = _ivf_probe_sides(
+        emb, id_col, vec_col, n_centroids, seed, n_probe, centroids,
+        hierarchy,
+    )
     pairs = a.join(b, on="centroid").filter(F.col("qid") != F.col("nn_id"))
     scored = with_cosine(pairs).select("qid", "nn_id", "cosine", "centroid")
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nn_id"))
@@ -369,11 +374,25 @@ def _ivf_probe_sides(
     n_centroids: int,
     seed: int,
     n_probe: int,
+    centroids=None,
+    hierarchy=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared IVF front half: k-means|| fit + inverted-list assignment.
     Returns (query_side, corpus_side) — the query side exploded to its
     ``n_probe`` closest cells, both sides carrying precomputed norms,
-    zero-norm rows dropped (cosine undefined)."""
+    zero-norm rows dropped (cosine undefined).
+
+    ``centroids`` (list of vectors) skips the MLlib fit and assigns
+    with one broadcast numpy pass per Arrow batch — the serve-from-a-
+    saved-index path, and the only workable one when ``n_centroids``
+    scales with the corpus (the expression-literal probe list below is
+    fine at 16 cells, unusable at 16384: 2**20 literal nodes)."""
+    if hierarchy is not None and centroids is not None:
+        raise ValueError("pass centroids OR hierarchy, not both")
+    if centroids is not None or hierarchy is not None:
+        return _ivf_probe_sides_np(
+            emb, id_col, vec_col, centroids, n_probe, hierarchy
+        )
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -424,6 +443,106 @@ def _ivf_probe_sides(
     return a, b
 
 
+def _ivf_probe_sides_np(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    n_probe: int,
+    hierarchy=None,
+) -> tuple[DataFrame, DataFrame]:
+    """Injected-codebook assignment: one Arrow pass computes each
+    vector's cell (closest centroid by L2) and its ``n_probe`` probe
+    list via a BLAS distance matrix + row-wise argpartition — no MLlib
+    fit, no per-centroid expression literals, so the cell count can
+    scale with the corpus.  Cell = first probe by construction, so
+    assignment and probing can never disagree.
+
+    ``hierarchy`` (dedup.train_hierarchical_cells output) assigns in
+    O(n·sqrt(k)·d) — nearest coarse branch, then nearest fine cells
+    WITHIN it (inverted-multi-index style: with n_probe > 1 the probes
+    are the branch's best fine cells, a standard approximation of the
+    global n_probe-closest set) — the only feasible shape once
+    k ∝ corpus makes the flat O(n·k·d) assignment a petaflop."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    if hierarchy is not None:
+        coarse = np.array(hierarchy["coarse"], dtype=np.float64)
+        fine = np.array(hierarchy["fine"], dtype=np.float64)
+        n_cells = coarse.shape[0] * fine.shape[1]
+        cents = None
+    else:
+        cents = np.array(centroids, dtype=np.float64)
+        n_cells = len(cents)
+        half_c2 = 0.5 * (cents**2).sum(axis=1)
+    n_probe = max(1, min(n_probe, n_cells))
+    id_type = dict(emb.dtypes)[id_col]
+    vec_type = dict(emb.dtypes)[vec_col]
+    out_schema = (
+        f"id {id_type}, e {vec_type}, n double, "
+        f"centroid int, probes array<int>"
+    )
+
+    def _top_probes(score: "np.ndarray") -> "np.ndarray":
+        k = min(n_probe, score.shape[1])
+        if k == 1:
+            return score.argmax(axis=1)[:, None]
+        part = np.argpartition(-score, k - 1, axis=1)[:, :k]
+        # order the probe list best-first so probes[0] is the cell
+        order = np.take_along_axis(score, part, axis=1).argsort(axis=1)[
+            :, ::-1
+        ]
+        return np.take_along_axis(part, order, axis=1)
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            nrm = np.sqrt((x * x).sum(axis=1))
+            if cents is not None:
+                # argmin ||x-c||^2 == argmax x.c - 0.5||c||^2 (x^2 const)
+                probes = _top_probes(x @ cents.T - half_c2)
+            else:
+                ci = (
+                    x @ coarse.T - 0.5 * (coarse**2).sum(axis=1)
+                ).argmax(axis=1)
+                fc = fine[ci]  # (batch, branch, d)
+                fscore = (
+                    np.einsum("bd,bkd->bk", x, fc)
+                    - 0.5 * (fc**2).sum(axis=2)
+                )
+                probes = ci[:, None] * fine.shape[1] + _top_probes(fscore)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "e": pdf[vec_col],
+                    "n": nrm,
+                    "centroid": probes[:, 0].astype(np.int32),
+                    "probes": list(probes.astype(np.int32)),
+                }
+            )
+
+    assigned = (
+        emb.select(id_col, vec_col)
+        .mapInPandas(_assign, schema=out_schema)
+        .filter(F.col("n") > 0)
+    )
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    a = assigned.select(
+        F.col("id").alias("qid"), F.col("e").alias("e1"),
+        F.col("n").alias("n1"), F.explode("probes").alias("centroid"),
+    ).repartition(par)
+    b = assigned.select(
+        F.col("id").alias("nn_id"), F.col("e").alias("e2"),
+        F.col("n").alias("n2"), "centroid",
+    )
+    return a, b
+
+
 def ivf_kmeans_ann_gemm(
     emb: DataFrame,
     id_col: str,
@@ -432,6 +551,8 @@ def ivf_kmeans_ann_gemm(
     top_k: int = 5,
     seed: int = 42,
     n_probe: int = 1,
+    centroids=None,
+    hierarchy=None,
 ) -> DataFrame:
     """``ivf_kmeans_ann`` with the probed-list scoring done as a
     per-cell BLAS matrix product — the r6 GEMM-scorer rewrite
@@ -455,7 +576,10 @@ def ivf_kmeans_ann_gemm(
     import numpy as np
     import pandas as pd
 
-    a, b = _ivf_probe_sides(emb, id_col, vec_col, n_centroids, seed, n_probe)
+    a, b = _ivf_probe_sides(
+        emb, id_col, vec_col, n_centroids, seed, n_probe, centroids,
+        hierarchy,
+    )
     id_type = dict(b.dtypes)["nn_id"]
     union = a.select(
         F.lit(True).alias("is_q"), F.col("qid").alias("id"),

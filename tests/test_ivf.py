@@ -139,3 +139,75 @@ def test_ivf_gemm_matches_join_form(spark, clustered_vectors):
             abs(r.cosine - jcos[(r.qid, r.nn_id)]) <= 1e-6 for r in gemm_rows
         )
         assert not any(999 in (r.qid, r.nn_id) for r in join_rows + gemm_rows)
+
+
+def test_ivf_injected_centroids_serving_path(spark, clustered_vectors):
+    """r7: both IVF forms accept precomputed centroids (serve from a
+    saved index; the only workable path when n_centroids scales with
+    the corpus).  With the true cluster centers injected, the numpy
+    assignment must agree between forms, full-probe must equal the
+    MLlib-free exact search, and the probe list must be best-first."""
+    from bigsdb_spark.operators.similarity import ivf_kmeans_ann_gemm
+
+    cents = [
+        [5.0, 0.0, 0.0, 0.0],
+        [0.0, 5.0, 0.0, 0.0],
+        [0.0, 0.0, 5.0, 0.0],
+    ]
+    for n_probe in (1, 3):
+        join_rows = ivf_kmeans_ann(
+            clustered_vectors, "vec_id", "embedding",
+            top_k=3, n_probe=n_probe, centroids=cents,
+        ).collect()
+        gemm_rows = ivf_kmeans_ann_gemm(
+            clustered_vectors, "vec_id", "embedding",
+            top_k=3, n_probe=n_probe, centroids=cents,
+        ).collect()
+        jset = {(r.qid, r.nn_id, r.centroid) for r in join_rows}
+        gset = {(r.qid, r.nn_id, r.centroid) for r in gemm_rows}
+        assert gset == jset and len(jset) > 0
+    # full probe == brute-force per-query top-k (same exactness
+    # contract as the MLlib path's full-probe test above)
+    brute = ivf_kmeans_ann(
+        clustered_vectors, "vec_id", "embedding",
+        n_centroids=2, top_k=3, seed=7, n_probe=2,
+    )
+    full = ivf_kmeans_ann(
+        clustered_vectors, "vec_id", "embedding",
+        top_k=3, n_probe=3, centroids=cents,
+    )
+    assert {(r.qid, r.nn_id) for r in full.collect()} == {
+        (r.qid, r.nn_id) for r in brute.collect()
+    }
+
+
+def test_ivf_hierarchy_degenerates_to_flat(spark, clustered_vectors):
+    """r7: a 1-coarse-branch hierarchy must reproduce the flat injected
+    codebook exactly (same cells, same probes, same result) on both
+    scorer forms, and centroids+hierarchy together is an error."""
+    import pytest as _pytest
+
+    from bigsdb_spark.operators.similarity import ivf_kmeans_ann_gemm
+
+    cents = [
+        [5.0, 0.0, 0.0, 0.0],
+        [0.0, 5.0, 0.0, 0.0],
+        [0.0, 0.0, 5.0, 0.0],
+    ]
+    h = {"coarse": [[0.0] * 4], "fine": [cents]}
+    for fn in (ivf_kmeans_ann, ivf_kmeans_ann_gemm):
+        flat = fn(
+            clustered_vectors, "vec_id", "embedding",
+            top_k=3, n_probe=2, centroids=cents,
+        ).collect()
+        hier = fn(
+            clustered_vectors, "vec_id", "embedding",
+            top_k=3, n_probe=2, hierarchy=h,
+        ).collect()
+        assert sorted(map(tuple, flat)) == sorted(map(tuple, hier))
+        assert len(flat) > 0
+    with _pytest.raises(ValueError, match="not both"):
+        ivf_kmeans_ann(
+            clustered_vectors, "vec_id", "embedding",
+            centroids=cents, hierarchy=h,
+        )

@@ -38,6 +38,11 @@ Paths timed per tier (each skippable via --skip):
   sq_topk            int8 scalar-quantized top-k (pure codegen scan)
   ivf_pq_encode      Arrow encode pass (cell + PQ codes)
   ivf_pq_topk        ADC top-k over the probed cells
+  ivf_topk           exact-cosine IVF top-k, join+fold scorer, k = n/256
+                     two-level codebook injected (serve-from-index)
+  ivf_topk_gemm      same search via one tiled BLAS product per cell
+                     (+ ivf_topk_equality: persisted-output symmetric
+                     difference between the two forms)
   semantic_dedup     SemDeDup with MLlib-trained centroids (tier 0)
   semantic_dedup_hier SemDeDup with a two-level hierarchical codebook
                      (k ~ n/256 at O(n*sqrt(k)*d) assignment — the
@@ -482,6 +487,75 @@ def main() -> None:
                 "ann_pair_equality", n, sec,
                 f"symmetric difference {diff} (0 = identical pair sets)",
             )
+        # ---- IVF top-k serving: join+fold vs per-cell GEMM (r7) ----
+        # Same serve-from-a-saved-index framing as ivf_pq: the codebook
+        # (two-level, k = n/256 occupancy-constant) is trained once per
+        # tier and injected into both forms, so the measured delta is
+        # purely the scorer — shuffle-both-sides + interpreted cosine
+        # folds vs one union shuffle + one tiled BLAS product per cell.
+        if "ivf_topk" not in skip or "ivf_topk_gemm" not in skip:
+            from bigsdb_spark.operators.dedup import train_hierarchical_cells
+            from bigsdb_spark.operators.similarity import (
+                ivf_kmeans_ann,
+                ivf_kmeans_ann_gemm,
+            )
+
+            k = max(64, n // 256)
+            t_train, h = _timed(
+                lambda: train_hierarchical_cells(
+                    emb, "embedding", n_cells=k, sample=131072, iters=10
+                )
+            )
+            print(
+                f"# ivf hier codebook (k={k}) trained in {t_train:.1f}s",
+                flush=True,
+            )
+            if "ivf_topk" not in skip:
+                sec, _ = _timed(
+                    lambda: ivf_kmeans_ann(
+                        emb, "vec_id", "embedding",
+                        top_k=10, n_probe=1, hierarchy=h,
+                    )
+                    .select("qid", "nn_id", "cosine")
+                    .write.mode("overwrite")
+                    .parquet(f"{args.out}/ivf_topk_{n}")
+                )
+                cnt = spark.read.parquet(f"{args.out}/ivf_topk_{n}").count()
+                record(
+                    "ivf_topk", n, sec,
+                    f"k={k} cells, n_probe=1, {cnt} result rows (join+fold)",
+                )
+            if "ivf_topk_gemm" not in skip:
+                sec, _ = _timed(
+                    lambda: ivf_kmeans_ann_gemm(
+                        emb, "vec_id", "embedding",
+                        top_k=10, n_probe=1, hierarchy=h,
+                    )
+                    .select("qid", "nn_id", "cosine")
+                    .write.mode("overwrite")
+                    .parquet(f"{args.out}/ivf_topk_gemm_{n}")
+                )
+                cnt = spark.read.parquet(
+                    f"{args.out}/ivf_topk_gemm_{n}"
+                ).count()
+                record(
+                    "ivf_topk_gemm", n, sec,
+                    f"k={k} cells, n_probe=1, {cnt} result rows "
+                    "(per-cell GEMM)",
+                )
+            if "ivf_topk" not in skip and "ivf_topk_gemm" not in skip:
+                jn = spark.read.parquet(f"{args.out}/ivf_topk_{n}")
+                gm = spark.read.parquet(f"{args.out}/ivf_topk_gemm_{n}")
+                j_ids = jn.select("qid", "nn_id")
+                g_ids = gm.select("qid", "nn_id")
+                sec, diff = _timed(
+                    lambda: j_ids.exceptAll(g_ids).count()
+                    + g_ids.exceptAll(j_ids).count()
+                )
+                record(
+                    "ivf_topk_equality", n, sec,
+                    f"symmetric difference {diff} (0 = identical top-k)",
+                )
 
     # ---- semantic dedup at scale (MLlib-trained centroids) ----
     # Exercises the injectable-centroids path: occupancy-constant cell
