@@ -210,3 +210,31 @@ def test_repetition_fractions_bounded(spark, texts):
     for r in gopher_repetition_flags(df, "doc_id", "text").collect():
         assert 0.0 <= r["top2_frac"] <= 1.0, r
         assert 0.0 <= r["dup5_frac"] <= 1.0, r
+
+
+def test_np_round_half_up_matches_spark_tie_rule():
+    """Pure-numpy unit for the GEMM scorers' rounding helper (r7):
+    exact-representable ties round HALF AWAY FROM ZERO like F.round
+    (np.round would give half-to-even), non-ties round normally, NaN
+    propagates, and vectorized input keeps shape."""
+    import math
+
+    import numpy as np
+
+    from bigsdb_spark.operators.similarity import np_round_half_up
+
+    # .5-in-the-7th-digit ties that ARE exactly representable at 1e6
+    # scale: use k + 0.5 over 1e6 constructed in float space
+    assert np_round_half_up(np.float64(0.1234565)) == pytest.approx(
+        math.floor(0.1234565 * 1e6 + 0.5) / 1e6
+    )
+    assert float(np_round_half_up(np.float64(1.5), decimals=0)) == 2.0
+    assert float(np_round_half_up(np.float64(2.5), decimals=0)) == 3.0
+    assert float(np_round_half_up(np.float64(-1.5), decimals=0)) == -2.0
+    assert float(np_round_half_up(np.float64(-2.5), decimals=0)) == -3.0
+    # np.round would give 2.0 / 2.0 / -2.0 / -2.0 for the above
+    got = np_round_half_up(np.array([0.1234561, np.nan, -0.9999995]))
+    assert got.shape == (3,)
+    assert got[0] == pytest.approx(0.123456)
+    assert np.isnan(got[1])
+    assert got[2] == pytest.approx(-1.0)
