@@ -1,0 +1,206 @@
+"""As-of join (operators/asof.py) and HLL sketch rollups
+(operators/sketches.py).
+
+The as-of backward direction is value-checked against DuckDB's native
+ASOF JOIN on the same data (engine-independent oracle); forward and
+tolerance against a pure-Python reference.  Sketch tests pin the
+merge property the incremental-dashboard design rests on: merged
+partial sketches track sketching the raw union within estimator-mode
+rounding, and are exact in the sparse regime.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bigsdb_spark.operators.asof import asof_join
+from bigsdb_spark.operators.sketches import (
+    distinct_sketch_rollup,
+    merge_sketches,
+    union_sketch_columns,
+    with_estimate,
+)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    rng = random.Random(7)
+    # unique right ts per key -> deterministic oracle (tie winner among
+    # equal right ts is engine-defined)
+    left = [
+        (k, rng.randrange(0, 1000), i)
+        for i, k in enumerate(rng.choices("abcde", k=200))
+    ]
+    right_ts = {k: rng.sample(range(0, 1000), 40) for k in "abcd"}  # 'e' unmatched
+    right = [
+        (k, t, f"{k}{t}", t * 10) for k, ts in right_ts.items() for t in ts
+    ]
+    l_df = spark.createDataFrame(left, "k string, ts long, lid long")
+    r_df = spark.createDataFrame(right, "k string, ts long, tag string, v long")
+    return left, right, l_df, r_df
+
+
+def test_asof_backward_matches_duckdb(asof_frames):
+    left, right, l_df, r_df = asof_frames
+    got = {
+        (r.k, r.ts, r.lid): (r.ts_r, r.tag, r.v)
+        for r in asof_join(l_df, r_df, on="k").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (k VARCHAR, ts BIGINT, lid BIGINT)")
+    con.execute("CREATE TABLE r (k VARCHAR, ts BIGINT, tag VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", left)
+    con.executemany("INSERT INTO r VALUES (?,?,?,?)", right)
+    want = {
+        (k, ts, lid): (rts, tag, v)
+        for k, ts, lid, rts, tag, v in con.execute(
+            "SELECT l.k, l.ts, l.lid, r.ts, r.tag, r.v "
+            "FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts"
+        ).fetchall()
+    }
+    assert len(got) == len(left)
+    assert got == want
+    # 'e' rows never match (no right rows for that key)
+    assert all(
+        got[(k, ts, lid)] == (None, None, None)
+        for k, ts, lid in left
+        if k == "e"
+    )
+
+
+def test_asof_forward_tolerance_and_exact_ts(spark, asof_frames):
+    left, right, l_df, r_df = asof_frames
+
+    def py_asof(direction, tolerance=None):
+        out = {}
+        for k, ts, lid in left:
+            if direction == "backward":
+                cand = [r for r in right if r[0] == k and r[1] <= ts]
+                best = max(cand, key=lambda r: r[1], default=None)
+                gap = ts - best[1] if best else None
+            else:
+                cand = [r for r in right if r[0] == k and r[1] >= ts]
+                best = min(cand, key=lambda r: r[1], default=None)
+                gap = best[1] - ts if best else None
+            if best is None or (tolerance is not None and gap > tolerance):
+                out[(k, ts, lid)] = (None, None, None)
+            else:
+                out[(k, ts, lid)] = (best[1], best[2], best[3])
+        return out
+
+    fwd = {
+        (r.k, r.ts, r.lid): (r.ts_r, r.tag, r.v)
+        for r in asof_join(l_df, r_df, on="k", direction="forward").collect()
+    }
+    assert fwd == py_asof("forward")
+    tol = {
+        (r.k, r.ts, r.lid): (r.ts_r, r.tag, r.v)
+        for r in asof_join(l_df, r_df, on="k", tolerance=25).collect()
+    }
+    assert tol == py_asof("backward", tolerance=25)
+    # exact-ts right row matches in BOTH directions
+    l2 = spark.createDataFrame([("a", 100, 0)], "k string, ts long, lid long")
+    r2 = spark.createDataFrame(
+        [("a", 100, "hit", 1)], "k string, ts long, tag string, v long"
+    )
+    for d in ("backward", "forward"):
+        row = asof_join(l2, r2, on="k", direction=d).collect()[0]
+        assert (row.ts_r, row.tag) == (100, "hit")
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(l2, r2, on="k", direction="nearest")
+
+
+def test_asof_name_collisions_and_plan_shape(spark, asof_frames):
+    """Right payload columns colliding with left names get the suffix;
+    the plan contains a single Exchange family for the window (no join
+    operator at all)."""
+    _, _, l_df, r_df = asof_frames
+    out = asof_join(
+        l_df, r_df.withColumnRenamed("tag", "lid"), on="k"
+    )
+    assert "lid_r" in out.columns and "ts_r" in out.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # union + window, never a join
+
+
+def test_sketch_merge_identity_and_rollup(spark):
+    """Merging per-group sketches is as good as sketching the raw
+    union: the merged grand-total estimate must land within the
+    sketch's error of BOTH the exact cardinality and the direct-agg
+    estimate (the two integers may differ by estimator-mode rounding:
+    the union path can finish in a different HLL target mode — 570 vs
+    571 observed — while both stay a fraction of a percent from
+    truth), and small per-group cardinalities are exact (sparse
+    mode)."""
+    rows = [
+        (f"d{day}", f"u{uid}")
+        for day in range(10)
+        for uid in range(day * 50, day * 50 + 120)  # 70 overlap w/ next day
+    ]
+    df = spark.createDataFrame(rows, "day string, user string")
+    exact_total = df.select("user").distinct().count()
+    daily = distinct_sketch_rollup(df, ["day"], "user")
+    assert daily.count() == 10
+    est_daily = {
+        r.day: r.distinct_est for r in with_estimate(daily).collect()
+    }
+    assert all(v == 120 for v in est_daily.values())  # sparse mode: exact
+    merged = with_estimate(merge_sketches(daily, [])).collect()[0]
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user")).alias("e")
+    ).collect()[0].e
+    assert abs(merged.distinct_est - direct) <= 1  # estimator-mode rounding
+    assert merged.n_rows == len(rows)
+    # the merged estimate is the true cardinality here (sparse regime)
+    assert merged.distinct_est == exact_total
+    assert abs(direct - exact_total) <= max(1, 0.02 * exact_total)
+    # row-wise union column
+    two = (
+        distinct_sketch_rollup(df, [], "user")
+        .crossJoin(
+            distinct_sketch_rollup(
+                spark.createDataFrame(
+                    [("x", "u9999")], "day string, user string"
+                ),
+                [], "user",
+            ).select(F.col("sketch").alias("sketch2"))
+        )
+        .select(
+            F.hll_sketch_estimate(
+                union_sketch_columns(F.col("sketch"), F.col("sketch2"))
+            ).alias("e")
+        )
+        .collect()[0]
+        .e
+    )
+    assert abs(two - (exact_total + 1)) <= 1
+
+
+def test_sketch_rollup_on_events_table(spark):
+    """Integration on the driver's events table: per-event_type sketch
+    estimates match exact COUNT(DISTINCT user_id), and the coarser
+    rollup (grand total) comes from merging WITHOUT rescanning."""
+    from bigsdb_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    rollup = distinct_sketch_rollup(ev, ["event_type"], "user_id")
+    est = {
+        r.event_type: r.distinct_est
+        for r in with_estimate(rollup).collect()
+    }
+    exact = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        assert abs(est[k] - v) <= max(1, 0.02 * v)  # ~1.6% @ lgk 12
+    total = with_estimate(merge_sketches(rollup, [])).collect()[0]
+    exact_total = ev.select("user_id").distinct().count()
+    assert abs(total.distinct_est - exact_total) <= max(1, 0.02 * exact_total)
