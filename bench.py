@@ -44,6 +44,21 @@ def _sim_ivf(spark, sf_dir):
     )
 
 
+def _sim_ivf_gemm(spark, sf_dir):
+    # r7 serving variant: same IVF search served from an injected
+    # codebook (no MLlib fit in the serve path) with the per-cell BLAS
+    # scorer; join-form equality pinned in test_ivf, scorer-swap ladder
+    # in BASELINE.md (round-7)
+    from bigsdb_spark.operators.pq import _kmeans_np, _sample_np
+    from bigsdb_spark.operators.similarity import ivf_kmeans_ann_gemm
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    cents = _kmeans_np(_sample_np(emb, "embedding", 2048), 8, 10, 7).tolist()
+    return ivf_kmeans_ann_gemm(
+        emb, "vec_id", "embedding", top_k=5, n_probe=1, centroids=cents
+    )
+
+
 def _dedup_minhash(spark, sf_dir):
     # un-gated in r3 (its pair set is exactly dedup_ngram_jaccard's
     # oracle-checked row set) but still benched: candidate generation
@@ -148,6 +163,7 @@ EXTRA = {
     "sim_brute_topk_np": _sim_topk_np,
     "bpe_token_count": _bpe_count,
     "sim_ivf_kmeans": _sim_ivf,
+    "sim_ivf_gemm": _sim_ivf_gemm,
     "dedup_minhash_lsh": _dedup_minhash,
     "dedup_minhash_fused": _dedup_minhash_fused,
     "corpus_assembly": _corpus_assembly,
@@ -182,6 +198,7 @@ HEADLINE = [
     "sim_bucketed_ann_gemm",
     "sq_topk",
     "sim_ivf_pq_topk",
+    "sim_ivf_gemm",
     "t_text_suite",
     "t_policy_suite",
     "corpus_assembly",
