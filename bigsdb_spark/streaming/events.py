@@ -79,6 +79,42 @@ def streaming_sliding_counts(
     )
 
 
+def streaming_distinct_sketches(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    width: str = "1 hour",
+    watermark: str = "1 hour",
+    lgk: int = 12,
+) -> DataFrame:
+    """Watermarked per-window HLL sketch of ``value_col``'s distinct
+    values per key — the streaming twin of
+    operators/sketches.distinct_sketch_rollup (r7).  A streaming
+    COUNT(DISTINCT) would need unbounded per-window value state; the
+    sketch agg keeps O(2^lgk) bytes per (window, key) and the emitted
+    rows stay MERGEABLE: append them to the stored finest-grain rollup
+    table and serve any coarser grouping or longer horizon via
+    sketches.merge_sketches, never reprocessing the stream.  Output:
+    (window_start, key, sketch, n_rows)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), width).alias("w"), F.col(key_col))
+        .agg(
+            F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("sketch"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias(
+                "window_start"
+            ),
+            key_col,
+            "sketch",
+            "n_rows",
+        )
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     key_cols: list[str],

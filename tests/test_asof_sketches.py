@@ -204,3 +204,56 @@ def test_sketch_rollup_on_events_table(spark):
     total = with_estimate(merge_sketches(rollup, [])).collect()[0]
     exact_total = ev.select("user_id").distinct().count()
     assert abs(total.distinct_est - exact_total) <= max(1, 0.02 * exact_total)
+
+def test_streaming_distinct_sketches_stream_equals_batch(spark, tmp_path):
+    """r7: the streaming sketch rollup emits the same mergeable rows as
+    the batch twin — per-(window, key) estimates equal the exact
+    distinct counts (sparse regime), and merging the emitted window
+    sketches answers the cross-window total without reprocessing."""
+    from bigsdb_spark.streaming.events import (
+        read_event_stream,
+        run_available_now_memory,
+        streaming_distinct_sketches,
+    )
+
+    rows = []
+    eid = 0
+    for h, n_users in ((0, 5), (1, 8)):
+        for u in range(n_users):
+            for _ in (0, 1):  # every user appears twice in its hour
+                rows.append(
+                    (eid, f"2024-01-01 0{h}:{10 + u:02d}:00", "click", u, 1.0)
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, "
+        "user_id long, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type", "user_id", "value",
+    )
+    src = str(tmp_path / "sketch_src")
+    df.coalesce(1).write.parquet(src)
+    stream = read_event_stream(spark, src, max_files=16)
+    sk = streaming_distinct_sketches(stream)
+    got = run_available_now_memory(
+        sk, "sketch_rollup", final_by=["window_start", "event_type"]
+    )
+    out = got.select(
+        "window_start",
+        F.hll_sketch_estimate("sketch").alias("d"),
+        "n_rows",
+    ).collect()
+    by_window = {r.window_start: (r.d, r.n_rows) for r in out}
+    ws = sorted(by_window)
+    assert len(ws) == 2
+    assert by_window[ws[0]] == (5, 10)
+    assert by_window[ws[1]] == (8, 16)
+    # cross-window total via MERGE of the emitted sketches (users 0-4
+    # overlap between the two hours -> 8 distinct, not 13)
+    total = (
+        got.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("d")
+        ).collect()[0].d
+    )
+    assert total == 8
