@@ -43,6 +43,9 @@ Paths timed per tier (each skippable via --skip):
   ivf_topk_gemm      same search via one tiled BLAS product per cell
                      (+ ivf_topk_equality: persisted-output symmetric
                      difference between the two forms)
+  asof               as-of join over an event-stream shape (n probes,
+                     n/4 state rows, n/1000 keys) — one union+window
+                     shuffle, no join operator
   semantic_dedup     SemDeDup with MLlib-trained centroids (tier 0)
   semantic_dedup_hier SemDeDup with a two-level hierarchical codebook
                      (k ~ n/256 at O(n*sqrt(k)*d) assignment — the
@@ -123,6 +126,41 @@ def _gen_embeddings(spark, n: int, path: str) -> None:
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _gen_asof(spark, n: int, path: str) -> None:
+    """Event-stream shape for the as-of join: n left probes and n/4
+    right state rows over n/1000 keys (~1000 left / 250 right rows per
+    key — deep enough per-key history that the window sort is the
+    measured term), hash-uniform int timestamps."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    keys = max(1, n // 1000)
+    base = spark.range(n, numPartitions=max(32, n // 500_000))
+    (
+        base.select(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(keys)).alias("k"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(4)), F.lit(10_000_000)).alias(
+                "ts"
+            ),
+            F.col("id").alias("lid"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "left"))
+    )
+    (
+        spark.range(n // 4, numPartitions=max(32, n // 500_000))
+        .select(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(5)), F.lit(keys)).alias("k"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(6)), F.lit(10_000_000)).alias(
+                "ts"
+            ),
+            (F.col("id") * 10).alias("v"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "right"))
+    )
+    open(os.path.join(path, "_SUCCESS"), "w").close()
 
 
 def _gen_edges(spark, n: int, path: str) -> None:
@@ -556,6 +594,23 @@ def main() -> None:
                     "ivf_topk_equality", n, sec,
                     f"symmetric difference {diff} (0 = identical top-k)",
                 )
+        if "asof" not in skip:
+            from bigsdb_spark.operators.asof import asof_join
+
+            ap = f"{args.out}/asof_{n}"
+            t_gen, _ = _timed(lambda: _gen_asof(spark, n, ap))
+            print(f"# asof_{n} generated in {t_gen:.1f}s", flush=True)
+            al = spark.read.parquet(f"{ap}/left")
+            ar = spark.read.parquet(f"{ap}/right")
+            sec, cnt = _timed(
+                lambda: asof_join(al, ar, on="k")
+                .filter(F.col("v").isNotNull())
+                .count()
+            )
+            record(
+                "asof", n, sec,
+                f"{cnt} matched of {n} probes over {max(1, n // 1000)} keys",
+            )
 
     # ---- semantic dedup at scale (MLlib-trained centroids) ----
     # Exercises the injectable-centroids path: occupancy-constant cell
