@@ -44,6 +44,24 @@ def _sim_ivf(spark, sf_dir):
     )
 
 
+def _asof_events(spark, sf_dir):
+    # r7 as-of join on the real event stream: every purchase matched to
+    # the user's most recent prior click — one union+window shuffle, no
+    # join operator (plan-pinned in tests; DuckDB ASOF-equality there)
+    from pyspark.sql import functions as F
+
+    from bigsdb_spark.operators.asof import asof_join
+
+    ev = tbl(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return asof_join(purchases, clicks, on="user_id")
+
+
 def _sim_ivf_gemm(spark, sf_dir):
     # r7 serving variant: same IVF search served from an injected
     # codebook (no MLlib fit in the serve path) with the per-cell BLAS
@@ -164,6 +182,7 @@ EXTRA = {
     "bpe_token_count": _bpe_count,
     "sim_ivf_kmeans": _sim_ivf,
     "sim_ivf_gemm": _sim_ivf_gemm,
+    "asof_events": _asof_events,
     "dedup_minhash_lsh": _dedup_minhash,
     "dedup_minhash_fused": _dedup_minhash_fused,
     "corpus_assembly": _corpus_assembly,
@@ -199,6 +218,7 @@ HEADLINE = [
     "sq_topk",
     "sim_ivf_pq_topk",
     "sim_ivf_gemm",
+    "asof_events",
     "t_text_suite",
     "t_policy_suite",
     "corpus_assembly",
