@@ -1,0 +1,104 @@
+"""Recall@k of the IVF GEMM serving path vs exact search.
+
+The r7 equality pins prove ivf_kmeans_ann_gemm returns EXACTLY the
+join form's result, and full probe is proven == brute force — so the
+only open question for a deployment is the recall/cost trade of
+probing FEWER cells than all of them at production occupancy.  This
+probe measures recall@k of n_probe = 1/2/4 against the full-probe
+exact result with the SAME injected occupancy-~256 codebook, on a
+hash-uniform corpus (the ladder's worst case: no cluster structure,
+so cell boundaries cut true neighbourhoods as hard as they ever will).
+
+Two corpora are probed: ``uniform`` (hash-uniform vectors — NO
+cluster structure, the adversarial lower bound where true neighbours
+are near-orthogonal and spread across cell boundaries) and
+``clustered`` (a 200-center Gaussian-ish mixture via hashed offsets —
+the regime IVF is built for and real embedding corpora resemble).
+
+Usage: python tools/ivf_recall.py [n] [top_k]
+Prints one JSON line per (corpus, n_probe).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from bigsdb_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    top_k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("ivf_recall")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bigsdb_spark.operators.pq import _kmeans_np, _sample_np
+    from bigsdb_spark.operators.similarity import ivf_kmeans_ann_gemm
+
+    uniform = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: (
+            (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)) - 1000) / 1000.0
+        ).cast("float"),
+    )
+    # 200-center mixture: center by id hash, +-0.15 hashed jitter
+    center = F.pmod(F.xxhash64(F.col("id"), F.lit(99)), F.lit(200))
+    clustered = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: (
+            (F.pmod(F.xxhash64(center, i), F.lit(2001)) - 1000) / 1000.0
+            + (F.pmod(F.xxhash64(F.col("id"), i), F.lit(301)) - 150) / 1000.0
+        ).cast("float"),
+    )
+    corpora = {"uniform": uniform, "clustered": clustered}
+    for name, vec in corpora.items():
+        emb = (
+            spark.range(n, numPartitions=32)
+            .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+            .cache()
+        )
+        # FLAT codebook: the hierarchy path probes only within the
+        # nearest coarse branch (IMI approximation), so "probe every
+        # cell == exact" holds only for flat centroids — fine at probe
+        # scale (O(n*k*d) assignment is trivial at 2e4 x 78)
+        n_cells = max(16, n // 256)
+        cents = _kmeans_np(
+            _sample_np(emb, "embedding", min(n, 65536)), n_cells, 10, 7
+        ).tolist()
+
+        def topk_set(n_probe):
+            got = ivf_kmeans_ann_gemm(
+                emb, "vec_id", "embedding",
+                top_k=top_k, n_probe=n_probe, centroids=cents,
+            ).collect()
+            return {(r.qid, r.nn_id) for r in got}
+
+        exact = topk_set(n_cells)  # full probe == brute (pinned in tests)
+        for n_probe in (1, 2, 4):
+            got = topk_set(n_probe)
+            recall = len(got & exact) / len(exact)
+            print(
+                json.dumps(
+                    {
+                        "corpus": name,
+                        "n": n,
+                        "cells": n_cells,
+                        "occupancy": round(n / n_cells),
+                        "top_k": top_k,
+                        "n_probe": n_probe,
+                        "recall": round(recall, 4),
+                    }
+                ),
+                flush=True,
+            )
+        emb.unpersist()
+
+
+if __name__ == "__main__":
+    main()
