@@ -112,6 +112,27 @@ def test_asof_forward_tolerance_and_exact_ts(spark, asof_frames):
         assert (row.ts_r, row.tag) == (100, "hit")
     with pytest.raises(ValueError, match="backward|forward"):
         asof_join(l2, r2, on="k", direction="nearest")
+    # duplicate LEFT rows at one (key, ts): each comes back once with
+    # the same match (the join is per-left-row, not per-key)
+    l3 = spark.createDataFrame(
+        [("a", 100, 1), ("a", 100, 2)], "k string, ts long, lid long"
+    )
+    rows3 = asof_join(l3, r2, on="k").collect()
+    assert sorted((r.lid, r.ts_r) for r in rows3) == [(1, 100), (2, 100)]
+    # right rows TIED on ts: the documented deterministic winner is the
+    # greatest payload struct (field-wise order)
+    r4 = spark.createDataFrame(
+        [("a", 90, "aa", 1), ("a", 90, "zz", 2)],
+        "k string, ts long, tag string, v long",
+    )
+    l4 = spark.createDataFrame([("a", 95, 0)], "k string, ts long, lid long")
+    row4 = asof_join(l4, r4, on="k").collect()[0]
+    assert (row4.tag, row4.v) == ("zz", 2)
+    # empty right side: all left rows preserved, all NULL matches
+    r5 = r2.filter("ts < 0")
+    assert [
+        (r.lid, r.ts_r) for r in asof_join(l3, r5, on="k").collect()
+    ] in ([(1, None), (2, None)], [(2, None), (1, None)])
 
 
 def test_asof_name_collisions_and_plan_shape(spark, asof_frames):
