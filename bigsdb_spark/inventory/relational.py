@@ -102,10 +102,32 @@ def p1_p2(spark, sf_dir):
     not SQL 3VL (:2329-2332); contains == ILIKE '%v%' (:2545-2593);
     'starts with'/'ends with' (:2337-2344). Consolidated from the r2
     entries p1_p2_null_semantics + p3_p4_substring (same (kind, key)
-    shape) to free a gate slot for the f11_f12_d11 scan suite."""
+    shape) to free a gate slot for the f11_f12_d11 scan suite.
+
+    Since r7 the eq_ci leg runs through the S7 query snapshot store —
+    the QuerySpec is SAVED to disk, re-LOADED by its content hash, and
+    re-planned (QueryStore, IsolateQueryPage.pm:2130
+    get_query_from_temp_file) — so spec serialization round-tripping is
+    oracle-hash-checked in the gate, not only in pytest.  Lossless by
+    construction (same FormRow -> same build_predicate), so the oracle
+    is unchanged."""
+    import os
+
+    from bigsdb_spark.plans.queryspec import FormRow, QuerySpec
+    from bigsdb_spark.plans.querystore import QueryStore
+
     c = tbl(spark, sf_dir, "customer")
     p = tbl(spark, sf_dir, "part")
-    eq = c.filter(build_predicate(F.col("c_mktsegment"), "=", "building")).select(
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    store = QueryStore(
+        os.path.join(repo_root, "spark-warehouse", "gate_scratch", "querystore")
+    )
+    qid = store.save(
+        QuerySpec(rows=[FormRow("c_mktsegment", "=", "building")])
+    )
+    eq = store.run(qid, c).select(
         F.lit("eq_ci").alias("kind"), F.col("c_custkey").alias("entity_id")
     )
     nn = p.filter(build_predicate(F.col("p_brand"), "NOT", "brand#33")).select(
