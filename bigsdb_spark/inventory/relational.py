@@ -54,11 +54,46 @@ def s8_list_semijoin(spark, sf_dir):
     """S8 + P10: paste-list -> broadcast semi-join, both the
     case-insensitive text path (Datastore.pm:2333
     create_temp_list_table) and the typed/int path
-    (IsolateQueryPage.pm:1035)."""
+    (IsolateQueryPage.pm:1035).
+
+    Since r7 the nation dimension arrives through a TSV round trip:
+    written by the S6 sink (write_tsv) and re-loaded by the S3 batch
+    loader against a registry TableDef (header check + typed try_cast +
+    required-rule validation, CurateBatchAddPage.pm) — so the
+    curator-upload path is oracle-hash-checked in the gate.  Lossless
+    for this dimension (ints + comment-free names), oracle unchanged;
+    rows failing validation would vanish from the semi-join and break
+    the row count loudly."""
+    import os
+
+    from bigsdb_spark.registry import FieldDef, TableDef
+    from bigsdb_spark.sources.batchload import batch_load_csv
+    from bigsdb_spark.sources.sinks import write_tsv
+
     cust = tbl(spark, sf_dir, "customer")
     # text list, mixed case on purpose
     pasted = ["nation_1", "NATION_2", "Nation_3"]
-    nations = tbl(spark, sf_dir, "nation")
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tsv_path = os.path.join(
+        repo_root, "spark-warehouse", "gate_scratch", "nation_tsv"
+    )
+    write_tsv(
+        tbl(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ),
+        tsv_path,
+    )
+    ndef = TableDef(
+        name="nation",
+        fields=[
+            FieldDef("n_nationkey", "bigint", required=True),
+            FieldDef("n_name", "text", required=True),
+            FieldDef("n_regionkey", "bigint"),
+        ],
+    )
+    nations, _invalid = batch_load_csv(spark, tsv_path, ndef)
     lst = spark.createDataFrame([(v.upper(),) for v in pasted], ["n_key"])
     nat = nations.join(
         F.broadcast(lst), F.upper(nations["n_name"]) == lst["n_key"], "left_semi"
