@@ -46,6 +46,9 @@ Paths timed per tier (each skippable via --skip):
   asof               as-of join over an event-stream shape (n probes,
                      n/4 state rows, n/1000 keys) — one union+window
                      shuffle, no join operator
+  sketch             HLL distinct rollup (n rows -> n/1000 per-key
+                     sketches) + the grand total served by MERGING the
+                     stored rollup instead of rescanning
   semantic_dedup     SemDeDup with MLlib-trained centroids (tier 0)
   semantic_dedup_hier SemDeDup with a two-level hierarchical codebook
                      (k ~ n/256 at O(n*sqrt(k)*d) assignment — the
@@ -610,6 +613,37 @@ def main() -> None:
             record(
                 "asof", n, sec,
                 f"{cnt} matched of {n} probes over {max(1, n // 1000)} keys",
+            )
+        if "sketch" not in skip:
+            from bigsdb_spark.operators.sketches import (
+                distinct_sketch_rollup,
+                merge_sketches,
+                with_estimate,
+            )
+
+            ap = f"{args.out}/asof_{n}"
+            _gen_asof(spark, n, ap)
+            al = spark.read.parquet(f"{ap}/left")
+            # finest-grain rollup (n rows -> n/1000 sketch rows) ...
+            sec, nk = _timed(
+                lambda: distinct_sketch_rollup(al, ["k"], "lid").count()
+            )
+            record("sketch_rollup", n, sec, f"{nk} per-key sketches")
+            # ... then the grand total from MERGING the stored rollup —
+            # the no-rescan path a dashboard takes
+            rollup_path = f"{args.out}/sketch_rollup_{n}"
+            distinct_sketch_rollup(al, ["k"], "lid").write.mode(
+                "overwrite"
+            ).parquet(rollup_path)
+            stored = spark.read.parquet(rollup_path)
+            sec, est = _timed(
+                lambda: with_estimate(merge_sketches(stored, []))
+                .collect()[0]
+                .distinct_est
+            )
+            record(
+                "sketch_merge", n, sec,
+                f"total distinct ~{est} of {n} via stored-sketch merge",
             )
 
     # ---- semantic dedup at scale (MLlib-trained centroids) ----
