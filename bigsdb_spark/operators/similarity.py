@@ -376,6 +376,7 @@ def _ivf_probe_sides(
     n_probe: int,
     centroids=None,
     hierarchy=None,
+    repartition_queries: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared IVF front half: k-means|| fit + inverted-list assignment.
     Returns (query_side, corpus_side) — the query side exploded to its
@@ -391,7 +392,8 @@ def _ivf_probe_sides(
         raise ValueError("pass centroids OR hierarchy, not both")
     if centroids is not None or hierarchy is not None:
         return _ivf_probe_sides_np(
-            emb, id_col, vec_col, centroids, n_probe, hierarchy
+            emb, id_col, vec_col, centroids, n_probe, hierarchy,
+            repartition_queries,
         )
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -431,11 +433,12 @@ def _ivf_probe_sides(
     probes = F.transform(
         F.slice(F.array_sort(probe_structs), 1, n_probe), lambda s: s["cid"]
     )
-    par = emb.sparkSession.sparkContext.defaultParallelism
     a = assigned.select(
         F.col("id").alias("qid"), F.col("e").alias("e1"),
         F.col("n").alias("n1"), F.explode(probes).alias("centroid"),
-    ).repartition(par)
+    )
+    if repartition_queries:
+        a = a.repartition(emb.sparkSession.sparkContext.defaultParallelism)
     b = assigned.select(
         F.col("id").alias("nn_id"), F.col("e").alias("e2"),
         F.col("n").alias("n2"), "centroid",
@@ -450,6 +453,7 @@ def _ivf_probe_sides_np(
     centroids,
     n_probe: int,
     hierarchy=None,
+    repartition_queries: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Injected-codebook assignment: one Arrow pass computes each
     vector's cell (closest centroid by L2) and its ``n_probe`` probe
@@ -531,11 +535,12 @@ def _ivf_probe_sides_np(
         .mapInPandas(_assign, schema=out_schema)
         .filter(F.col("n") > 0)
     )
-    par = emb.sparkSession.sparkContext.defaultParallelism
     a = assigned.select(
         F.col("id").alias("qid"), F.col("e").alias("e1"),
         F.col("n").alias("n1"), F.explode("probes").alias("centroid"),
-    ).repartition(par)
+    )
+    if repartition_queries:
+        a = a.repartition(emb.sparkSession.sparkContext.defaultParallelism)
     b = assigned.select(
         F.col("id").alias("nn_id"), F.col("e").alias("e2"),
         F.col("n").alias("n2"), "centroid",
@@ -576,9 +581,13 @@ def ivf_kmeans_ann_gemm(
     import numpy as np
     import pandas as pd
 
+    # repartition_queries=False: the join form repartitions the query
+    # side so the probed join parallelizes, but here BOTH sides shuffle
+    # into their cell via groupBy(centroid) anyway — the extra exchange
+    # would be pure waste at corpus scale
     a, b = _ivf_probe_sides(
         emb, id_col, vec_col, n_centroids, seed, n_probe, centroids,
-        hierarchy,
+        hierarchy, repartition_queries=False,
     )
     id_type = dict(b.dtypes)["nn_id"]
     union = a.select(
