@@ -73,6 +73,39 @@ def with_estimate(rollup: DataFrame, out_col: str = "distinct_est") -> DataFrame
     )
 
 
+def upsert_sketch_rollup(
+    mat,
+    batch: DataFrame,
+    group_col: str,
+    value_col: str,
+    lgk: int = 12,
+) -> str:
+    """Incremental dashboard refresh: sketch ONLY the new batch, merge
+    with the stored sketches of the touched groups, and commit through
+    a snaplog-backed ``cache.Materialization`` (reader isolation,
+    optimistic concurrency, time travel — the same governance as every
+    derived cache here).  Cost is O(batch + touched groups); raw
+    history is never rescanned.
+
+    Single writer per rollup assumed (the repo's streaming-refresh
+    convention): the merge reads the current snapshot once, so two
+    concurrent upserts touching the same group would need this
+    read-merge-commit cycle retried at THIS level — the inner
+    ``refresh_incremental`` retry only protects against writers
+    touching OTHER keys."""
+    delta = distinct_sketch_rollup(batch, [group_col], value_col, lgk)
+    if not mat.exists():
+        return mat.refresh_full(delta)
+    changed = delta.select(group_col).distinct()
+    current_touched = mat.read().join(
+        changed, on=group_col, how="left_semi"
+    )
+    merged = merge_sketches(
+        current_touched.unionByName(delta), [group_col]
+    )
+    return mat.refresh_incremental(merged, changed, key=group_col)
+
+
 def union_sketch_columns(a: Column, b: Column) -> Column:
     """Row-wise sketch union (e.g. combining two metric columns or the
     current batch's sketch with the stored one in an incremental

@@ -278,3 +278,41 @@ def test_streaming_distinct_sketches_stream_equals_batch(spark, tmp_path):
         ).collect()[0].d
     )
     assert total == 8
+
+
+def test_upsert_sketch_rollup_through_materialization(spark, tmp_path):
+    """r7: the incremental dashboard loop end to end — batch 1 seeds
+    the snaplog-backed rollup, batch 2 (overlapping users in one group,
+    a brand-new group) merges without rescanning batch 1; estimates
+    equal exact distinct over BOTH batches, history shows two commits,
+    and the pre-upsert version stays time-travel readable."""
+    from bigsdb_spark.cache import Materialization
+    from bigsdb_spark.operators.sketches import upsert_sketch_rollup
+
+    mat = Materialization(spark, str(tmp_path), "daily_users")
+    b1 = spark.createDataFrame(
+        [("d1", f"u{i}") for i in range(100)]
+        + [("d2", f"u{i}") for i in range(50)],
+        "day string, user string",
+    )
+    v1 = upsert_sketch_rollup(mat, b1, "day", "user")
+    b2 = spark.createDataFrame(
+        # d1: 40 repeat users + 20 new; d3: brand new group
+        [("d1", f"u{i}") for i in range(60, 120)]
+        + [("d3", f"u{i}") for i in range(7)],
+        "day string, user string",
+    )
+    v2 = upsert_sketch_rollup(mat, b2, "day", "user")
+    assert v1 != v2
+    est = {
+        r.day: r.distinct_est for r in with_estimate(mat.read()).collect()
+    }
+    assert est == {"d1": 120, "d2": 50, "d3": 7}  # sparse regime: exact
+    # untouched group d2 kept its row; history carries both commits
+    assert len(mat.history()) == 2
+    # the pre-upsert version is still readable (keep_versions=2)
+    old = {
+        r.day: r.distinct_est
+        for r in with_estimate(mat.read(version=v1)).collect()
+    }
+    assert old == {"d1": 100, "d2": 50}
