@@ -727,6 +727,7 @@ def bucketed_ann_pairs_gemm(
     vec_col: str,
     dims: int = 3,
     min_cosine: float = 0.0,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """``bucketed_ann_pairs`` with the within-bucket scoring done as a
     per-bucket BLAS matrix product instead of a self-join + per-row
@@ -757,7 +758,10 @@ def bucketed_ann_pairs_gemm(
     as semantic_dedup's ``n_cells`` ∝ n — the r6 ladder used
     13/15/17 at 1e6/4e6/1.6e7).  The GEMM itself is tiled to
     O(block²) memory, so only the Arrow group materialization grows
-    with occupancy.  Trade: ids + vectors cross the Python/Arrow
+    with occupancy.  Set ``max_bucket_rows`` to make a mis-sized
+    ``dims`` fail FAST with the knob named in the error instead of
+    grinding a worker through a multi-GiB group (opt-in: the right
+    bound is deployment memory divided by row width).  Trade: ids + vectors cross the Python/Arrow
     boundary, so the JVM-only join form can still win when buckets are
     tiny and the corpus is cold-cached; measure per deployment
     (tools/scale_bench.py covers both)."""
@@ -774,6 +778,13 @@ def bucketed_ann_pairs_gemm(
 
     def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
+        if max_bucket_rows is not None and m > max_bucket_rows:
+            raise ValueError(
+                f"sign bucket {pdf['bucket'].iloc[0]} holds {m} rows "
+                f"> max_bucket_rows={max_bucket_rows}: 2**dims must "
+                f"scale with the corpus (dims={dims} gives {2**dims} "
+                "buckets) — raise dims to hold occupancy bounded"
+            )
         if m < 2:
             return pd.DataFrame(
                 {

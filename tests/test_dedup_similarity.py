@@ -571,3 +571,13 @@ def test_bucketed_ann_sq_prescreen_identical_pairs(spark):
     assert {g[:3] for g in gemm} == {p[:3] for p in plain}
     pc = {p[:3]: p[3] for p in plain}
     assert all(abs(g[3] - pc[g[:3]]) <= 1e-6 for g in gemm)
+    # the opt-in occupancy guard fails FAST, naming the dims knob, when
+    # a bucket materializes beyond the bound (r6 ADVICE: 2**dims must
+    # scale with the corpus)
+    from pyspark.errors import PythonException
+
+    with pytest.raises(PythonException, match="max_bucket_rows"):
+        bucketed_ann_pairs_gemm(
+            emb, "vec_id", "embedding", dims=3, min_cosine=0.8,
+            max_bucket_rows=5,
+        ).collect()
