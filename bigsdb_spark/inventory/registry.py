@@ -44,6 +44,24 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def gate_scratch(name: str) -> str:
+    """Per-run scratch dir for gate entries that round-trip through the
+    filesystem (S6 TSV, S7 querystore, F7 FASTA).  Keyed by PID so two
+    concurrent gate/pytest runs against the same checkout cannot race
+    on overwrite-in-place scratch and read a half-written file; lives
+    under the repo's spark-warehouse dir because the driver's cwd is
+    not ours."""
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(
+        repo_root, "spark-warehouse", "gate_scratch",
+        f"{name}-{os.getpid()}",
+    )
+
+
 # pseudo-DNA over the documents table: keep only a/c/g/t, uppercased.
 # SINGLE SOURCE for both the oracle spelling and the Spark expression —
 # the d9/d10/f10/sequence-suite entries all derive sequences this way,

@@ -64,8 +64,6 @@ def s8_list_semijoin(spark, sf_dir):
     for this dimension (ints + comment-free names), oracle unchanged;
     rows failing validation would vanish from the semi-join and break
     the row count loudly."""
-    import os
-
     from bigsdb_spark.registry import FieldDef, TableDef
     from bigsdb_spark.sources.batchload import batch_load_csv
     from bigsdb_spark.sources.sinks import write_tsv
@@ -73,12 +71,9 @@ def s8_list_semijoin(spark, sf_dir):
     cust = tbl(spark, sf_dir, "customer")
     # text list, mixed case on purpose
     pasted = ["nation_1", "NATION_2", "Nation_3"]
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    tsv_path = os.path.join(
-        repo_root, "spark-warehouse", "gate_scratch", "nation_tsv"
-    )
+    from bigsdb_spark.inventory.registry import gate_scratch
+
+    tsv_path = gate_scratch("nation_tsv")
     write_tsv(
         tbl(spark, sf_dir, "nation").select(
             "n_nationkey", "n_name", "n_regionkey"
@@ -146,19 +141,14 @@ def p1_p2(spark, sf_dir):
     oracle-hash-checked in the gate, not only in pytest.  Lossless by
     construction (same FormRow -> same build_predicate), so the oracle
     is unchanged."""
-    import os
-
     from bigsdb_spark.plans.queryspec import FormRow, QuerySpec
     from bigsdb_spark.plans.querystore import QueryStore
 
     c = tbl(spark, sf_dir, "customer")
     p = tbl(spark, sf_dir, "part")
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    store = QueryStore(
-        os.path.join(repo_root, "spark-warehouse", "gate_scratch", "querystore")
-    )
+    from bigsdb_spark.inventory.registry import gate_scratch
+
+    store = QueryStore(gate_scratch("querystore"))
     qid = store.save(
         QuerySpec(rows=[FormRow("c_mktsegment", "=", "building")])
     )

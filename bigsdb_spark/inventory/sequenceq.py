@@ -50,18 +50,13 @@ def _fasta_roundtrip_dna(spark, sf_dir):
     or whitespace-reassembly defect now breaks the entry's row count or
     value hash loudly instead of living only in the golden-file tests.
     Scratch lives under the repo's spark-warehouse dir (driver cwd is
-    not ours), overwritten per run."""
-    import os
-
+    not ours), per-PID scratch (gate_scratch)."""
     from bigsdb_spark.sources.fasta import read_fasta
     from bigsdb_spark.sources.sinks import write_fasta
 
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    path = os.path.join(
-        repo_root, "spark-warehouse", "gate_scratch", "fasta_roundtrip"
-    )
+    from bigsdb_spark.inventory.registry import gate_scratch
+
+    path = gate_scratch("fasta_roundtrip")
     write_fasta(_pseudo_dna(spark, sf_dir), "doc_id", "seq", path)
     back = read_fasta(spark, path)
     return back.select(

@@ -30,6 +30,12 @@ match distance —
 a matched row farther than ``tolerance`` (in the ts column's own
 units) yields the unmatched (NULL) result instead, exactly pandas
 ``merge_asof(tolerance=...)``.
+
+NULL timestamps never participate (DuckDB ASOF / pandas ``merge_asof``
+semantics): NULL-ts right rows are filtered before the union, and
+NULL-ts left rows come back unmatched — without the guard the sort
+default (nulls-first asc / nulls-last desc) would hand them spurious
+matches.
 """
 
 from __future__ import annotations
@@ -76,7 +82,7 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         *[F.col(c).alias(c) for c in payload],
     )
-    r_rows = right.select(
+    r_rows = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_left"),
@@ -108,7 +114,9 @@ def asof_join(
             .orderBy(F.desc("__t"), F.asc("__is_left"), F.asc_nulls_last("__r"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-    carried = F.last("__r", ignorenulls=True).over(w)
+    carried = F.when(
+        F.col("__t").isNotNull(), F.last("__r", ignorenulls=True).over(w)
+    )
     out = both.withColumn("__m", carried).filter(F.col("__is_left") == 1)
     if tolerance is not None:
         gap = (

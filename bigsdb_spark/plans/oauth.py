@@ -287,6 +287,22 @@ def _require(oauth_params: dict, names: tuple, dot: bool = False) -> None:
         raise OAuthError(400, "Invalid token request" + suffix)
 
 
+def _parse_timestamp(oauth_params: dict, timeout: int) -> int:
+    """A correctly-signed request can still carry a non-numeric
+    oauth_timestamp; keep that inside the OAuthError taxonomy (a route
+    adapter maps .status) instead of letting int() raise a bare
+    ValueError that would surface as a 500 where the reference's CGI
+    numeric coercion yields a 4xx."""
+    try:
+        return int(oauth_params["oauth_timestamp"])
+    except (ValueError, TypeError):
+        raise OAuthError(
+            401,
+            f"Request timestamp more than {timeout} seconds "
+            "from current time.",
+        ) from None
+
+
 def _get_client(store: AuthStore, oauth_params: dict) -> Client:
     client = store.clients.get(oauth_params.get("oauth_consumer_key"))
     if client is None or not client.client_secret:
@@ -329,7 +345,7 @@ def get_request_token(
     client = _get_client(store, op)
     _require(op, _BASE_PARAMS + ("oauth_callback",))
     _verify_or_401(op, {}, method, url, client.client_secret)
-    ts = int(op["oauth_timestamp"])
+    ts = _parse_timestamp(op, REQUEST_TOKEN_TIMEOUT)
     if abs(ts - now) > REQUEST_TOKEN_TIMEOUT:
         raise OAuthError(
             401,
@@ -445,7 +461,7 @@ def get_session_token(
         )
     _require(op, _BASE_PARAMS + ("oauth_token",), dot=True)
     _verify_or_401(op, {}, method, url, client.client_secret, at.secret, dot=True)
-    ts = int(op["oauth_timestamp"])
+    ts = _parse_timestamp(op, ACCESS_TOKEN_TIMEOUT)
     nonce = op["oauth_nonce"]
     if any(
         s.nonce == nonce and s.timestamp == ts
@@ -486,7 +502,16 @@ def verify_protected_request(
     (REST/Interface.pm:503-566 _is_oauth_authorized +
     _check_client_authorization).  ``params`` carries the FULL query —
     non-oauth params are part of the signature (extra_params).  Returns
-    {username, dbase, client_name} on success."""
+    {username, dbase, client_name} on success.
+
+    A session token is database-scoped: a token minted for database A
+    is rejected (401) against database B, mirroring the reference's
+    dbase-consistency check (Interface.pm:533-535,
+    get_dbname_with_user_details ne session dbase -> 401).  The
+    reference's per-user authorization leg (_check_user_authorization:
+    user-account existence/status in the target database) is out of
+    scope here — callers owning a user registry must perform that check
+    on the returned ``username`` themselves."""
     now = int(_time.time()) if now is None else now
     op = pick_oauth_params(
         params, auth_header, token=True, post=method.upper() == "POST"
@@ -497,6 +522,13 @@ def verify_protected_request(
     store.delete_old_sessions(now)
     sess = store.api_sessions.get(op.get("oauth_token", ""))
     if sess is None or not sess.secret:
+        raise OAuthError(
+            401,
+            "Invalid session token.  Generate new token (/get_session_token).",
+        )
+    if sess.dbase != dbase:
+        # Interface.pm:533-535: session dbase must match the request's
+        # database — otherwise a token minted for A verifies for B.
         raise OAuthError(
             401,
             "Invalid session token.  Generate new token (/get_session_token).",

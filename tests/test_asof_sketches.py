@@ -135,6 +135,41 @@ def test_asof_forward_tolerance_and_exact_ts(spark, asof_frames):
     ] in ([(1, None), (2, None)], [(2, None), (1, None)])
 
 
+def test_asof_null_timestamps_never_match(spark):
+    """DuckDB ASOF / pandas merge_asof semantics: a NULL-ts right row is
+    never a match (even when it is the only right row), and a NULL-ts
+    left row comes back unmatched in both directions."""
+    l_df = spark.createDataFrame(
+        [("a", 50, 1), ("a", None, 2), ("b", 10, 3)],
+        "k string, ts long, lid long",
+    )
+    r_df = spark.createDataFrame(
+        [("a", None, "ghost", 9), ("a", 40, "real", 1), ("b", None, "g2", 8)],
+        "k string, ts long, tag string, v long",
+    )
+    for d in ("backward", "forward"):
+        got = {
+            r.lid: (r.ts_r, r.tag)
+            for r in asof_join(l_df, r_df, on="k", direction=d).collect()
+        }
+        assert len(got) == 3
+        # lid=2 (NULL-ts left) unmatched; lid=3's only right row is
+        # NULL-ts -> unmatched
+        assert got[2] == (None, None)
+        assert got[3] == (None, None)
+    # the non-null pair still matches normally
+    back = {
+        r.lid: (r.ts_r, r.tag)
+        for r in asof_join(l_df, r_df, on="k").collect()
+    }
+    assert back[1] == (40, "real")
+    fwd = {
+        r.lid: (r.ts_r, r.tag)
+        for r in asof_join(l_df, r_df, on="k", direction="forward").collect()
+    }
+    assert fwd[1] == (None, None)  # no right ts >= 50
+
+
 def test_asof_name_collisions_and_plan_shape(spark, asof_frames):
     """Right payload columns colliding with left names get the suffix;
     the plan contains a single Exchange family for the window (no join

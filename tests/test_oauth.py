@@ -366,3 +366,55 @@ def test_protected_request_client_authorization_matrix():
             store, signed(p, "GET", url, "cs1", "s"), "GET", url,
             dbase="pubmlst_test", now=NOW,
         )
+
+
+def test_session_token_is_database_scoped():
+    """A session minted for database A must NOT verify against database
+    B (Interface.pm:533-535 dbase-consistency -> 401), even with a
+    valid signature and an authorized client."""
+    store = make_store()
+    _, _, st = run_full_flow(store)  # session dbase = pubmlst_test
+    url = "https://rest.example.org/db/pubmlst_other/isolates"
+    p = dict(base_params("n-x"), oauth_token=st["oauth_token"])
+    with pytest.raises(OAuthError, match="Invalid session token") as ei:
+        verify_protected_request(
+            store,
+            signed(p, "GET", url, "cs1", st["oauth_token_secret"]),
+            "GET", url, dbase="pubmlst_other", now=NOW,
+        )
+    assert ei.value.status == 401
+    # and the same call against the minted dbase still succeeds
+    url_ok = "https://rest.example.org/db/pubmlst_test/isolates"
+    p2 = dict(base_params("n-y"), oauth_token=st["oauth_token"])
+    ok = verify_protected_request(
+        store,
+        signed(p2, "GET", url_ok, "cs1", st["oauth_token_secret"]),
+        "GET", url_ok, dbase="pubmlst_test", now=NOW,
+    )
+    assert ok["dbase"] == "pubmlst_test"
+
+
+def test_non_numeric_timestamp_stays_in_oauth_error_taxonomy():
+    """A correctly-signed request with a non-numeric oauth_timestamp
+    must raise OAuthError (4xx), never a bare ValueError that a route
+    adapter would surface as a 500."""
+    store = make_store()
+    bad_rt = signed(
+        dict(base_params("n-t", ts="garbage"), oauth_callback="oob"),
+        "GET", URL, "cs1",
+    )
+    with pytest.raises(OAuthError, match="Request timestamp") as ei:
+        get_request_token(store, bad_rt, "GET", URL, now=NOW)
+    assert ei.value.status == 401
+    # same taxonomy on the session-token leg
+    rt, at, _ = run_full_flow(store)
+    st_params = dict(
+        base_params("n-u", ts="NaN"), oauth_token=at["oauth_token"]
+    )
+    with pytest.raises(OAuthError, match="Request timestamp") as ei2:
+        get_session_token(
+            store,
+            signed(st_params, "GET", URL, "cs1", at["oauth_token_secret"]),
+            "GET", URL, now=NOW,
+        )
+    assert ei2.value.status == 401
