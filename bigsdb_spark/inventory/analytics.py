@@ -180,6 +180,103 @@ def a4_dashboard(spark, sf_dir):
     return hist.unionByName(topn)
 
 
+def a4_dashboard_sketch_served(spark, sf_dir):
+    """Sketch-served twin of ``a4_dashboard`` (r8 — VERDICT r7 task 3):
+    the SAME output, but served merge-not-rescan from finest-grain
+    per-day rollups, the way a 100 TB dashboard would be refreshed —
+    raw rows are touched once per ingested partition, every page render
+    is a merge over the (bounded) rollup table.
+
+    - histogram leg: exact mergeable bin-count rollup per o_orderdate
+      day (operators/sketches.histogram_rollup), merged to the global
+      histogram by summing bin counts — lossless, so the twin is
+      hash-identical to the raw recount;
+    - top-N leg: per-(day, label) count rollup merged by sum, then the
+      same top-3 + 'Others' finish.
+
+    tests/test_asof_sketches.py pins equality against a4_dashboard;
+    the KLL/HLL approximate legs (quantiles, distinct users) live
+    beside this in dashboard_sketch_rollups()."""
+    from bigsdb_spark.operators.sketches import (
+        histogram_rollup,
+        merge_histogram_rollup,
+    )
+
+    o = tbl(spark, sf_dir, "orders").withColumn(
+        "day", F.to_date("o_orderdate")
+    )
+    hist_rollup = histogram_rollup(o, ["day"], "o_totalprice", 25000.0)
+    hist = merge_histogram_rollup(hist_rollup, []).select(
+        F.lit("hist").alias("kind"),
+        F.col("bin").cast("string").alias("label"),
+        F.col("bin_start").cast("double").alias("bin_start"),
+        "n",
+    )
+    e = tbl(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.coalesce(F.col("event_type"), F.lit("No value")).alias("label"),
+    )
+    count_rollup = e.groupBy("day", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    counts = count_rollup.groupBy("label").agg(F.sum("n").alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("label")).limit(3).select("label", "n")
+    totals = counts.agg(
+        F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_n_labels")
+    )
+    others = (
+        totals.crossJoin(top.agg(F.sum("n").alias("_top")))
+        .filter(F.col("_n_labels") > 3)
+        .select(
+            F.lit("Others").alias("label"),
+            (F.col("_total") - F.col("_top")).cast("long").alias("n"),
+        )
+    )
+    topn = top.unionByName(others).select(
+        F.lit("topn").alias("kind"),
+        "label",
+        F.lit(None).cast("double").alias("bin_start"),
+        "n",
+    )
+    return hist.unionByName(topn)
+
+
+def dashboard_sketch_rollups(spark, sf_dir):
+    """The approximate dashboard legs served from mergeable sketches
+    (r8): per-event-type DISTINCT USERS via HLL (the A1/A12
+    ``count(DISTINCT user_id)`` leg — exact in the sparse regime,
+    ~1.6% past it) and per-event-type VALUE QUANTILES via KLL (the
+    A9/A4 percentile family — exact while each merged sketch has seen
+    <= k values).  Both are built as finest-grain per-day rollups and
+    MERGED to the serving grouping; returns (event_type, distinct_users,
+    n_rows, q50, q95, n_values)."""
+    from bigsdb_spark.operators.sketches import (
+        distinct_sketch_rollup,
+        merge_quantile_sketches,
+        merge_sketches,
+        quantile_sketch_rollup,
+        with_estimate,
+        with_quantiles,
+    )
+
+    e = tbl(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    hll = with_estimate(
+        merge_sketches(
+            distinct_sketch_rollup(e, ["day", "event_type"], "user_id"),
+            ["event_type"],
+        ),
+        "distinct_users",
+    ).select("event_type", "distinct_users", "n_rows")
+    kll = with_quantiles(
+        merge_quantile_sketches(
+            quantile_sketch_rollup(e, ["day", "event_type"], "value"),
+            ["event_type"],
+        ),
+        [0.5, 0.95],
+    ).select("event_type", "q50", "q95", "n_values")
+    return hll.join(kll, on="event_type", how="inner")
+
+
 @register(
     "a5_profile_pivot_md5",
     oracle="""

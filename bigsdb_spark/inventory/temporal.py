@@ -7,26 +7,77 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bigsdb_spark.inventory.registry import register, tbl
+from bigsdb_spark.operators.asof import asof_join
 from bigsdb_spark.operators.sessions import epoch_seconds, sessionize, tumbling_counts
 
 
 @register(
     "a11_temporal_buckets",
     oracle="""
-    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+    SELECT 'daily' AS kind, strftime(ts, '%Y-%m-%d') AS day, event_type,
            count(*) AS n, round(sum(value), 2) AS total_value
-    FROM events GROUP BY 1, 2
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT CASE WHEN m.rts IS NULL THEN 'asof_unmatched'
+                ELSE 'asof_matched' END AS kind,
+           CAST(NULL AS VARCHAR) AS day, m.event_type,
+           count(*) AS n, round(sum(m.state_value), 2) AS total_value
+    FROM (
+        SELECT l.event_type, r.ts AS rts, r.state_value
+        FROM (SELECT user_id, ts, event_type FROM events
+              WHERE event_type IN ('click', 'view')) l
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, max(value) AS state_value
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) r
+        ON l.user_id = r.user_id AND l.ts >= r.ts) m
+    GROUP BY 1, 3
     """,
 )
 def a11_daily(spark, sf_dir):
     """A11: date_trunc-style temporal stats
-    (OfflineJobManager.pm:648 get_job_temporal_data)."""
+    (OfflineJobManager.pm:648 get_job_temporal_data), plus a backward
+    as-of leg (operators/asof.py) hash-checked against DuckDB's NATIVE
+    ASOF JOIN: each click/view event is stabbed against the latest
+    prior purchase state of its user (right side pre-aggregated to one
+    row per (user, ts) so the tie winner is engine-independent), then
+    rolled up to matched/unmatched counts + matched state-value sums
+    per event type — the r7 consolidation pattern: the distributed
+    operator's output feeds the SAME entry, layout stays 50."""
     e = tbl(spark, sf_dir, "events")
     day = F.from_unixtime(epoch_seconds(e, "ts"), "yyyy-MM-dd")
-    return e.groupBy(day.alias("day"), F.col("event_type")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+    daily = (
+        e.groupBy(day.alias("day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.lit("daily").alias("kind"), "day", "event_type", "n",
+                "total_value")
     )
+    state = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("state_value"))
+    )
+    probes = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_type"
+    )
+    matched = asof_join(probes, state, on="user_id")
+    asof_rows = (
+        matched.groupBy(
+            F.when(F.col("ts_r").isNull(), F.lit("asof_unmatched"))
+            .otherwise(F.lit("asof_matched"))
+            .alias("kind"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("state_value"), 2).alias("total_value"),
+        )
+        .select("kind", F.lit(None).cast("string").alias("day"),
+                "event_type", "n", "total_value")
+    )
+    return daily.unionByName(asof_rows)
 
 
 @register(

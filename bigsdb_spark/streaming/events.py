@@ -115,6 +115,43 @@ def streaming_distinct_sketches(
     )
 
 
+def streaming_quantile_sketches(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    width: str = "1 hour",
+    watermark: str = "1 hour",
+    k: int = 200,
+) -> DataFrame:
+    """Watermarked per-window KLL quantile sketch of ``value_col`` per
+    key — the streaming twin of operators/sketches.
+    quantile_sketch_rollup (r8).  A streaming percentile would need
+    every value per window in state; the KLL agg keeps O(k log(n/k))
+    doubles per (window, key) and the emitted rows stay MERGEABLE:
+    append them to the stored finest-grain rollup and serve any
+    horizon's quantiles/histograms via merge_quantile_sketches.
+    Output: (window_start, key, kll, n_values)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), width).alias("w"), F.col(key_col))
+        .agg(
+            F.kll_sketch_agg_double(
+                F.col(value_col).cast("double"), F.lit(k)
+            ).alias("kll"),
+            F.count(F.col(value_col)).alias("n_values"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias(
+                "window_start"
+            ),
+            key_col,
+            "kll",
+            "n_values",
+        )
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     key_cols: list[str],

@@ -351,3 +351,260 @@ def test_upsert_sketch_rollup_through_materialization(spark, tmp_path):
         for r in with_estimate(mat.read(version=v1)).collect()
     }
     assert old == {"d1": 100, "d2": 50}
+
+
+# ---------------------------------------------------------------------------
+# r8: KLL quantile sketches + exact mergeable histograms
+# ---------------------------------------------------------------------------
+
+
+def test_kll_rollup_exact_regime_and_merge(spark):
+    """KLL is exact while a sketch has seen <= k items (no compaction):
+    per-group quantiles from the rollup AND the merged grand-total
+    quantiles equal the true order statistics, and merge-vs-direct are
+    identical in this regime."""
+    from bigsdb_spark.operators.sketches import (
+        merge_quantile_sketches,
+        quantile_sketch_rollup,
+        with_quantiles,
+    )
+
+    rows = [(f"g{i % 4}", float(i)) for i in range(160)]  # 40/group < k
+    df = spark.createDataFrame(rows, "g string, v double")
+    rollup = quantile_sketch_rollup(df, ["g"], "v")
+    per = {
+        r.g: (r.q50, r.n_values)
+        for r in with_quantiles(rollup, [0.5]).collect()
+    }
+    import statistics
+
+    for g in "g0 g1 g2 g3".split():
+        vals = sorted(v for k, v in rows if k == g)
+        assert per[g][1] == 40
+        # inclusive-rank median: smallest v with rank >= 0.5
+        assert per[g][0] == vals[19]
+    merged = with_quantiles(
+        merge_quantile_sketches(rollup, []), [0.0, 0.5, 1.0]
+    ).collect()[0]
+    allv = sorted(v for _, v in rows)
+    assert merged.n_values == 160
+    assert merged.q0 == allv[0] and merged.q100 == allv[-1]
+    assert merged.q50 == allv[79]
+    direct = with_quantiles(
+        quantile_sketch_rollup(df, [], "v"), [0.5]
+    ).collect()[0]
+    assert direct.q50 == merged.q50
+
+
+def test_kll_bounded_error_past_exact_regime(spark):
+    """Past the exact regime (n >> k), merged-rollup quantile estimates
+    stay within KLL's rank-error envelope (~1.65% at k=200; assert 3%
+    with margin) of the true rank."""
+    from bigsdb_spark.operators.sketches import (
+        merge_quantile_sketches,
+        quantile_sketch_rollup,
+        with_quantiles,
+    )
+    from pyspark.sql import functions as F
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.col("id") % 16).alias("g"),
+        (F.pmod(F.xxhash64("id"), F.lit(100_000)) / 10.0).alias("v"),
+    )
+    merged = with_quantiles(
+        merge_quantile_sketches(quantile_sketch_rollup(df, ["g"], "v"), []),
+        [0.5, 0.95],
+    ).collect()[0]
+    assert merged.n_values == n
+    for est, p in ((merged.q50, 0.5), (merged.q95, 0.95)):
+        true_rank = df.filter(F.col("v") <= est).count() / n
+        assert abs(true_rank - p) <= 0.03
+
+
+def test_histogram_rollup_merge_exact(spark):
+    """The per-day histogram rollup merged over all days is
+    row-identical to the raw-recount histogram (breakdown.histogram) —
+    the merge is a lossless sum."""
+    from bigsdb_spark.operators.breakdown import histogram
+    from bigsdb_spark.operators.sketches import (
+        histogram_rollup,
+        merge_histogram_rollup,
+    )
+    from bigsdb_spark.sources.tables import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "day", F.to_date("o_orderdate")
+    )
+    served = {
+        (r.bin, r.bin_start): r.n
+        for r in merge_histogram_rollup(
+            histogram_rollup(o, ["day"], "o_totalprice", 25000.0), []
+        ).collect()
+    }
+    raw = {
+        (r.bin, r.bin_start): r.n
+        for r in histogram(o, "o_totalprice", 25000.0).collect()
+    }
+    assert served == raw
+
+
+def test_histogram_from_quantile_sketch(spark):
+    """The KLL-served histogram matches the exact histogram bin-for-bin
+    in the exact regime when no value sits on a bin edge (the served
+    bin is (lo, hi] vs floor's [lo, hi) — agreement requires edge-free
+    data, documented in the operator)."""
+    import random
+
+    from bigsdb_spark.operators.breakdown import histogram
+    from bigsdb_spark.operators.sketches import (
+        histogram_from_quantile_sketch,
+        quantile_sketch_rollup,
+    )
+
+    rng = random.Random(11)
+    rows = [(rng.uniform(0.01, 9.99) + rng.randrange(10),) for _ in range(150)]
+    df = spark.createDataFrame(rows, "v double")
+    served = {
+        r.bin: r.n_est
+        for r in histogram_from_quantile_sketch(
+            quantile_sketch_rollup(df, [], "v"), 2.0
+        ).collect()
+    }
+    raw = {r.bin: r.n for r in histogram(df, "v", 2.0).collect()}
+    assert served == raw
+
+
+def test_a4_sketch_served_twin_matches(spark):
+    """a4_dashboard_sketch_served (merge-not-rescan) is row-identical
+    to a4_dashboard's raw recount at sf0.001."""
+    from bigsdb_spark.inventory.analytics import (
+        a4_dashboard,
+        a4_dashboard_sketch_served,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    raw = sorted(map(tuple, a4_dashboard(spark, sf).collect()))
+    served = sorted(map(tuple, a4_dashboard_sketch_served(spark, sf).collect()))
+    assert served == raw
+
+
+def test_dashboard_sketch_rollups_accuracy(spark):
+    """The approximate dashboard legs: HLL distinct-users exact in the
+    sparse regime (15 users at sf0.001), KLL quantiles within rank
+    error of the true per-type order statistics."""
+    from bigsdb_spark.inventory.analytics import dashboard_sketch_rollups
+    from bigsdb_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.event_type: r for r in dashboard_sketch_rollups(spark, sf).collect()}
+    ev = load_table(spark, sf, "events")
+    exact_d = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(exact_d)
+    vals = {
+        r.event_type: sorted(x for x in r.vs if x is not None)
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    }
+    for et, row in got.items():
+        assert row.distinct_users == exact_d[et]  # sparse regime
+        vs = vals[et]
+        assert row.n_values == len(vs)
+        for est, p in ((row.q50, 0.5), (row.q95, 0.95)):
+            true_rank = sum(1 for v in vs if v <= est) / len(vs)
+            assert abs(true_rank - p) <= 0.04
+
+
+def test_streaming_quantile_sketches_stream_equals_batch(spark, tmp_path):
+    """r8: the streaming KLL rollup emits the same mergeable rows as
+    the batch twin — per-window quantiles are exact (n <= k per
+    window), and merging the emitted window sketches answers the
+    cross-window median without reprocessing."""
+    from bigsdb_spark.operators.sketches import (
+        merge_quantile_sketches,
+        with_quantiles,
+    )
+    from bigsdb_spark.streaming.events import (
+        read_event_stream,
+        run_available_now_memory,
+        streaming_quantile_sketches,
+    )
+
+    rows = []
+    eid = 0
+    for h, vals in ((0, range(10)), (1, range(100, 140))):
+        for i, v in enumerate(vals):
+            rows.append(
+                (eid, f"2024-01-01 0{h}:{10 + i % 40:02d}:00", "click", 1,
+                 float(v))
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, "
+        "user_id long, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type", "user_id", "value",
+    )
+    src = str(tmp_path / "kll_src")
+    df.coalesce(1).write.parquet(src)
+    stream = read_event_stream(spark, src, max_files=16)
+    sk = streaming_quantile_sketches(stream)
+    got = run_available_now_memory(
+        sk, "kll_rollup", final_by=["window_start", "event_type"]
+    )
+    per = {
+        r.window_start: (r.q50, r.n_values)
+        for r in with_quantiles(got, [0.5]).collect()
+    }
+    ws = sorted(per)
+    assert len(ws) == 2
+    # inclusive-rank median: smallest v with rank(v) >= 0.5
+    assert per[ws[0]] == (4.0, 10)    # 0..9: rank(4) = 5/10
+    assert per[ws[1]] == (119.0, 40)  # 100..139: rank(119) = 20/40
+    merged = with_quantiles(
+        merge_quantile_sketches(got.select("kll", "n_values"), []), [0.5]
+    ).collect()[0]
+    allv = sorted(float(v) for *_, v in rows)
+    assert merged.n_values == 50
+    assert merged.q50 == allv[24]
+
+
+def test_upsert_quantile_rollup_through_materialization(spark, tmp_path):
+    """r8: incremental KLL dashboard loop — batch 2 merges into the
+    stored sketches of the touched group only; quantiles equal exact
+    order statistics over BOTH batches (exact regime), untouched
+    groups keep their rows, history carries both commits."""
+    from bigsdb_spark.cache import Materialization
+    from bigsdb_spark.operators.sketches import (
+        upsert_quantile_rollup,
+        with_quantiles,
+    )
+
+    mat = Materialization(spark, str(tmp_path), "daily_values")
+    b1 = spark.createDataFrame(
+        [("d1", float(i)) for i in range(50)]
+        + [("d2", float(i)) for i in range(20)],
+        "day string, v double",
+    )
+    v1 = upsert_quantile_rollup(mat, b1, "day", "v")
+    b2 = spark.createDataFrame(
+        [("d1", float(i)) for i in range(50, 100)]
+        + [("d3", float(i)) for i in range(7)],
+        "day string, v double",
+    )
+    v2 = upsert_quantile_rollup(mat, b2, "day", "v")
+    assert v1 != v2
+    got = {
+        r.day: (r.q50, r.n_values)
+        for r in with_quantiles(mat.read(), [0.5]).collect()
+    }
+    # inclusive-rank median of 0..99 is 49; of 0..19 is 9; of 0..6 is 3
+    assert got == {"d1": (49.0, 100), "d2": (9.0, 20), "d3": (3.0, 7)}
+    assert len(mat.history()) == 2
