@@ -478,6 +478,8 @@ def _ivf_probe_sides_np(
         fine = np.array(hierarchy["fine"], dtype=np.float64)
         n_cells = coarse.shape[0] * fine.shape[1]
         cents = None
+        half_coarse2 = 0.5 * (coarse**2).sum(axis=1)
+        half_fine2 = 0.5 * (fine**2).sum(axis=2)  # (branches, fine)
     else:
         cents = np.array(centroids, dtype=np.float64)
         n_cells = len(cents)
@@ -511,15 +513,25 @@ def _ivf_probe_sides_np(
                 # argmin ||x-c||^2 == argmax x.c - 0.5||c||^2 (x^2 const)
                 probes = _top_probes(x @ cents.T - half_c2)
             else:
-                ci = (
-                    x @ coarse.T - 0.5 * (coarse**2).sum(axis=1)
-                ).argmax(axis=1)
-                fc = fine[ci]  # (batch, branch, d)
-                fscore = (
-                    np.einsum("bd,bkd->bk", x, fc)
-                    - 0.5 * (fc**2).sum(axis=2)
-                )
-                probes = ci[:, None] * fine.shape[1] + _top_probes(fscore)
+                ci = (x @ coarse.T - half_coarse2).argmax(axis=1)
+                # score each coarse branch's rows against ONLY that
+                # branch's fine row with a real GEMM.  The r7 form
+                # gathered fine[ci] — a (batch, sqrt(k), d) float64
+                # materialization (~2.5 TB of memory traffic over a
+                # 1.6e7 corpus at k = n/256) fed to a non-BLAS einsum;
+                # the r8 ivf_gemm_probe decomposition showed that
+                # gather+einsum to be the superlinear assignment term
+                # behind the 5.0x-per-4x top-tier step.
+                kf = min(n_probe, fine.shape[1])
+                probes = np.empty((len(x), kf), dtype=np.int64)
+                order = np.argsort(ci, kind="stable")
+                bounds = np.searchsorted(ci[order], np.arange(coarse.shape[0] + 1))
+                for bi in range(coarse.shape[0]):
+                    rows = order[bounds[bi] : bounds[bi + 1]]
+                    if rows.size == 0:
+                        continue
+                    fscore = x[rows] @ fine[bi].T - half_fine2[bi]
+                    probes[rows] = bi * fine.shape[1] + _top_probes(fscore)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
@@ -578,9 +590,6 @@ def ivf_kmeans_ann_gemm(
     ``n_centroids`` must scale with the corpus (one cell materializes
     in one Python worker — the same occupancy contract as
     semantic_dedup's n_cells / bucketed_ann_pairs_gemm's dims)."""
-    import numpy as np
-    import pandas as pd
-
     # repartition_queries=False: the join form repartitions the query
     # side so the probed join parallelizes, but here BOTH sides shuffle
     # into their cell via groupBy(centroid) anyway — the extra exchange
@@ -589,6 +598,45 @@ def ivf_kmeans_ann_gemm(
         emb, id_col, vec_col, n_centroids, seed, n_probe, centroids,
         hierarchy, repartition_queries=False,
     )
+    if n_probe == 1:
+        # every query is scored in exactly one cell, so the cell task
+        # can finish the (cosine desc, nn_id asc) ranking itself and
+        # the global row_number window — the largest term of the
+        # n_probe=1 serving path in the r8 decomposition (211.6 s of
+        # 329.0 s at 4e6: a full shuffle + sort of all candidate
+        # rows) — is skipped entirely.  Output rows are identical by
+        # construction; the ladder re-diffs the persisted results.
+        return _ivf_gemm_candidates(a, b, top_k, exact_rank=True)
+    cand = _ivf_gemm_candidates(a, b, top_k)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= top_k
+    ).drop("rn")
+
+
+def _ivf_gemm_candidates(
+    a: DataFrame, b: DataFrame, top_k: int, exact_rank: bool = False
+) -> DataFrame:
+    """The GEMM scorer's candidate stage: union both probe sides into
+    their cell (ONE shuffle), score queries x corpus per cell with a
+    tiled BLAS product, and emit each query's tied-or-above-k-th
+    superset.  Split out of ivf_kmeans_ann_gemm so
+    tools/ivf_gemm_probe.py can time assignment / exchange+Arrow /
+    GEMM / window as separate stages (r8 decomposition of the 1.6e7
+    growth step).
+
+    ``exact_rank=True`` (valid ONLY when every query is scored in a
+    single cell, i.e. n_probe=1): the cell task finishes the ranking
+    itself — per query, sort the tied superset by the operator's
+    global (cosine desc, nn_id asc) order in numpy and keep exactly
+    ``top_k`` — so the output IS the final result and the caller skips
+    the global row_number window.  The r8 probe measured that window
+    (a full shuffle + sort of ~n*(k+ties) candidate rows) as the
+    LARGEST term of the n_probe=1 serving path at 4e6: 211.6 s of the
+    329.0 s total, vs 51.6 assign / 54.5 exchange+Arrow / 11.3 GEMM."""
+    import numpy as np
+    import pandas as pd
+
     id_type = dict(b.dtypes)["nn_id"]
     union = a.select(
         F.lit(True).alias("is_q"), F.col("qid").alias("id"),
@@ -635,9 +683,21 @@ def ivf_kmeans_ann_gemm(
             vk = np.take_along_axis(cb, part, axis=1).min(axis=1)
             keep = (cb >= vk[:, None]) & np.isfinite(cb)
             ii, jj = np.nonzero(keep)
+            sc = cb[ii, jj]
+            nn = cids_[jj]
+            if exact_rank:
+                # finish the (cosine desc, nn_id asc) ranking here:
+                # within each query's tied superset keep exactly the
+                # first top_k under the operator's global order — the
+                # same rows the row_number window would keep
+                order = np.lexsort((nn, -sc, ii))
+                ii, sc, nn = ii[order], sc[order], nn[order]
+                first = np.searchsorted(ii, ii, side="left")
+                in_k = (np.arange(len(ii)) - first) < top_k
+                ii, sc, nn = ii[in_k], sc[in_k], nn[in_k]
             oq.append(qids[ii + s])
-            on.append(cids_[jj])
-            oc.append(cb[ii, jj])
+            on.append(nn)
+            oc.append(sc)
         qid_out = np.concatenate(oq)
         return pd.DataFrame(
             {
@@ -648,16 +708,12 @@ def ivf_kmeans_ann_gemm(
             }
         )
 
-    cand = union.groupBy("centroid").applyInPandas(
+    return union.groupBy("centroid").applyInPandas(
         _cell_topk,
         schema=(
             f"qid {id_type}, nn_id {id_type}, cosine double, centroid int"
         ),
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nn_id"))
-    return cand.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= top_k
-    ).drop("rn")
 
 
 def bucketed_ann_pairs(

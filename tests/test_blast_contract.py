@@ -414,3 +414,142 @@ def test_tblastn_alignment_tripled_before_threshold(parsed_x):
         parsed_x, identity=90.0, alignment=50.0, program="tblastn"
     ).filter("locus = 'dnaE'")
     assert strict_t.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# r8: batched multi-query run + the per-(db, loci-hash) cache contract
+# ---------------------------------------------------------------------------
+
+MULTIQUERY = str(
+    pathlib.Path(__file__).parent / "fixtures" / "blast_outfmt6_multiquery.tsv"
+)
+
+
+@pytest.fixture(scope="module")
+def parsed_multiquery(spark):
+    lines = spark.read.text(MULTIQUERY).withColumnRenamed("value", "line")
+    return parse_blast_tabular(lines).cache()
+
+
+def test_multiquery_exact_dedup_is_cross_query(parsed_multiquery):
+    """The reference dedups exact matches by (locus, allele, start)
+    WITHOUT the query id (matched_already, Blast.pm:423-424) — in a
+    batched multi-query run, a second query hitting the same allele at
+    the same query coordinate is dropped and the first record in file
+    order keeps its query id.  Pinned deliberately: it is the
+    reference's batch semantics, quirk included."""
+    got = blast_exact_matches(parsed_multiquery).collect()
+    assert len(got) == 3
+    by_key = {(r.locus, r.allele, r.start): r for r in got}
+    # seq2's identical (abcZ,1,201) record lost to seq1's (file order)
+    assert by_key[("abcZ", "1", 201)].query == "seq1"
+    # a different start from the same allele+query pair survives
+    assert by_key[("abcZ", "1", 501)].query == "seq2"
+    # '||'-era reverse exact from the third query in the same batch
+    rev = by_key[("adk", "5", 301)]
+    assert (rev.query, rev.end, rev.reverse) == ("seq3", 390, True)
+
+
+def test_multiquery_partial_best_poor_is_per_locus(parsed_multiquery):
+    """Partial-tier thresholds and the best-poor fallback apply per
+    LOCUS across the whole batch (the reference's matches struct is
+    keyed by locus, not (query, locus)): seq3's poor pgm record is
+    dropped because seq1's passed, while glnA — where NO query passed —
+    keeps its single best-poor record."""
+    exact = blast_exact_matches(parsed_multiquery)
+    got = blast_partial_matches(parsed_multiquery, exact=exact).collect()
+    by_locus = {}
+    for r in got:
+        by_locus.setdefault(r.locus, []).append(r)
+    # exactly-matched loci excluded batch-wide
+    assert "abcZ" not in by_locus and "adk" not in by_locus
+    assert [r.query for r in by_locus["pgm"]] == ["seq1"]
+    assert by_locus["pgm"][0].identity == 95.0
+    assert [ (r.query, r.identity) for r in by_locus["glnA"] ] == [("seq2", 75.0)]
+
+
+def test_cache_name_is_loci_hash(tmp_path):
+    """Cache name = EX? + md5(comma-joined loci): deterministic per
+    loci list, order-sensitive like the reference's qq(@$loci), and
+    the exemplar variant is a distinct cache (Blast.pm:884-890)."""
+    from bigsdb_spark.operators.blastcache import BlastCacheManager
+
+    mgr = BlastCacheManager(str(tmp_path), "pubmlst_test")
+    loci = ["abcZ", "adk", "pgm"]
+    name = mgr.cache_name(loci)
+    assert name == mgr.cache_name(list(loci))
+    assert mgr.cache_name(loci, exemplar=True) == "EX" + name
+    assert mgr.cache_name(["adk", "abcZ", "pgm"]) != name
+    assert mgr.cache_name(["abcZ", "adk"]) != name
+    # the db scopes the directory: same name, different db, no clash
+    other = BlastCacheManager(str(tmp_path), "pubmlst_other")
+    mgr.create(name, loci, ">abcZ|1|100\nACGT\n")
+    assert mgr.exists(name) and not other.exists(name)
+
+
+def test_cache_staleness_lifecycle(tmp_path):
+    """The full Blast.pm:131-154/806-831 lifecycle: locus-targeted
+    stale marks hit only caches whose manifest lists the locus; a
+    stale cache is deleted lazily at the next exists(); age beyond
+    cache_days and an empty sequences.fas are also stale; a LOCK file
+    blocks the delete (the cache then still 'exists', reference
+    behavior while a build is in flight)."""
+    import os
+
+    from bigsdb_spark.operators.blastcache import BlastCacheManager
+
+    now = [1_000_000.0]
+    mgr = BlastCacheManager(
+        str(tmp_path), "db1", cache_days=7, clock=lambda: now[0]
+    )
+    n1 = mgr.cache_name(["abcZ", "adk"])
+    n2 = mgr.cache_name(["pgm"])
+    mgr.create(n1, ["abcZ", "adk"], ">x\nACGT\n")
+    mgr.create(n2, ["pgm"], ">y\nTTTT\n")
+    assert mgr.caches_containing_locus("adk") == [n1]
+    mgr.mark_locus_stale("adk")
+    assert mgr.is_stale(n1) and not mgr.is_stale(n2)
+    assert not mgr.exists(n1)              # deleted on the way
+    assert not os.path.exists(mgr.cache_dir(n1))
+    assert mgr.exists(n2)
+    # age policy via the injected clock (no mtime games needed beyond
+    # moving 'now' past cache_days)
+    now[0] += 8 * 86400
+    assert mgr.is_stale(n2) and not mgr.exists(n2)
+    # empty FASTA = stale
+    n3 = mgr.cache_name(["fumC"])
+    mgr.create(n3, ["fumC"], "")
+    assert mgr.is_stale(n3)
+    # LOCK blocks deletion: stale but still reported existing
+    n4 = mgr.cache_name(["gdh"])
+    mgr.create(n4, ["gdh"], ">z\nGGGG\n")
+    open(os.path.join(mgr.cache_dir(n4), "LOCK"), "w").close()
+    mgr.mark_all_stale()
+    assert mgr.is_stale(n4)
+    assert not mgr.delete(n4)
+    assert mgr.exists(n4)
+
+
+def test_cache_refresh_rebuilds_only_stale(tmp_path):
+    """refresh_caches (Blast.pm:913-940): the loci manifest survives
+    the delete-rebuild cycle and only stale/old caches invoke the
+    rebuild callback."""
+    from bigsdb_spark.operators.blastcache import BlastCacheManager
+
+    mgr = BlastCacheManager(str(tmp_path), "db1")
+    fresh = mgr.cache_name(["abcZ"])
+    old = mgr.cache_name(["adk", "pgm"])
+    mgr.create(fresh, ["abcZ"], ">a\nAAAA\n")
+    mgr.create(old, ["adk", "pgm"], ">b\nCCCC\n")
+    mgr.mark_locus_stale("pgm")
+    calls = []
+
+    def rebuild(name, loci):
+        calls.append((name, tuple(loci)))
+        return ">rebuilt\nACGT\n"
+
+    assert mgr.refresh(rebuild) == [old]
+    assert calls == [(old, ("adk", "pgm"))]
+    assert mgr.exists(old) and mgr.cache_loci(old) == ["adk", "pgm"]
+    with open(mgr.cache_dir(old) + "/sequences.fas") as fh:
+        assert fh.read().startswith(">rebuilt")

@@ -17,6 +17,21 @@ the regime IVF is built for and real embedding corpora resemble).
 
 Usage: python tools/ivf_recall.py [n] [top_k]
 Prints one JSON line per (corpus, n_probe).
+
+Production-n mode (VERDICT r7 task 4 — the serving default's quality
+claim at the same tier as its timing claim):
+
+    python tools/ivf_recall.py 1000000 10 --hier
+
+trains the SAME two-level codebook the ladder serves from
+(train_hierarchical_cells, occupancy ~256) and measures recall@k at
+n_probe 1/2/4/8 on the clustered corpus against an EXACT baseline for
+1000 hash-sampled queries (driver-side chunked brute force over the
+full corpus — a 256 MB float32 matrix, audit-tool territory; the
+serving path itself stays fully distributed).  The hierarchy probes
+fine cells within the nearest coarse branch only (IMI approximation),
+so its recall ceiling includes branch-misassignment loss — that is
+the serving default, measured honestly.
 """
 
 from __future__ import annotations
@@ -32,9 +47,98 @@ import pyspark.sql.functions as F  # noqa: E402
 from bigsdb_spark.session import get_spark  # noqa: E402
 
 
+def _exact_sets(emb_pdf, sample_ids, top_k):
+    """Driver-side exact top-k for the sampled queries: chunked GEMM
+    over the full corpus with the operator's own tie rule (6dp HALF_UP
+    rounding, (cosine desc, nn_id asc)) so set comparison is not tie
+    noise."""
+    import numpy as np
+
+    from bigsdb_spark.operators.similarity import np_round_half_up
+
+    ids = emb_pdf["vec_id"].to_numpy()
+    x = np.array(list(emb_pdf["embedding"]), dtype=np.float32)
+    nrm = np.sqrt((x.astype(np.float64) ** 2).sum(axis=1))
+    pos = {int(v): i for i, v in enumerate(ids)}
+    q_idx = np.array([pos[q] for q in sample_ids])
+    exact = {}
+    for s in range(0, len(q_idx), 128):
+        qi = q_idx[s : s + 128]
+        cb = np_round_half_up(
+            (x[qi].astype(np.float64) @ x.T.astype(np.float64))
+            / np.outer(nrm[qi], nrm)
+        )
+        cb[np.arange(len(qi)), qi] = -np.inf  # self
+        for row, gi in enumerate(qi):
+            order = np.lexsort((ids, -cb[row]))
+            top = order[: top_k]
+            exact[int(ids[gi])] = {int(ids[j]) for j in top}
+    return exact
+
+
+def _hier_mode(spark, n: int, top_k: int) -> None:
+    from bigsdb_spark.operators.dedup import train_hierarchical_cells
+    from bigsdb_spark.operators.similarity import ivf_kmeans_ann_gemm
+
+    center = F.pmod(F.xxhash64(F.col("id"), F.lit(99)), F.lit(200))
+    clustered = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: (
+            (F.pmod(F.xxhash64(center, i), F.lit(2001)) - 1000) / 1000.0
+            + (F.pmod(F.xxhash64(F.col("id"), i), F.lit(301)) - 150) / 1000.0
+        ).cast("float"),
+    )
+    emb = (
+        spark.range(n, numPartitions=32)
+        .select(F.col("id").alias("vec_id"), clustered.alias("embedding"))
+        .cache()
+    )
+    k = max(64, n // 256)
+    h = train_hierarchical_cells(
+        emb, "embedding", n_cells=k, sample=131072, iters=10
+    )
+    # exact baseline for 1000 hash-sampled queries, driver-side
+    sample_ids = sorted(
+        int(r.vec_id)
+        for r in emb.select("vec_id").filter(
+            F.pmod(F.xxhash64("vec_id", F.lit(123)), F.lit(n // 1000)) == 0
+        ).collect()
+    )[:1000]
+    emb_pdf = emb.toPandas()
+    exact = _exact_sets(emb_pdf, sample_ids, top_k)
+    del emb_pdf
+    for n_probe in (1, 2, 4, 8):
+        got = {}
+        res = ivf_kmeans_ann_gemm(
+            emb, "vec_id", "embedding",
+            top_k=top_k, n_probe=n_probe, hierarchy=h,
+        ).filter(F.col("qid").isin(sample_ids)).collect()
+        for r in res:
+            got.setdefault(r.qid, set()).add(r.nn_id)
+        hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
+        recall = hits / (len(exact) * top_k)
+        print(
+            json.dumps(
+                {
+                    "corpus": "clustered", "mode": "two-level", "n": n,
+                    "cells": k, "occupancy": round(n / k),
+                    "top_k": top_k, "n_probe": n_probe,
+                    "sampled_queries": len(exact),
+                    "recall": round(recall, 4),
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     top_k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    if "--hier" in sys.argv:
+        spark = get_spark("ivf_recall")
+        spark.sparkContext.setLogLevel("ERROR")
+        _hier_mode(spark, n, top_k)
+        return
     spark = get_spark("ivf_recall")
     spark.sparkContext.setLogLevel("ERROR")
 

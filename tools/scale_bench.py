@@ -46,6 +46,11 @@ Paths timed per tier (each skippable via --skip):
   asof               as-of join over an event-stream shape (n probes,
                      n/4 state rows, n/1000 keys) — one union+window
                      shuffle, no join operator
+  asof_skew          same join, adversarial key distribution: ONE key
+                     holds 50% of both sides (one-task window sort)
+  kll                KLL quantile rollup (n rows -> n/1000 per-key
+                     sketches) + grand-total quantiles served by
+                     MERGING the stored rollup
   sketch             HLL distinct rollup (n rows -> n/1000 per-key
                      sketches) + the grand total served by MERGING the
                      stored rollup instead of rescanning
@@ -155,6 +160,46 @@ def _gen_asof(spark, n: int, path: str) -> None:
         spark.range(n // 4, numPartitions=max(32, n // 500_000))
         .select(
             F.pmod(F.xxhash64(F.col("id"), F.lit(5)), F.lit(keys)).alias("k"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(6)), F.lit(10_000_000)).alias(
+                "ts"
+            ),
+            (F.col("id") * 10).alias("v"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "right"))
+    )
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+
+
+def _gen_asof_skew(spark, n: int, path: str) -> None:
+    """Adversarial hot-key variant of _gen_asof (VERDICT r7 task 2):
+    ONE key holds 50% of both sides (id % 2 == 0 -> key 0), the rest
+    hash-uniform over the other n/1000 keys — the pathological shape
+    for a per-key window sort (one key = one task)."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    keys = max(2, n // 1000)
+    hot = lambda seed: F.when(  # noqa: E731
+        F.col("id") % 2 == 0, F.lit(0)
+    ).otherwise(
+        1 + F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(keys - 1))
+    )
+    base = spark.range(n, numPartitions=max(32, n // 500_000))
+    (
+        base.select(
+            hot(3).alias("k"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(4)), F.lit(10_000_000)).alias(
+                "ts"
+            ),
+            F.col("id").alias("lid"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "left"))
+    )
+    (
+        spark.range(n // 4, numPartitions=max(32, n // 500_000))
+        .select(
+            hot(5).alias("k"),
             F.pmod(F.xxhash64(F.col("id"), F.lit(6)), F.lit(10_000_000)).alias(
                 "ts"
             ),
@@ -613,6 +658,53 @@ def main() -> None:
             record(
                 "asof", n, sec,
                 f"{cnt} matched of {n} probes over {max(1, n // 1000)} keys",
+            )
+        if "asof_skew" not in skip:
+            from bigsdb_spark.operators.asof import asof_join
+
+            ap = f"{args.out}/asof_skew_{n}"
+            t_gen, _ = _timed(lambda: _gen_asof_skew(spark, n, ap))
+            print(f"# asof_skew_{n} generated in {t_gen:.1f}s", flush=True)
+            al = spark.read.parquet(f"{ap}/left")
+            ar = spark.read.parquet(f"{ap}/right")
+            sec, cnt = _timed(
+                lambda: asof_join(al, ar, on="k")
+                .filter(F.col("v").isNotNull())
+                .count()
+            )
+            record(
+                "asof_skew", n, sec,
+                f"{cnt} matched; key 0 holds 50% of {n} probes "
+                f"+ {n // 4} state rows (one-task window sort)",
+            )
+        if "kll" not in skip:
+            from bigsdb_spark.operators.sketches import (
+                merge_quantile_sketches,
+                quantile_sketch_rollup,
+                with_quantiles,
+            )
+
+            ap = f"{args.out}/asof_{n}"
+            _gen_asof(spark, n, ap)
+            al = spark.read.parquet(f"{ap}/left")
+            sec, nk = _timed(
+                lambda: quantile_sketch_rollup(al, ["k"], "ts").count()
+            )
+            record("kll_rollup", n, sec, f"{nk} per-key KLL sketches")
+            rollup_path = f"{args.out}/kll_rollup_{n}"
+            quantile_sketch_rollup(al, ["k"], "ts").write.mode(
+                "overwrite"
+            ).parquet(rollup_path)
+            stored = spark.read.parquet(rollup_path)
+            sec, row = _timed(
+                lambda: with_quantiles(
+                    merge_quantile_sketches(stored, []), [0.5, 0.95]
+                ).collect()[0]
+            )
+            record(
+                "kll_merge", n, sec,
+                f"grand-total q50={row.q50:.0f} q95={row.q95:.0f} over "
+                f"{row.n_values} values via stored-sketch merge",
             )
         if "sketch" not in skip:
             from bigsdb_spark.operators.sketches import (
