@@ -177,12 +177,22 @@ def _bpe_count(spark, sf_dir):
     return bpe_token_count(docs, "doc_id", "text", merges)
 
 
+def _kll_dashboard(spark, sf_dir):
+    # r8: the sketch-served dashboard — HLL distinct-users + KLL value
+    # quantiles from per-day mergeable rollups (operators/sketches.py),
+    # the merge-not-rescan serving shape for A1/A12/A9 legs
+    from bigsdb_spark.inventory.analytics import dashboard_sketch_rollups
+
+    return dashboard_sketch_rollups(spark, sf_dir)
+
+
 EXTRA = {
     "sim_brute_topk_np": _sim_topk_np,
     "bpe_token_count": _bpe_count,
     "sim_ivf_kmeans": _sim_ivf,
     "sim_ivf_gemm": _sim_ivf_gemm,
     "asof_events": _asof_events,
+    "kll_dashboard": _kll_dashboard,
     "dedup_minhash_lsh": _dedup_minhash,
     "dedup_minhash_fused": _dedup_minhash_fused,
     "corpus_assembly": _corpus_assembly,
@@ -219,6 +229,7 @@ HEADLINE = [
     "sim_ivf_pq_topk",
     "sim_ivf_gemm",
     "asof_events",
+    "kll_dashboard",
     "t_text_suite",
     "t_policy_suite",
     "corpus_assembly",

@@ -90,8 +90,17 @@ def _sample_np(emb: DataFrame, vec_col: str, sample: int) -> np.ndarray:
     matter how large or how partitioned the corpus is.  Widen the
     cutoff and retry in the (Chernoff-improbable) event the margin
     under-fills."""
+    # tiebreak on an INDEPENDENT second hash, not the stringified
+    # vector (r8): the TakeOrdered projection ships every candidate row
+    # to the driver, and a ~600-byte decimal rendering of 64 floats per
+    # row tripled the result size — at sample=1e6 (the sample-scales-
+    # with-k codebooks) that alone tripped driver.maxResultSize.  Two
+    # simultaneous 64-bit collisions are negligible, and even then the
+    # difference is one swapped sample row.
     src = emb.select(
-        F.col(vec_col).alias("v"), F.xxhash64(F.col(vec_col)).alias("h")
+        F.col(vec_col).alias("v"),
+        F.xxhash64(F.col(vec_col)).alias("h"),
+        F.xxhash64(F.col(vec_col), F.lit(1)).alias("h2"),
     )
     n = src.count()
     oversample = 4
@@ -101,11 +110,7 @@ def _sample_np(emb: DataFrame, vec_col: str, sample: int) -> np.ndarray:
             frac = (oversample * sample) / n
             cutoff = -(2**63) + int(frac * 2**64)
             cand = src.filter(F.col("h") < F.lit(cutoff))
-        rows = (
-            cand.orderBy("h", F.col("v").cast("string"))
-            .limit(sample)
-            .collect()
-        )
+        rows = cand.orderBy("h", "h2").limit(sample).collect()
         if len(rows) >= min(sample, n) or oversample * sample >= n:
             return np.array([r[0] for r in rows], dtype=np.float64)
         oversample *= 4

@@ -53,6 +53,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # sample-∝-k codebook training collects ~0.5 GB of sample rows
+        # (r8); the 1g default aborted the 1.6e7 train mid-ladder
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -64,9 +64,14 @@ def main() -> None:
         help="comma list of tiers whose t_full is NOT rerun (use the "
         "recorded scale_bench ladder number instead; saves ~40 min)",
     )
+    ap.add_argument(
+        "--stages", default="assign,cells,cand,full",
+        help="comma subset of stages to time (warm-up always runs)",
+    )
     args = ap.parse_args()
     tiers = [int(x) for x in args.tiers.split(",") if x]
     skip_full = {int(x) for x in args.skip_full_at.split(",") if x}
+    stages = set(args.stages.split(","))
 
     from bigsdb_spark.operators.dedup import train_hierarchical_cells
     from bigsdb_spark.operators.similarity import (
@@ -126,7 +131,8 @@ def main() -> None:
         timed_stage("warmup_assign", n, lambda: _noop(sides()[1]))
 
         # t_assign: corpus-side assignment only (no exchange)
-        timed_stage("assign", n, lambda: _noop(sides()[1]))
+        if "assign" in stages:
+            timed_stage("assign", n, lambda: _noop(sides()[1]))
 
         # t_cells: + the cell exchange and Arrow group materialization
         def cells():
@@ -156,17 +162,19 @@ def main() -> None:
                 )
             )
 
-        timed_stage("cells", n, cells)
+        if "cells" in stages:
+            timed_stage("cells", n, cells)
 
         # t_cand: + the per-cell GEMM scoring (pre-window)
         def cand():
             a, b = sides()
             _noop(_ivf_gemm_candidates(a, b, 10))
 
-        timed_stage("cand", n, cand)
+        if "cand" in stages:
+            timed_stage("cand", n, cand)
 
         # t_full: the ladder entry's exact shape (window + parquet)
-        if n not in skip_full:
+        if n not in skip_full and "full" in stages:
             timed_stage(
                 "full", n,
                 lambda: ivf_kmeans_ann_gemm(

@@ -587,13 +587,24 @@ def main() -> None:
             )
 
             k = max(64, n // 256)
+            # sample ∝ k (r8): a FIXED 131072-point sample at k=62500
+            # leaves ~2 training points per fine cell — 43% of cells
+            # come out empty, max occupancy 25728 vs the nominal 256,
+            # and sum(occ^2) (the scorer's flop count) lands 10.6x the
+            # uniform value with one 25k-row cell as a single-worker
+            # straggler (the r8 probe isolated this as the residual
+            # superlinear term).  16 points/cell keeps the codebook
+            # honest as k grows; training stays OUTSIDE the timing
+            # (serve-from-a-saved-index framing).
             t_train, h = _timed(
                 lambda: train_hierarchical_cells(
-                    emb, "embedding", n_cells=k, sample=131072, iters=10
+                    emb, "embedding", n_cells=k,
+                    sample=max(131072, 16 * k), iters=10,
                 )
             )
             print(
-                f"# ivf hier codebook (k={k}) trained in {t_train:.1f}s",
+                f"# ivf hier codebook (k={k}, sample={max(131072, 16 * k)}) "
+                f"trained in {t_train:.1f}s",
                 flush=True,
             )
             if "ivf_topk" not in skip:
