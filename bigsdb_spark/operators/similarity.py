@@ -589,7 +589,16 @@ def ivf_kmeans_ann_gemm(
     final top-k, so tie semantics are identical by construction.
     ``n_centroids`` must scale with the corpus (one cell materializes
     in one Python worker — the same occupancy contract as
-    semantic_dedup's n_cells / bucketed_ann_pairs_gemm's dims)."""
+    semantic_dedup's n_cells / bucketed_ann_pairs_gemm's dims).
+
+    Deployment guidance (r8, measured in BASELINE.md): (a) train the
+    codebook with >= ~16 sample points per cell — a fixed-size sample
+    at growing k degenerates into empty cells + giant-occupancy
+    stragglers (sum(occ^2) 10.6x uniform at k=62500 from a 131072
+    sample); (b) at production n an occupancy-256 codebook subdivides
+    natural clusters, so ``n_probe=1`` is a throughput configuration —
+    recall@10 at n=1e6 clustered was 0.22/0.37/0.58/0.82 for n_probe
+    1/2/4/8; serve quality with n_probe >= 8 or larger occupancy."""
     # repartition_queries=False: the join form repartitions the query
     # side so the probed join parallelizes, but here BOTH sides shuffle
     # into their cell via groupBy(centroid) anyway — the extra exchange
