@@ -19,7 +19,6 @@ from bigsdb_spark.operators.breakdown import (
     combination_counts,
     crosstab_pct,
     field_frequency,
-    histogram,
 )
 from bigsdb_spark.operators.counts import with_count_predicate
 from bigsdb_spark.operators.profiles import build_profiles
@@ -142,8 +141,24 @@ def a4_dashboard(spark, sf_dir):
     """A4: dashboard aggregates — histogram ranges
     (DashboardPage.pm:1524) and the chart top-N labels (NULL coalesced
     to 'No value', :2196) plus an 'Others' bucket rolling up the tail
-    (:2242)."""
-    hist = histogram(tbl(spark, sf_dir, "orders"), "o_totalprice", 25000.0).select(
+    (:2242).
+
+    r8 fold-in (the r7 consolidation pattern): the histogram leg is
+    SERVED from the mergeable per-day bin-count rollup
+    (operators/sketches.histogram_rollup -> merge_histogram_rollup) —
+    the merge is a lossless sum, so the unchanged oracle hash-checks
+    the merge-not-rescan serving path the 100 TB dashboard would take;
+    equality with the direct recount is additionally pinned in
+    tests/test_asof_sketches.py."""
+    from bigsdb_spark.operators.sketches import (
+        histogram_rollup,
+        merge_histogram_rollup,
+    )
+
+    o = tbl(spark, sf_dir, "orders").withColumn("day", F.to_date("o_orderdate"))
+    hist = merge_histogram_rollup(
+        histogram_rollup(o, ["day"], "o_totalprice", 25000.0), []
+    ).select(
         F.lit("hist").alias("kind"),
         F.col("bin").cast("string").alias("label"),
         F.col("bin_start").cast("double").alias("bin_start"),
