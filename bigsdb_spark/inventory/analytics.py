@@ -274,7 +274,16 @@ def dashboard_sketch_rollups(spark, sf_dir):
         with_quantiles,
     )
 
-    e = tbl(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    e = (
+        tbl(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        # NULL event_type is an anticipated input (the a4 top-N leg
+        # coalesces it too); without this the inner join below would
+        # silently drop the NULL group (NULL never equals NULL).
+        .withColumn(
+            "event_type", F.coalesce(F.col("event_type"), F.lit("No value"))
+        )
+    )
     hll = with_estimate(
         merge_sketches(
             distinct_sketch_rollup(e, ["day", "event_type"], "user_id"),

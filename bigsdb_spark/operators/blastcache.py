@@ -149,7 +149,11 @@ class BlastCacheManager:
         if os.path.exists(os.path.join(path, "LOCK")):
             return False  # query building the cache right now
         shutil.rmtree(path, ignore_errors=True)
-        return True
+        # The success flag must reflect actual removal: rmtree with
+        # ignore_errors can fail silently (e.g. EACCES), leaving a stale
+        # dir that exists() would then misreport and refresh() would
+        # makedirs over.
+        return not os.path.exists(path)
 
     def refresh(
         self,

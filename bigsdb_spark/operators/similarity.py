@@ -635,11 +635,15 @@ def _ivf_gemm_candidates(
     growth step).
 
     ``exact_rank=True`` (valid ONLY when every query is scored in a
-    single cell, i.e. n_probe=1): the cell task finishes the ranking
-    itself — per query, sort the tied superset by the operator's
-    global (cosine desc, nn_id asc) order in numpy and keep exactly
-    ``top_k`` — so the output IS the final result and the caller skips
-    the global row_number window.  The r8 probe measured that window
+    single cell, i.e. n_probe=1, AND query ids are unique): the cell
+    task finishes the ranking itself — per query, sort the tied
+    superset by the operator's global (cosine desc, nn_id asc) order
+    in numpy and keep exactly ``top_k`` — so the output IS the final
+    result and the caller skips the global row_number window.  With
+    DUPLICATE ids in the input the two branches diverge: this path
+    keeps top_k per candidate-matrix ROW (so up to top_k rows per
+    duplicate), while the window path keeps top_k per qid VALUE;
+    dedupe ids upstream if they can repeat.  The r8 probe measured that window
     (a full shuffle + sort of ~n*(k+ties) candidate rows) as the
     LARGEST term of the n_probe=1 serving path at 4e6: 211.6 s of the
     329.0 s total, vs 51.6 assign / 54.5 exchange+Arrow / 11.3 GEMM."""

@@ -206,12 +206,29 @@ def histogram_from_quantile_sketch(
 
     gcols = list(group_cols or [])
     if lo is None or hi is None:
-        bounds = merge_quantile_sketches(rollup, []).select(
-            F.kll_sketch_get_quantile_double("kll", F.lit(0.0)).alias("lo"),
-            F.kll_sketch_get_quantile_double("kll", F.lit(1.0)).alias("hi"),
-        ).collect()[0]
-        lo = bounds.lo if lo is None else lo
-        hi = bounds.hi if hi is None else hi
+        rows = (
+            merge_quantile_sketches(rollup, [])
+            # an empty/all-null rollup merges to an EMPTY sketch buffer
+            # (n_values 0/NULL) and kll_sketch_get_quantile_double
+            # THROWS on empty sketches, so gate on the exact count and
+            # detect emptiness from the row count
+            .filter(F.col("n_values") > 0)
+            .select(
+                F.kll_sketch_get_quantile_double("kll", F.lit(0.0)).alias("lo"),
+                F.kll_sketch_get_quantile_double("kll", F.lit(1.0)).alias("hi"),
+            )
+            .collect()
+        )
+        if not rows or rows[0].lo is None or rows[0].hi is None:
+            # No domain to bin — fail with the real reason instead of
+            # math.floor(None)'s opaque TypeError.
+            raise ValueError(
+                "histogram_from_quantile_sketch: rollup is empty or "
+                "all-null (no KLL sketch to derive bounds from); pass "
+                "explicit lo/hi or supply a non-empty rollup"
+            )
+        lo = rows[0].lo if lo is None else lo
+        hi = rows[0].hi if hi is None else hi
     lo_bin = int(math.floor(lo / bin_width))
     hi_bin = int(math.floor(hi / bin_width))
     if hi_bin - lo_bin > 10_000:

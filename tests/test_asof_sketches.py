@@ -475,6 +475,48 @@ def test_histogram_from_quantile_sketch(spark):
     assert served == raw
 
 
+def test_histogram_from_quantile_sketch_empty_rollup_raises(spark):
+    """r9 guard: an empty (or all-null) rollup has no derivable bounds
+    — the operator raises a descriptive ValueError instead of
+    math.floor(None)'s opaque TypeError."""
+    from bigsdb_spark.operators.sketches import (
+        histogram_from_quantile_sketch,
+        quantile_sketch_rollup,
+    )
+
+    empty = spark.createDataFrame([], "v double")
+    rollup = quantile_sketch_rollup(empty, [], "v")
+    with pytest.raises(ValueError, match="empty or all-null"):
+        histogram_from_quantile_sketch(rollup, 2.0)
+
+
+def test_dashboard_sketch_rollups_keeps_null_event_type(spark, tmp_path):
+    """r9 fix: a NULL event_type is coalesced to 'No value' (like the
+    a4 top-N leg) BEFORE the HLL/KLL legs' inner join, so the NULL
+    group is served rather than silently dropped by NULL != NULL."""
+    from bigsdb_spark.inventory.analytics import dashboard_sketch_rollups
+    from bigsdb_spark.sources.tables import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    nulled = src.withColumn(
+        "event_type",
+        F.when(F.col("event_type") == "click", F.lit(None)).otherwise(
+            F.col("event_type")
+        ),
+    )
+    sf = str(tmp_path / "sf_null")
+    import os
+
+    nulled.write.parquet(os.path.join(sf, "events.parquet"))
+    got = {r.event_type: r for r in dashboard_sketch_rollups(spark, sf).collect()}
+    assert "No value" in got
+    exact = nulled.filter(F.col("event_type").isNull()).agg(
+        F.countDistinct("user_id").alias("d"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert got["No value"].distinct_users == exact.d
+    assert got["No value"].n_rows == exact.n
+
+
 def test_a4_sketch_served_twin_matches(spark):
     """a4_dashboard_sketch_served (merge-not-rescan) is row-identical
     to a4_dashboard's raw recount at sf0.001."""
