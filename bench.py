@@ -77,6 +77,22 @@ def _sim_ivf_gemm(spark, sf_dir):
     )
 
 
+def _sim_ivf_gemm_q8(spark, sf_dir):
+    # r9: the QUALITY serving config (n_probe=8 — recall 0.818 at
+    # production n vs 0.217 for n_probe=1, tools/ivf_recall.py).  At
+    # sf0.1's 8 cells this clamps to full probe (exact search), so the
+    # row tracks the multi-probe plan floor; the data-regime ladder is
+    # ivf_topk_gemm_q8 in tools/scale_bench.py (BASELINE.md r9).
+    from bigsdb_spark.operators.pq import _kmeans_np, _sample_np
+    from bigsdb_spark.operators.similarity import ivf_kmeans_ann_gemm
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    cents = _kmeans_np(_sample_np(emb, "embedding", 2048), 8, 10, 7).tolist()
+    return ivf_kmeans_ann_gemm(
+        emb, "vec_id", "embedding", top_k=5, n_probe=8, centroids=cents
+    )
+
+
 def _dedup_minhash(spark, sf_dir):
     # un-gated in r3 (its pair set is exactly dedup_ngram_jaccard's
     # oracle-checked row set) but still benched: candidate generation
@@ -191,6 +207,7 @@ EXTRA = {
     "bpe_token_count": _bpe_count,
     "sim_ivf_kmeans": _sim_ivf,
     "sim_ivf_gemm": _sim_ivf_gemm,
+    "sim_ivf_gemm_q8": _sim_ivf_gemm_q8,
     "asof_events": _asof_events,
     "kll_dashboard": _kll_dashboard,
     "dedup_minhash_lsh": _dedup_minhash,
@@ -228,6 +245,7 @@ HEADLINE = [
     "sq_topk",
     "sim_ivf_pq_topk",
     "sim_ivf_gemm",
+    "sim_ivf_gemm_q8",
     "asof_events",
     "kll_dashboard",
     "t_text_suite",

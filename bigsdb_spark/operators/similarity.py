@@ -314,6 +314,18 @@ def cosine_topk_pairs_np(
     )
 
 
+# The QUALITY serving configuration (r8 production-n recall study,
+# tools/ivf_recall.py --hier at n=1e6, occupancy-256 two-level codebook):
+# recall@10 = 0.217 / 0.367 / 0.578 / 0.818 at n_probe 1/2/4/8.  An
+# occupancy-256 codebook at production n SUBDIVIDES natural clusters, so
+# single-probe recall collapses — n_probe=1 is a TIMING/throughput
+# configuration only.  Both IVF entry points below default to this
+# constant; pass n_probe=1 explicitly when benchmarking raw throughput
+# or when the codebook occupancy is raised enough that cells hold whole
+# clusters (re-measure recall first: tools/ivf_recall.py).
+IVF_QUALITY_N_PROBE = 8
+
+
 def ivf_kmeans_ann(
     emb: DataFrame,
     id_col: str,
@@ -321,7 +333,7 @@ def ivf_kmeans_ann(
     n_centroids: int = 16,
     top_k: int = 5,
     seed: int = 42,
-    n_probe: int = 1,
+    n_probe: int = IVF_QUALITY_N_PROBE,
     centroids=None,
     hierarchy=None,
 ) -> DataFrame:
@@ -567,7 +579,7 @@ def ivf_kmeans_ann_gemm(
     n_centroids: int = 16,
     top_k: int = 5,
     seed: int = 42,
-    n_probe: int = 1,
+    n_probe: int = IVF_QUALITY_N_PROBE,
     centroids=None,
     hierarchy=None,
 ) -> DataFrame:
@@ -598,7 +610,11 @@ def ivf_kmeans_ann_gemm(
     sample); (b) at production n an occupancy-256 codebook subdivides
     natural clusters, so ``n_probe=1`` is a throughput configuration —
     recall@10 at n=1e6 clustered was 0.22/0.37/0.58/0.82 for n_probe
-    1/2/4/8; serve quality with n_probe >= 8 or larger occupancy."""
+    1/2/4/8; serve quality with n_probe >= 8 or larger occupancy.  r9:
+    the default is now IVF_QUALITY_N_PROBE (=8) — n_probe=1 must be
+    requested explicitly, and the n_probe>1 window input is bounded at
+    n_probe*top_k rows per query (each cell emits its exact per-query
+    top-k, not the tied superset)."""
     # repartition_queries=False: the join form repartitions the query
     # side so the probed join parallelizes, but here BOTH sides shuffle
     # into their cell via groupBy(centroid) anyway — the extra exchange
@@ -634,22 +650,42 @@ def _ivf_gemm_candidates(
     GEMM / window as separate stages (r8 decomposition of the 1.6e7
     growth step).
 
+    Every emitted row is EXACTLY ranked per (query, cell): within each
+    candidate-matrix row the (cosine desc, nn_id asc) order is finished
+    in numpy and exactly ``top_k`` rows kept (r9 — previously only the
+    ``exact_rank`` path trimmed; the n_probe>1 path emitted the
+    tied-or-above-k-th SUPERSET).  The global top-k over the union of
+    probed cells only needs each cell's own top-k under the same total
+    order, so the final windowed result is identical while the window
+    input shrinks from n*(k+ties) to at-most n*n_probe*k rows.  The r8
+    probe measured that window (a full shuffle + sort of the candidate
+    rows) as the LARGEST term of the n_probe=1 serving path at 4e6:
+    211.6 s of the 329.0 s total, vs 51.6 assign / 54.5 exchange+Arrow
+    / 11.3 GEMM.
+
     ``exact_rank=True`` (valid ONLY when every query is scored in a
-    single cell, i.e. n_probe=1, AND query ids are unique): the cell
-    task finishes the ranking itself — per query, sort the tied
-    superset by the operator's global (cosine desc, nn_id asc) order
-    in numpy and keep exactly ``top_k`` — so the output IS the final
-    result and the caller skips the global row_number window.  With
-    DUPLICATE ids in the input the two branches diverge: this path
-    keeps top_k per candidate-matrix ROW (so up to top_k rows per
-    duplicate), while the window path keeps top_k per qid VALUE;
-    dedupe ids upstream if they can repeat.  The r8 probe measured that window
-    (a full shuffle + sort of ~n*(k+ties) candidate rows) as the
-    LARGEST term of the n_probe=1 serving path at 4e6: 211.6 s of the
-    329.0 s total, vs 51.6 assign / 54.5 exchange+Arrow / 11.3 GEMM."""
+    single cell, i.e. n_probe=1, AND query ids are unique): the output
+    IS the final result and the caller skips the global row_number
+    window entirely.  With DUPLICATE ids in the input the two branches
+    diverge: this path keeps top_k per candidate-matrix ROW (so up to
+    top_k rows per duplicate), while the window path keeps top_k per
+    qid VALUE; dedupe ids upstream if they can repeat.
+
+    Memory shape (r9, VERDICT r8 task 3): the cell function is the
+    ITERATOR form of applyInPandas — input Arrow batches are split into
+    query/corpus numpy blocks as they arrive (never materialized as one
+    whole-cell pandas frame), and output is YIELDED one fixed-size
+    query-block chunk at a time (<= block*top_k rows per chunk), so a
+    giant cell's candidate output never exists as a single reduce-side
+    Python object.  The r8 probe measured the single-frame form's
+    ``+cand`` stage at the 32-partition floor as 816.9 s of reduce-side
+    materialization at 1.6e7."""
+    from typing import Iterator
+
     import numpy as np
     import pandas as pd
 
+    del exact_rank  # ranking is always exact per row now (see above)
     id_type = dict(b.dtypes)["nn_id"]
     union = a.select(
         F.lit(True).alias("is_q"), F.col("qid").alias("id"),
@@ -661,28 +697,33 @@ def _ivf_gemm_candidates(
         )
     )
 
-    def _cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "qid": pdf["id"][:0],
-                "nn_id": pdf["id"][:0],
-                "cosine": pd.Series([], dtype="float64"),
-                "centroid": pdf["centroid"][:0],
-            }
-        )
-        q = pdf[pdf["is_q"]]
-        c = pdf[~pdf["is_q"]]
-        if q.empty or c.empty:
-            return empty
-        cid = pdf["centroid"].iloc[0]
-        qids = q["id"].to_numpy()
-        cids_ = c["id"].to_numpy()
-        xq = np.array(list(q["e"]), dtype=np.float64)
-        xc = np.array(list(c["e"]), dtype=np.float64)
+    def _cell_topk(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        q_ids, q_vecs, c_ids, c_vecs = [], [], [], []
+        cid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cid = pdf["centroid"].iloc[0]
+            isq = pdf["is_q"].to_numpy()
+            ids = pdf["id"].to_numpy()
+            vecs = np.array(list(pdf["e"]), dtype=np.float64)
+            if isq.any():
+                q_ids.append(ids[isq])
+                q_vecs.append(vecs[isq])
+            if not isq.all():
+                c_ids.append(ids[~isq])
+                c_vecs.append(vecs[~isq])
+        if not q_ids or not c_ids:
+            return
+        qids = np.concatenate(q_ids)
+        xq = np.vstack(q_vecs)
+        cids_ = np.concatenate(c_ids)
+        xc = np.vstack(c_vecs)
         nq = np.sqrt((xq * xq).sum(axis=1))
         nc = np.sqrt((xc * xc).sum(axis=1))
         m = len(cids_)
-        oq, on, oc = [], [], []
         block = 4096
         for s in range(0, len(qids), block):
             cb = np_round_half_up(
@@ -698,29 +739,32 @@ def _ivf_gemm_candidates(
             ii, jj = np.nonzero(keep)
             sc = cb[ii, jj]
             nn = cids_[jj]
-            if exact_rank:
-                # finish the (cosine desc, nn_id asc) ranking here:
-                # within each query's tied superset keep exactly the
-                # first top_k under the operator's global order — the
-                # same rows the row_number window would keep
-                order = np.lexsort((nn, -sc, ii))
-                ii, sc, nn = ii[order], sc[order], nn[order]
-                first = np.searchsorted(ii, ii, side="left")
-                in_k = (np.arange(len(ii)) - first) < top_k
-                ii, sc, nn = ii[in_k], sc[in_k], nn[in_k]
-            oq.append(qids[ii + s])
-            on.append(nn)
-            oc.append(sc)
-        qid_out = np.concatenate(oq)
-        return pd.DataFrame(
-            {
-                "qid": qid_out,
-                "nn_id": np.concatenate(on),
-                "cosine": np.concatenate(oc),
-                "centroid": np.full(len(qid_out), cid),
-            }
-        )
+            # finish the (cosine desc, nn_id asc) ranking: within each
+            # query's tied superset keep exactly the first top_k under
+            # the operator's global order — the same rows the global
+            # row_number window would keep from this cell
+            order = np.lexsort((nn, -sc, ii))
+            ii, sc, nn = ii[order], sc[order], nn[order]
+            first = np.searchsorted(ii, ii, side="left")
+            in_k = (np.arange(len(ii)) - first) < top_k
+            ii, sc, nn = ii[in_k], sc[in_k], nn[in_k]
+            yield pd.DataFrame(
+                {
+                    "qid": qids[ii + s],
+                    "nn_id": nn,
+                    "cosine": sc,
+                    "centroid": np.full(len(ii), cid),
+                }
+            )
 
+    # applyInPandas picks the iterator variant from RESOLVED type hints;
+    # this module's `from __future__ import annotations` stringifies the
+    # def-site ones and the local imports make them unresolvable, so set
+    # real type objects explicitly.
+    _cell_topk.__annotations__ = {
+        "batches": Iterator[pd.DataFrame],
+        "return": Iterator[pd.DataFrame],
+    }
     return union.groupBy("centroid").applyInPandas(
         _cell_topk,
         schema=(

@@ -76,7 +76,7 @@ def _exact_sets(emb_pdf, sample_ids, top_k):
     return exact
 
 
-def _hier_mode(spark, n: int, top_k: int) -> None:
+def _hier_mode(spark, n: int, top_k: int, occupancy: int = 256) -> None:
     from bigsdb_spark.operators.dedup import train_hierarchical_cells
     from bigsdb_spark.operators.similarity import ivf_kmeans_ann_gemm
 
@@ -93,9 +93,9 @@ def _hier_mode(spark, n: int, top_k: int) -> None:
         .select(F.col("id").alias("vec_id"), clustered.alias("embedding"))
         .cache()
     )
-    k = max(64, n // 256)
+    k = max(64, n // occupancy)
     h = train_hierarchical_cells(
-        emb, "embedding", n_cells=k, sample=131072, iters=10
+        emb, "embedding", n_cells=k, sample=max(131072, 16 * k), iters=10
     )
     # exact baseline for 1000 hash-sampled queries, driver-side
     sample_ids = sorted(
@@ -132,12 +132,20 @@ def _hier_mode(spark, n: int, top_k: int) -> None:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
-    top_k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if len(args) > 0 else 20_000
+    top_k = int(args[1]) if len(args) > 1 else 10
+    # r9: --occ N reruns the production-n table at a different codebook
+    # occupancy (VERDICT r8 lead item: does raising occupancy so cells
+    # stop splitting the ~5000-point clusters restore low-probe recall?)
+    occupancy = 256
+    for a in sys.argv[1:]:
+        if a.startswith("--occ="):
+            occupancy = int(a.split("=", 1)[1])
     if "--hier" in sys.argv:
         spark = get_spark("ivf_recall")
         spark.sparkContext.setLogLevel("ERROR")
-        _hier_mode(spark, n, top_k)
+        _hier_mode(spark, n, top_k, occupancy)
         return
     spark = get_spark("ivf_recall")
     spark.sparkContext.setLogLevel("ERROR")

@@ -43,6 +43,10 @@ Paths timed per tier (each skippable via --skip):
   ivf_topk_gemm      same search via one tiled BLAS product per cell
                      (+ ivf_topk_equality: persisted-output symmetric
                      difference between the two forms)
+  ivf_topk_gemm_q8   the QUALITY serving config (r9): same occ-256
+                     codebook, n_probe=8 (recall 0.818 at 1e6)
+  ivf_topk_occ1024   occupancy-1024 codebook probed at n_probe=2 and 4
+                     (cells sized so natural clusters stop splitting)
   asof               as-of join over an event-stream shape (n probes,
                      n/4 state rows, n/1000 keys) — one union+window
                      shuffle, no join operator
@@ -653,6 +657,64 @@ def main() -> None:
                     "ivf_topk_equality", n, sec,
                     f"symmetric difference {diff} (0 = identical top-k)",
                 )
+            # ---- quality serving configs (r9, VERDICT r8 lead item) ----
+            # The n_probe=1 rows above are the TIMING config; recall@10
+            # at production n (clustered corpus, tools/ivf_recall.py
+            # --hier) is 0.22 there.  These rows time the configs a
+            # deployment would actually serve: (a) the same occupancy-
+            # 256 codebook probed at n_probe=8 (recall 0.818), and (b)
+            # an occupancy-1024 codebook whose cells stop splitting the
+            # ~5000-point natural clusters (recall re-measured with
+            # --occ=1024), probed shallow.
+            if "ivf_topk_gemm_q8" not in skip:
+                sec, _ = _timed(
+                    lambda: ivf_kmeans_ann_gemm(
+                        emb, "vec_id", "embedding",
+                        top_k=10, n_probe=8, hierarchy=h,
+                    )
+                    .select("qid", "nn_id", "cosine")
+                    .write.mode("overwrite")
+                    .parquet(f"{args.out}/ivf_topk_gemm_q8_{n}")
+                )
+                cnt = spark.read.parquet(
+                    f"{args.out}/ivf_topk_gemm_q8_{n}"
+                ).count()
+                record(
+                    "ivf_topk_gemm_q8", n, sec,
+                    f"k={k} cells, n_probe=8 (QUALITY config: recall "
+                    f"0.818 at n=1e6 clustered), {cnt} result rows",
+                )
+            if "ivf_topk_occ1024" not in skip:
+                k2 = max(64, n // 1024)
+                t2, h2 = _timed(
+                    lambda: train_hierarchical_cells(
+                        emb, "embedding", n_cells=k2,
+                        sample=max(131072, 16 * k2), iters=10,
+                    )
+                )
+                print(
+                    f"# ivf occ-1024 codebook (k={k2}, "
+                    f"sample={max(131072, 16 * k2)}) trained in {t2:.1f}s",
+                    flush=True,
+                )
+                for np_ in (2, 4):
+                    sec, _ = _timed(
+                        lambda: ivf_kmeans_ann_gemm(
+                            emb, "vec_id", "embedding",
+                            top_k=10, n_probe=np_, hierarchy=h2,
+                        )
+                        .select("qid", "nn_id", "cosine")
+                        .write.mode("overwrite")
+                        .parquet(f"{args.out}/ivf_topk_occ1024_p{np_}_{n}")
+                    )
+                    cnt = spark.read.parquet(
+                        f"{args.out}/ivf_topk_occ1024_p{np_}_{n}"
+                    ).count()
+                    record(
+                        f"ivf_topk_occ1024_p{np_}", n, sec,
+                        f"k={k2} cells (occupancy 1024), n_probe={np_}, "
+                        f"{cnt} result rows",
+                    )
         if "asof" not in skip:
             from bigsdb_spark.operators.asof import asof_join
 
