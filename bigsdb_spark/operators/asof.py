@@ -18,9 +18,11 @@ classic sort-merge formulation: cost O((|L|+|R|) log) in the per-key
 sort, memory O(1) per row (the running frame is
 ``rowsBetween(unboundedPreceding, currentRow)``, which Spark evaluates
 incrementally, never materializing the frame).  Skewed keys are the
-caveat at 100 TB: one key = one task for the window sort, so salt the
-key upstream if a single key's history exceeds a task (the same
-contract as every windowed operator in this repo).
+caveat at 100 TB: one key = one task for the window sort — use
+``asof_join_salted`` (below, r9) when a single key's history exceeds a
+task: it range-buckets each HOT key's timeline and injects per-bucket
+carry-in rows, so the hot key's sort spreads over ``n_buckets`` tasks
+with identical output (equality pinned in tests).
 
 Tie rule: a right row AT the left row's timestamp matches in both
 directions (DuckDB ASOF ``>=`` / pandas ``allow_exact_matches=True``);
@@ -132,3 +134,175 @@ def asof_join(
         F.col("__m.__ts").alias(matched_ts),
         *[F.col(f"__m.{c}").alias(out_names[c]) for c in payload],
     )
+
+
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    tolerance=None,
+    suffix: str = "_r",
+    hot_threshold: int = 1_000_000,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """``asof_join`` with hot-key TIMELINE salting (r9 — the runnable
+    form of the skew guidance in the module docstring): keys whose
+    combined row count exceeds ``hot_threshold`` have their time range
+    split into ``n_buckets`` equal-width buckets, and the as-of match
+    runs per (key, bucket) instead of per key, so one pathological
+    key's window sort spreads over ``n_buckets`` tasks.  Output is
+    IDENTICAL to ``asof_join`` (pinned in tests).
+
+    Why output is unchanged: a backward match for a left row in bucket
+    i is either a right row in bucket i at-or-before it, or the LAST
+    right row of the nearest earlier non-empty bucket — buckets are
+    value ranges on ts, so every right row of an earlier bucket
+    precedes every row of bucket i.  That nearest-earlier winner (the
+    per-bucket best under the join's own tie rule: greatest
+    ``(ts, payload)`` struct) is injected into bucket i as one
+    synthetic "carry-in" right row with its ORIGINAL timestamp, which
+    also keeps ``tolerance`` exact.  Forward mode mirrors this with
+    the nearest later bucket's (smallest-ts, greatest-payload) row.
+
+    Cost: one count per key (hot detection), one bounds agg over the
+    hot slice, two broadcast joins (hot-key grids are tiny), and the
+    cold mass takes the plain one-shuffle path untouched.  Choose
+    ``hot_threshold`` around the row count a single task sorts
+    comfortably (1e6 default ~ tens of MB of narrow rows), and
+    ``n_buckets`` >= the skew factor you need to flatten.  Equal-width
+    ranges assume the hot key's events are not themselves pathological
+    in TIME (e.g. all at one instant); such a key degenerates back to
+    few buckets — the same caveat as every range-partitioning scheme.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    # -- hot-key detection: one cheap count per key on each side -------
+    lc = left.filter(F.col(left_ts).isNotNull()).groupBy(*keys).count()
+    rc = right.filter(F.col(right_ts).isNotNull()).groupBy(*keys).count()
+    totals = (
+        lc.withColumnRenamed("count", "__cl")
+        .join(rc.withColumnRenamed("count", "__cr"), keys, "full_outer")
+        .select(
+            *keys,
+            (
+                F.coalesce(F.col("__cl"), F.lit(0))
+                + F.coalesce(F.col("__cr"), F.lit(0))
+            ).alias("__tot"),
+        )
+    )
+    hot = totals.filter(F.col("__tot") > hot_threshold).select(*keys)
+    if not hot.take(1):
+        return asof_join(
+            left, right, on, left_ts, right_ts, direction, tolerance, suffix
+        )
+    hot_b = F.broadcast(hot)
+
+    cold_out = asof_join(
+        left.join(hot_b, keys, "left_anti"),
+        right.join(hot_b, keys, "left_anti"),
+        on, left_ts, right_ts, direction, tolerance, suffix,
+    )
+
+    # -- hot slice: range-bucket each key's timeline -------------------
+    l_hot = left.join(hot_b, keys, "left_semi")
+    r_hot = right.join(hot_b, keys, "left_semi")
+    bounds = (
+        l_hot.select(*keys, F.col(left_ts).cast("double").alias("__tv"))
+        .unionByName(
+            r_hot.select(
+                *keys, F.col(right_ts).cast("double").alias("__tv")
+            )
+        )
+        .groupBy(*keys)
+        .agg(F.min("__tv").alias("__lo"), F.max("__tv").alias("__hi"))
+    )
+    bounds_b = F.broadcast(bounds)
+
+    def bucket_of(ts_col: str):
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+        raw = F.floor(
+            (F.col(ts_col).cast("double") - F.col("__lo"))
+            / F.when(width > 0, width)  # single-instant key -> NULL -> 0
+        )
+        return F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(F.lit(0), F.coalesce(raw, F.lit(0))),
+        ).cast("int")
+
+    l_bkt = l_hot.join(bounds_b, keys).withColumn(
+        "__bkt", bucket_of(left_ts)
+    ).drop("__lo", "__hi")
+    r_bkt = r_hot.filter(F.col(right_ts).isNotNull()).join(
+        bounds_b, keys
+    ).withColumn("__bkt", bucket_of(right_ts)).drop("__lo", "__hi")
+
+    # -- per-bucket best right row under the join's own tie rule -------
+    best_struct = F.struct(
+        F.col(right_ts).cast("double").alias("__ts"),
+        *[F.col(c) for c in right.columns if c not in keys],
+    )
+    if direction == "backward":
+        wb = Window.partitionBy(*keys, "__bkt").orderBy(F.desc(best_struct))
+    else:
+        wb = Window.partitionBy(*keys, "__bkt").orderBy(
+            F.asc(F.col(right_ts).cast("double")), F.desc(best_struct)
+        )
+    bucket_best = (
+        r_bkt.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # -- carry-in: nearest earlier (backward) / later (forward) bucket's
+    # best, computed on the tiny (hot keys x n_buckets) grid ------------
+    grid = hot.select(
+        *keys,
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_buckets - 1))
+        ).alias("__bkt"),
+    )
+    filled = grid.join(bucket_best, [*keys, "__bkt"], "left")
+    if direction == "backward":
+        wg = (
+            Window.partitionBy(*keys)
+            .orderBy(F.asc("__bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        wg = (
+            Window.partitionBy(*keys)
+            .orderBy(F.asc("__bkt"))
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+    carry_cols = [c for c in right.columns if c not in keys]
+    pick = F.last if direction == "backward" else F.first
+    # one nullable struct per grid row (NULL iff the bucket is empty —
+    # bucket_best rows always carry a non-null right_ts), picked as a
+    # UNIT so the carry-in is one real row, never a column-wise mix
+    best_row = F.when(
+        F.col(right_ts).isNotNull(),
+        F.struct(*[F.col(c).alias(c) for c in carry_cols]),
+    )
+    carry = filled.select(
+        *keys,
+        "__bkt",
+        pick(best_row, ignorenulls=True).over(wg).alias("__ci"),
+    ).filter(F.col("__ci").isNotNull())
+    synthetic = carry.select(
+        *keys,
+        "__bkt",
+        *[F.col(f"__ci.{c}").alias(c) for c in carry_cols],
+    )
+
+    hot_out = asof_join(
+        l_bkt,
+        r_bkt.select(*keys, "__bkt", *carry_cols).unionByName(synthetic),
+        [*keys, "__bkt"],
+        left_ts, right_ts, direction, tolerance, suffix,
+    ).drop("__bkt")
+    return cold_out.unionByName(hot_out)

@@ -45,14 +45,27 @@ def _free_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
-def single_linkage(pairs: DataFrame, nodes: DataFrame, max_iter: int = 50) -> DataFrame:
+def single_linkage(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 50,
+    round_stats: list | None = None,
+) -> DataFrame:
     """Connected components by iterative smallest-id label propagation.
 
     ``pairs``: (id1, id2) edges within threshold. ``nodes``: (id) all
     profiles to cluster (singletons form their own group).
     Returns (id, group_id) with group_id = smallest member id, matching
     cluster.pl's merge-into-smallest-group semantics.
+
+    ``round_stats`` (r9, tools/d4_probe.py): pass a list to receive one
+    ``{"round", "sec", "changed"}`` dict per propagation round — the
+    per-round wall clock and how many labels moved.  The changed count
+    costs one extra scan of the already-checkpointed round result (the
+    convergence check otherwise short-circuits at the first hit), so
+    leave it None outside probes.
     """
+    import time as _time
     # serialized MEMORY_AND_DISK blocks (PySpark's MEMORY_AND_DISK is
     # JVM-serialized): ~3-5x smaller than the deserialized default and
     # evictable to disk, so a big edge set can't pin the whole heap
@@ -77,7 +90,8 @@ def single_linkage(pairs: DataFrame, nodes: DataFrame, max_iter: int = 50) -> Da
         "group_id", F.col("id")
     )
     prev_ckpt: DataFrame | None = None
-    for _ in range(max_iter):
+    for _round in range(max_iter):
+        _t0 = _time.perf_counter()
         neighbor_min = (
             edges.join(labels, edges["id2"] == labels["id"])
             .groupBy("id1")
@@ -118,6 +132,18 @@ def single_linkage(pairs: DataFrame, nodes: DataFrame, max_iter: int = 50) -> Da
             _free_local_checkpoint(prev_ckpt)
         prev_ckpt = materialized
         labels = materialized.select("id", "group_id")
+        if round_stats is not None:
+            changed = materialized.filter(F.col("_changed")).count()
+            round_stats.append(
+                {
+                    "round": _round,
+                    "sec": round(_time.perf_counter() - _t0, 2),
+                    "changed": changed,
+                }
+            )
+            if changed == 0:
+                break
+            continue
         # cheap scan of the checkpointed partitions — no recompute
         if materialized.filter(F.col("_changed")).limit(1).count() == 0:
             break

@@ -183,6 +183,77 @@ def test_asof_name_collisions_and_plan_shape(spark, asof_frames):
     assert "Join" not in plan  # union + window, never a join
 
 
+@pytest.fixture(scope="module")
+def skewed_asof_frames(spark):
+    """One pathological key ('hot') holding most rows of both sides,
+    plus cold keys, duplicate right timestamps (tie rule exercised),
+    an unmatched key, and a single-instant hot key (range-bucket
+    degenerate case)."""
+    rng = random.Random(23)
+    left = [("hot", rng.randrange(0, 10_000), i) for i in range(400)]
+    left += [
+        (k, rng.randrange(0, 10_000), 1000 + i)
+        for i, k in enumerate(rng.choices(["c1", "c2", "e"], k=60))
+    ]
+    # 'flat': every row at the same instant -> bucket width 0
+    left += [("flat", 500, 2000 + i) for i in range(150)]
+    right = [
+        ("hot", rng.randrange(0, 10_000), f"h{i}", i) for i in range(300)
+    ]
+    # duplicate right ts on the hot key: tie winner = greatest payload
+    right += [("hot", 5000, "tieA", 1), ("hot", 5000, "tieB", 2)]
+    right += [
+        (k, rng.randrange(0, 10_000), f"{k}{i}", i)
+        for k in ("c1", "c2")
+        for i in range(10)
+    ]
+    right += [("flat", 500, "f", 7), ("flat", 400, "f0", 3)]
+    l_df = spark.createDataFrame(left, "k string, ts long, lid long")
+    r_df = spark.createDataFrame(right, "k string, ts long, tag string, v long")
+    return l_df, r_df
+
+
+def test_asof_salted_equals_plain(spark, skewed_asof_frames):
+    """r9: asof_join_salted returns EXACTLY asof_join's rows on a
+    skewed input — both directions, with and without tolerance, hot
+    threshold low enough that the hot and flat keys take the salted
+    path while cold keys take the plain path."""
+    from bigsdb_spark.operators.asof import asof_join_salted
+
+    l_df, r_df = skewed_asof_frames
+    for d in ("backward", "forward"):
+        for tol in (None, 800):
+            plain = sorted(
+                map(tuple, asof_join(l_df, r_df, on="k", direction=d,
+                                     tolerance=tol).collect())
+            )
+            salted = sorted(
+                map(tuple, asof_join_salted(
+                    l_df, r_df, on="k", direction=d, tolerance=tol,
+                    hot_threshold=200, n_buckets=8,
+                ).collect())
+            )
+            assert salted == plain, (d, tol)
+
+
+def test_asof_salted_all_cold_short_circuits(spark, skewed_asof_frames):
+    """With no key over the threshold the salted entry returns the
+    plain path's result (and plan: no bucket machinery)."""
+    from bigsdb_spark.operators.asof import asof_join_salted
+
+    l_df, r_df = skewed_asof_frames
+    plain = sorted(map(tuple, asof_join(l_df, r_df, on="k").collect()))
+    salted = sorted(
+        map(
+            tuple,
+            asof_join_salted(
+                l_df, r_df, on="k", hot_threshold=10_000_000
+            ).collect(),
+        )
+    )
+    assert salted == plain
+
+
 def test_sketch_merge_identity_and_rollup(spark):
     """Merging per-group sketches is as good as sketching the raw
     union: the merged grand-total estimate must land within the

@@ -52,6 +52,9 @@ Paths timed per tier (each skippable via --skip):
                      shuffle, no join operator
   asof_skew          same join, adversarial key distribution: ONE key
                      holds 50% of both sides (one-task window sort)
+  asof_skew_salted   same input through asof_join_salted (r9): the hot
+                     key's timeline range-bucketed over 32 tasks,
+                     output pinned identical to the plain path
   kll                KLL quantile rollup (n rows -> n/1000 per-key
                      sketches) + grand-total quantiles served by
                      MERGING the stored rollup
@@ -750,6 +753,35 @@ def main() -> None:
                 f"{cnt} matched; key 0 holds 50% of {n} probes "
                 f"+ {n // 4} state rows (one-task window sort)",
             )
+            if "asof_skew_salted" not in skip:
+                # r9: the shipped skew fix — the hot key's timeline is
+                # range-bucketed so its window sort spreads over 32
+                # tasks; output must be row-identical to the plain path
+                from bigsdb_spark.operators.asof import asof_join_salted
+
+                sec, cnt2 = _timed(
+                    lambda: asof_join_salted(
+                        al, ar, on="k",
+                        hot_threshold=max(1_000_000, n // 100),
+                    )
+                    .filter(F.col("v").isNotNull())
+                    .count()
+                )
+                sec_d, diff = _timed(
+                    lambda: asof_join_salted(
+                        al, ar, on="k",
+                        hot_threshold=max(1_000_000, n // 100),
+                    )
+                    .exceptAll(asof_join(al, ar, on="k"))
+                    .count()
+                )
+                record(
+                    "asof_skew_salted", n, sec,
+                    f"{cnt2} matched (plain: {cnt}); hot-key timeline "
+                    f"bucketed x32; one-sided exceptAll diff {diff} "
+                    f"(row counts equal + diff 0 = identical output; "
+                    f"checked in {sec_d:.1f}s)",
+                )
         if "kll" not in skip:
             from bigsdb_spark.operators.sketches import (
                 merge_quantile_sketches,
