@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bigsdb_spark.inventory.registry import register, tbl
-from bigsdb_spark.operators.asof import asof_join
+from bigsdb_spark.operators.asof import asof_join, asof_join_salted
 from bigsdb_spark.operators.sessions import epoch_seconds, sessionize, tumbling_counts
 
 
@@ -18,8 +18,9 @@ from bigsdb_spark.operators.sessions import epoch_seconds, sessionize, tumbling_
            count(*) AS n, round(sum(value), 2) AS total_value
     FROM events GROUP BY 2, 3
     UNION ALL
-    SELECT CASE WHEN m.rts IS NULL THEN 'asof_unmatched'
-                ELSE 'asof_matched' END AS kind,
+    SELECT CASE WHEN m.rts IS NULL
+                THEN 'asof' || s.tag || '_unmatched'
+                ELSE 'asof' || s.tag || '_matched' END AS kind,
            CAST(NULL AS VARCHAR) AS day, m.event_type,
            count(*) AS n, round(sum(m.state_value), 2) AS total_value
     FROM (
@@ -30,6 +31,7 @@ from bigsdb_spark.operators.sessions import epoch_seconds, sessionize, tumbling_
             SELECT user_id, ts, max(value) AS state_value
             FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) r
         ON l.user_id = r.user_id AND l.ts >= r.ts) m
+    CROSS JOIN (SELECT '' AS tag UNION ALL SELECT '_salted') s
     GROUP BY 1, 3
     """,
 )
@@ -42,7 +44,14 @@ def a11_daily(spark, sf_dir):
     row per (user, ts) so the tie winner is engine-independent), then
     rolled up to matched/unmatched counts + matched state-value sums
     per event type — the r7 consolidation pattern: the distributed
-    operator's output feeds the SAME entry, layout stays 50."""
+    operator's output feeds the SAME entry, layout stays 50.
+
+    r9: a third leg runs the IDENTICAL join through asof_join_salted
+    with hot_threshold=0 (every key hot), so the full skew machinery —
+    per-key timeline range-bucketing, per-bucket best, carry-in
+    injection — is exercised against the same DuckDB native-ASOF
+    oracle (labels 'asof_salted_*'); its rows must hash-match the
+    plain leg's values exactly."""
     e = tbl(spark, sf_dir, "events")
     day = F.from_unixtime(epoch_seconds(e, "ts"), "yyyy-MM-dd")
     daily = (
@@ -62,22 +71,32 @@ def a11_daily(spark, sf_dir):
     probes = e.filter(F.col("event_type").isin("click", "view")).select(
         "user_id", "ts", "event_type"
     )
-    matched = asof_join(probes, state, on="user_id")
-    asof_rows = (
-        matched.groupBy(
-            F.when(F.col("ts_r").isNull(), F.lit("asof_unmatched"))
-            .otherwise(F.lit("asof_matched"))
-            .alias("kind"),
-            F.col("event_type"),
+    def asof_leg(matched, tag):
+        return (
+            matched.groupBy(
+                F.when(
+                    F.col("ts_r").isNull(), F.lit(f"asof{tag}_unmatched")
+                )
+                .otherwise(F.lit(f"asof{tag}_matched"))
+                .alias("kind"),
+                F.col("event_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("state_value"), 2).alias("total_value"),
+            )
+            .select("kind", F.lit(None).cast("string").alias("day"),
+                    "event_type", "n", "total_value")
         )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("state_value"), 2).alias("total_value"),
-        )
-        .select("kind", F.lit(None).cast("string").alias("day"),
-                "event_type", "n", "total_value")
+
+    plain = asof_leg(asof_join(probes, state, on="user_id"), "")
+    salted = asof_leg(
+        asof_join_salted(
+            probes, state, on="user_id", hot_threshold=0, n_buckets=4
+        ),
+        "_salted",
     )
-    return daily.unionByName(asof_rows)
+    return daily.unionByName(plain).unionByName(salted)
 
 
 @register(

@@ -181,6 +181,20 @@ def asof_join_salted(
         raise ValueError(f"direction must be backward|forward: {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
 
+    def _ts_double(df: DataFrame, col: str):
+        # monotone numeric image of the ts column, used ONLY for range
+        # bucketing and tie ordering (the carry-in rows keep their
+        # ORIGINAL ts, so the join semantics never see this image):
+        # numerics cast directly; timestamp/timestamp_ntz/date cannot
+        # cast to double and go through the unix epoch instead
+        t = dict(df.dtypes)[col]
+        c = F.col(col)
+        if t.startswith("timestamp"):
+            return F.unix_micros(c.cast("timestamp")).cast("double")
+        if t == "date":
+            return F.unix_date(c).cast("double")
+        return c.cast("double")
+
     # -- hot-key detection: one cheap count per key on each side -------
     lc = left.filter(F.col(left_ts).isNotNull()).groupBy(*keys).count()
     rc = right.filter(F.col(right_ts).isNotNull()).groupBy(*keys).count()
@@ -212,10 +226,10 @@ def asof_join_salted(
     l_hot = left.join(hot_b, keys, "left_semi")
     r_hot = right.join(hot_b, keys, "left_semi")
     bounds = (
-        l_hot.select(*keys, F.col(left_ts).cast("double").alias("__tv"))
+        l_hot.select(*keys, _ts_double(l_hot, left_ts).alias("__tv"))
         .unionByName(
             r_hot.select(
-                *keys, F.col(right_ts).cast("double").alias("__tv")
+                *keys, _ts_double(r_hot, right_ts).alias("__tv")
             )
         )
         .groupBy(*keys)
@@ -223,10 +237,10 @@ def asof_join_salted(
     )
     bounds_b = F.broadcast(bounds)
 
-    def bucket_of(ts_col: str):
+    def bucket_of(ts_val):
         width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
         raw = F.floor(
-            (F.col(ts_col).cast("double") - F.col("__lo"))
+            (ts_val - F.col("__lo"))
             / F.when(width > 0, width)  # single-instant key -> NULL -> 0
         )
         return F.least(
@@ -235,22 +249,24 @@ def asof_join_salted(
         ).cast("int")
 
     l_bkt = l_hot.join(bounds_b, keys).withColumn(
-        "__bkt", bucket_of(left_ts)
+        "__bkt", bucket_of(_ts_double(l_hot, left_ts))
     ).drop("__lo", "__hi")
     r_bkt = r_hot.filter(F.col(right_ts).isNotNull()).join(
         bounds_b, keys
-    ).withColumn("__bkt", bucket_of(right_ts)).drop("__lo", "__hi")
+    ).withColumn("__bkt", bucket_of(_ts_double(r_hot, right_ts))).drop(
+        "__lo", "__hi"
+    )
 
     # -- per-bucket best right row under the join's own tie rule -------
     best_struct = F.struct(
-        F.col(right_ts).cast("double").alias("__ts"),
+        _ts_double(r_hot, right_ts).alias("__ts"),
         *[F.col(c) for c in right.columns if c not in keys],
     )
     if direction == "backward":
         wb = Window.partitionBy(*keys, "__bkt").orderBy(F.desc(best_struct))
     else:
         wb = Window.partitionBy(*keys, "__bkt").orderBy(
-            F.asc(F.col(right_ts).cast("double")), F.desc(best_struct)
+            F.asc(_ts_double(r_hot, right_ts)), F.desc(best_struct)
         )
     bucket_best = (
         r_bkt.withColumn("__rn", F.row_number().over(wb))

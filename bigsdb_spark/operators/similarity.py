@@ -597,8 +597,12 @@ def ivf_kmeans_ann_gemm(
     scores queries x corpus in one tiled GEMM.  Per (query, cell) the
     task emits every candidate tied-or-above its k-th rounded cosine —
     a SUPERSET of the cell's true top-k under the (cosine desc, nn_id
-    asc) order — and the same global window as the join form picks the
-    final top-k, so tie semantics are identical by construction.
+    asc) order — and the final per-query top-k is merged by
+    ``_merge_topk_by_qid`` (r9: a sort-free hash repartition + one
+    vectorized numpy rank pass per partition; the row_number window it
+    replaces externally sorted all n*n_probe*top_k candidate rows and
+    its spill filled the disk at 1.6e7 x n_probe=8), so tie semantics
+    are identical to the join form by construction.
     ``n_centroids`` must scale with the corpus (one cell materializes
     in one Python worker — the same occupancy contract as
     semantic_dedup's n_cells / bucketed_ann_pairs_gemm's dims).
@@ -612,9 +616,10 @@ def ivf_kmeans_ann_gemm(
     recall@10 at n=1e6 clustered was 0.22/0.37/0.58/0.82 for n_probe
     1/2/4/8; serve quality with n_probe >= 8 or larger occupancy.  r9:
     the default is now IVF_QUALITY_N_PROBE (=8) — n_probe=1 must be
-    requested explicitly, and the n_probe>1 window input is bounded at
-    n_probe*top_k rows per query (each cell emits its exact per-query
-    top-k, not the tied superset)."""
+    requested explicitly; each cell emits its exact per-query top-k
+    (not the tied superset), and the n_probe>1 merge is the sort-free
+    ``_merge_topk_by_qid`` pass (at most n_probe*top_k rows per query
+    through one hash shuffle, no window sort)."""
     # repartition_queries=False: the join form repartitions the query
     # side so the probed join parallelizes, but here BOTH sides shuffle
     # into their cell via groupBy(centroid) anyway — the extra exchange
@@ -633,10 +638,85 @@ def ivf_kmeans_ann_gemm(
         # construction; the ladder re-diffs the persisted results.
         return _ivf_gemm_candidates(a, b, top_k, exact_rank=True)
     cand = _ivf_gemm_candidates(a, b, top_k)
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nn_id"))
-    return cand.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= top_k
-    ).drop("rn")
+    return _merge_topk_by_qid(cand, top_k)
+
+
+def _merge_topk_by_qid(cand: DataFrame, top_k: int) -> DataFrame:
+    """Global per-query top-k over the per-(query, cell) exact top-k
+    rows WITHOUT a row_number window (r9).  The window form externally
+    SORTS all n*n_probe*top_k candidate rows (at 1.6e7 x n_probe=8
+    that is 1.28e9 rows — its sort spill filled the disk and killed
+    the r9 quality-config ladder run); but the candidate rows arriving
+    here are already exactly ranked per (query, cell) under the global
+    (cosine desc, nn_id asc) order, so the merge only needs GROUPING,
+    never a partition-wide JVM sort: hash-repartition by qid (shuffle
+    without sort), then ONE vectorized numpy lexsort+rank pass per
+    partition (no per-group call overhead — same shape as exact_rank),
+    chunk-emitted.
+
+    Identical output to the window by construction: (qid, nn_id) pairs
+    are unique (each corpus row lives in exactly one cell), so the
+    (cosine desc, nn_id asc) order is total per qid and rank selection
+    is deterministic regardless of batch arrival order.  Duplicate
+    qids in the input merge per qid VALUE — the window's semantics.
+
+    Partition sizing: rows per task = n*n_probe*top_k / n_parts at
+    ~28 B/row; the repartition honors the session's pre-coalesce knob
+    (SPARK_GRAFT_INITIAL_PARTITIONS) so the Python pass stays at
+    tens-to-hundreds of MB per task at ladder scale."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = cand.sparkSession
+    initial = int(
+        spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            "0",
+        )
+        or 0
+    )
+    n_parts = max(spark.sparkContext.defaultParallelism, initial)
+
+    def _rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qs, ns, cs, cents = [], [], [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qs.append(pdf["qid"].to_numpy())
+            ns.append(pdf["nn_id"].to_numpy())
+            cs.append(pdf["cosine"].to_numpy())
+            cents.append(pdf["centroid"].to_numpy())
+        if not qs:
+            return
+        q = np.concatenate(qs)
+        nn = np.concatenate(ns)
+        sc = np.concatenate(cs)
+        ce = np.concatenate(cents)
+        order = np.lexsort((nn, -sc, q))
+        q, nn, sc, ce = q[order], nn[order], sc[order], ce[order]
+        first = np.searchsorted(q, q, side="left")
+        keep = (np.arange(len(q)) - first) < top_k
+        q, nn, sc, ce = q[keep], nn[keep], sc[keep], ce[keep]
+        block = 1 << 18
+        for s in range(0, len(q), block):
+            yield pd.DataFrame(
+                {
+                    "qid": q[s : s + block],
+                    "nn_id": nn[s : s + block],
+                    "cosine": sc[s : s + block],
+                    "centroid": ce[s : s + block],
+                }
+            )
+
+    _rank.__annotations__ = {
+        "batches": Iterator[pd.DataFrame],
+        "return": Iterator[pd.DataFrame],
+    }
+    return cand.repartition(n_parts, "qid").mapInPandas(
+        _rank, schema=cand.schema
+    )
 
 
 def _ivf_gemm_candidates(

@@ -91,6 +91,7 @@ import argparse
 import json
 import math
 import os
+import shutil
 import sys
 import time
 
@@ -687,6 +688,11 @@ def main() -> None:
                     f"k={k} cells, n_probe=8 (QUALITY config: recall "
                     f"0.818 at n=1e6 clustered), {cnt} result rows",
                 )
+                # output only needed for the count; at 1.6e7 the tier's
+                # parquet outputs + two live shuffles squeezed the disk
+                shutil.rmtree(
+                    f"{args.out}/ivf_topk_gemm_q8_{n}", ignore_errors=True
+                )
             if "ivf_topk_occ1024" not in skip:
                 k2 = max(64, n // 1024)
                 t2, h2 = _timed(
@@ -717,6 +723,10 @@ def main() -> None:
                         f"ivf_topk_occ1024_p{np_}", n, sec,
                         f"k={k2} cells (occupancy 1024), n_probe={np_}, "
                         f"{cnt} result rows",
+                    )
+                    shutil.rmtree(
+                        f"{args.out}/ivf_topk_occ1024_p{np_}_{n}",
+                        ignore_errors=True,
                     )
         if "asof" not in skip:
             from bigsdb_spark.operators.asof import asof_join
