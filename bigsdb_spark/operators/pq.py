@@ -232,14 +232,28 @@ def ivf_pq_encode(
     model: dict,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, cell, codes) — coarse cell assignment + PQ codes in ONE
     Arrow pass.  Write partitioned by ``cell`` for partition-pruned
-    probing at scale."""
+    probing at scale.
+
+    ``keep_vec=True`` stores the raw vector NEXT TO the codes (faiss
+    IndexRefineFlat layout): the r9 production-n recall study
+    (tools/pq_recall.py, BASELINE.md r9) measured recall@10 = 0.002 at
+    n=1e6 on a clustered corpus EVEN AT FULL PROBE — on real clustered
+    embeddings the PQ quantization error exceeds intra-cluster
+    distances, so ADC order within a cluster is noise and an exact
+    refine pass over the ADC shortlist is REQUIRED for quality serving
+    (``ivf_pq_topk(refine_factor=...)``).  Storing the vector with the
+    codes keeps the refine read partition-pruned to the probed cells."""
     cells = np.array(model["cells"], dtype=np.float64)
     books = [np.array(b, dtype=np.float64) for b in model["books"]]
     id_type = dict(emb.dtypes)[id_col]
+    vec_type = dict(emb.dtypes)[vec_col]
     out_schema = f"{id_col} {id_type}, cell int, codes array<int>"
+    if keep_vec:
+        out_schema += f", {vec_col} {vec_type}"
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -249,9 +263,11 @@ def ivf_pq_encode(
             cscore = x @ cells.T - 0.5 * (cells**2).sum(axis=1)
             cell = cscore.argmax(axis=1).astype(np.int32)
             codes = _block_codes(x, books)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "cell": cell, "codes": list(codes.tolist())}
-            )
+            out = {id_col: pdf[id_col], "cell": cell,
+                   "codes": list(codes.tolist())}
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
 
     return emb.select(id_col, vec_col).mapInPandas(_enc, schema=out_schema)
 
@@ -263,22 +279,62 @@ def ivf_pq_topk(
     top_k: int = 10,
     n_probe: int = 4,
     id_col: str = "vec_id",
+    refine_factor: int | None = None,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Probe the ``n_probe`` nearest cells and ADC-score only their
     codes: the scan touches |probed cells|/|cells| of the corpus (a
     partition-pruned read when the codes table is written partitioned
     by cell) and stays joinless — cell routing is a driver-side numpy
-    argsort over the tiny coarse codebook, the probe list an IN filter."""
+    argsort over the tiny coarse codebook, the probe list an IN filter.
+
+    ``refine_factor=R`` adds the exact refine stage (faiss
+    IndexRefineFlat): the ADC pass keeps a shortlist of R*top_k
+    candidates, which is broadcast-joined back to the SAME probed
+    (partition-pruned) slice carrying its raw vectors
+    (``ivf_pq_encode(keep_vec=True)``), exact squared-L2 to the query
+    is folded per shortlist row as a pure expression, and the final
+    top_k is ranked by (l2_dist asc, id asc).  Required for quality
+    serving at production n: the r9 recall study measured ADC-only
+    recall@10 = 0.002 on a 1e6 clustered corpus at FULL probe (PQ
+    distortion >> intra-cluster distances — BASELINE.md r9); the
+    refined path restores recall at R*top_k exact distance folds per
+    query.  Returns (id, adc_dist) ascending, plus l2_dist when
+    refined (ordered by l2_dist)."""
     q = np.array(query, dtype=np.float64)
     cells = np.array(model["cells"], dtype=np.float64)
     d2 = ((cells - q) ** 2).sum(axis=1)
     probes = [int(c) for c in np.argsort(d2)[:n_probe]]
-    return pq_topk(
-        encoded.filter(F.col("cell").isin(probes)),
+    probed = encoded.filter(F.col("cell").isin(probes))
+    short = pq_topk(
+        probed,
         model["books"],
         query,
-        top_k=top_k,
+        top_k=(top_k * refine_factor if refine_factor else top_k),
         id_col=id_col,
+    )
+    if not refine_factor:
+        return short
+    if vec_col not in encoded.columns:
+        raise ValueError(
+            "refine_factor needs the raw vector stored beside the codes: "
+            "encode with ivf_pq_encode(..., keep_vec=True)"
+        )
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            qlit,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        probed.join(F.broadcast(short), id_col)
+        .select(id_col, "adc_dist", l2.alias("l2_dist"))
+        .orderBy(F.asc("l2_dist"), id_col)
+        .limit(top_k)
     )
 
 

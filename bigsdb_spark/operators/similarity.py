@@ -466,6 +466,7 @@ def _ivf_probe_sides_np(
     n_probe: int,
     hierarchy=None,
     repartition_queries: bool = True,
+    explode_probes: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Injected-codebook assignment: one Arrow pass computes each
     vector's cell (closest centroid by L2) and its ``n_probe`` probe
@@ -559,6 +560,25 @@ def _ivf_probe_sides_np(
         .mapInPandas(_assign, schema=out_schema)
         .filter(F.col("n") > 0)
     )
+    if not explode_probes:
+        # branch-grouped multi-probe (hierarchy only): the query side
+        # keeps its probe LIST and ships ONCE to its coarse branch —
+        # all of a query's probed cells live inside that one branch by
+        # construction (IMI), so no per-probe replication ever crosses
+        # the shuffle (union bytes identical to n_probe=1)
+        if hierarchy is None:
+            raise ValueError("explode_probes=False requires a hierarchy")
+        n_fine = fine.shape[1]
+        br = F.floor(F.col("centroid") / F.lit(n_fine)).cast("int")
+        aq = assigned.select(
+            F.col("id").alias("qid"), F.col("e").alias("e1"),
+            "probes", br.alias("branch"),
+        )
+        bq = assigned.select(
+            F.col("id").alias("nn_id"), F.col("e").alias("e2"),
+            "centroid", br.alias("branch"),
+        )
+        return aq, bq
     a = assigned.select(
         F.col("id").alias("qid"), F.col("e").alias("e1"),
         F.col("n").alias("n1"), F.explode("probes").alias("centroid"),
@@ -624,6 +644,17 @@ def ivf_kmeans_ann_gemm(
     # side so the probed join parallelizes, but here BOTH sides shuffle
     # into their cell via groupBy(centroid) anyway — the extra exchange
     # would be pure waste at corpus scale
+    if hierarchy is not None and n_probe > 1:
+        # branch-grouped multi-probe (r9): every probed cell lives in
+        # the query's coarse branch, so the query ships ONCE (no
+        # per-probe vector replication through the shuffle) and the
+        # per-query top-k finishes inside the branch task — no global
+        # merge stage at all
+        aq, bq = _ivf_probe_sides_np(
+            emb, id_col, vec_col, None, n_probe, hierarchy,
+            repartition_queries=False, explode_probes=False,
+        )
+        return _ivf_gemm_branch_topk(aq, bq, top_k)
     a, b = _ivf_probe_sides(
         emb, id_col, vec_col, n_centroids, seed, n_probe, centroids,
         hierarchy, repartition_queries=False,
@@ -716,6 +747,162 @@ def _merge_topk_by_qid(cand: DataFrame, top_k: int) -> DataFrame:
     }
     return cand.repartition(n_parts, "qid").mapInPandas(
         _rank, schema=cand.schema
+    )
+
+
+def _ivf_gemm_branch_topk(a: DataFrame, b: DataFrame, top_k: int) -> DataFrame:
+    """Multi-probe IVF scoring grouped by COARSE BRANCH (r9).  With a
+    two-level codebook every probed fine cell of a query lies inside
+    the query's nearest coarse branch (IMI — ``_ivf_probe_sides_np``
+    probes only within the winning branch), so the branch is a closed
+    scoring unit: the query ships to its branch ONCE carrying its probe
+    list (union shuffle bytes identical to n_probe=1 — the exploded
+    form replicated each 256-B query vector n_probe times, ~35 GB at
+    1.6e7 x n_probe=8), and the per-query top-k across all probed
+    cells is finished INSIDE the branch task, so no global merge
+    shuffle exists at all.  The pipeline is: assign (mapInPandas) ->
+    one groupBy(branch) exchange -> final rows.
+
+    In-task shape per branch (~n/sqrt(k) rows): corpus rows are sorted
+    by fine cell once; each (probing-query x cell) pair is scored with
+    the same tiled BLAS product + exact per-(query, cell) top-k as
+    ``_cell_topk``; then one vectorized lexsort/rank pass picks each
+    query's global top-k (valid because ALL its candidates are local).
+    Output rows are identical to the exploded+merged form by
+    construction — same rounding, same (cosine desc, nn_id asc) total
+    order, (qid, nn_id) unique.  Caveat shared with ``exact_rank``:
+    duplicate ids with DIFFERENT vectors may rank per-replica rather
+    than per qid value; dedupe ids upstream if they can repeat."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(b.dtypes)["nn_id"]
+    union = a.select(
+        F.lit(True).alias("is_q"), F.col("qid").alias("id"),
+        F.col("e1").alias("e"), F.lit(None).cast("int").alias("centroid"),
+        "probes", "branch",
+    ).unionByName(
+        b.select(
+            F.lit(False).alias("is_q"), F.col("nn_id").alias("id"),
+            F.col("e2").alias("e"), "centroid",
+            F.lit(None).cast("array<int>").alias("probes"), "branch",
+        )
+    )
+
+    def _branch_topk(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        q_ids, q_vecs, q_probes = [], [], []
+        c_ids, c_vecs, c_cells = [], [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            isq = pdf["is_q"].to_numpy()
+            ids = pdf["id"].to_numpy()
+            vecs = np.array(list(pdf["e"]), dtype=np.float64)
+            if isq.any():
+                q_ids.append(ids[isq])
+                q_vecs.append(vecs[isq])
+                q_probes.append(
+                    np.vstack(
+                        list(pdf["probes"].to_numpy()[isq])
+                    ).astype(np.int64)
+                )
+            if not isq.all():
+                c_ids.append(ids[~isq])
+                c_vecs.append(vecs[~isq])
+                c_cells.append(
+                    pdf["centroid"].to_numpy()[~isq].astype(np.int64)
+                )
+        if not q_ids or not c_ids:
+            return
+        qids = np.concatenate(q_ids)
+        xq = np.vstack(q_vecs)
+        probes = np.vstack(q_probes)
+        cids = np.concatenate(c_ids)
+        xc = np.vstack(c_vecs)
+        cells = np.concatenate(c_cells)
+        nq_norm = np.sqrt((xq * xq).sum(axis=1))
+        nc_norm = np.sqrt((xc * xc).sum(axis=1))
+        corder = np.argsort(cells, kind="stable")
+        cells_s = cells[corder]
+        ucells, cstart = np.unique(cells_s, return_index=True)
+        cend = np.append(cstart[1:], len(cells_s))
+        nq = len(qids)
+        kf = probes.shape[1]
+        pq = np.repeat(np.arange(nq), kf)
+        pc = probes.ravel()
+        porder = np.argsort(pc, kind="stable")
+        pq, pc = pq[porder], pc[porder]
+        lo = np.searchsorted(pc, ucells, side="left")
+        hi = np.searchsorted(pc, ucells, side="right")
+        out_q, out_n, out_s, out_c = [], [], [], []
+        block = 4096
+        for ci in range(len(ucells)):
+            qrows = pq[lo[ci] : hi[ci]]
+            if qrows.size == 0:
+                continue
+            crows = corder[cstart[ci] : cend[ci]]
+            cid_vals = cids[crows]
+            xcc = xc[crows]
+            ncc = nc_norm[crows]
+            take = min(top_k, len(crows))
+            for s in range(0, len(qrows), block):
+                qr = qrows[s : s + block]
+                cb = np_round_half_up(
+                    (xq[qr] @ xcc.T) / np.outer(nq_norm[qr], ncc)
+                )
+                cb[qids[qr][:, None] == cid_vals[None, :]] = -np.inf
+                part = np.argpartition(-cb, take - 1, axis=1)[:, :take]
+                vk = np.take_along_axis(cb, part, axis=1).min(axis=1)
+                keep = (cb >= vk[:, None]) & np.isfinite(cb)
+                ii, jj = np.nonzero(keep)
+                sc = cb[ii, jj]
+                nn = cid_vals[jj]
+                order = np.lexsort((nn, -sc, ii))
+                ii, sc, nn = ii[order], sc[order], nn[order]
+                first = np.searchsorted(ii, ii, side="left")
+                in_k = (np.arange(len(ii)) - first) < top_k
+                ii, sc, nn = ii[in_k], sc[in_k], nn[in_k]
+                out_q.append(qr[ii])
+                out_n.append(nn)
+                out_s.append(sc)
+                out_c.append(
+                    np.full(len(ii), ucells[ci], dtype=np.int32)
+                )
+        if not out_q:
+            return
+        gq = np.concatenate(out_q)
+        gn = np.concatenate(out_n)
+        gs = np.concatenate(out_s)
+        gc = np.concatenate(out_c)
+        order = np.lexsort((gn, -gs, gq))
+        gq, gn, gs, gc = gq[order], gn[order], gs[order], gc[order]
+        first = np.searchsorted(gq, gq, side="left")
+        keep = (np.arange(len(gq)) - first) < top_k
+        gq, gn, gs, gc = gq[keep], gn[keep], gs[keep], gc[keep]
+        out_block = 1 << 18
+        for s in range(0, len(gq), out_block):
+            yield pd.DataFrame(
+                {
+                    "qid": qids[gq[s : s + out_block]],
+                    "nn_id": gn[s : s + out_block],
+                    "cosine": gs[s : s + out_block],
+                    "centroid": gc[s : s + out_block],
+                }
+            )
+
+    _branch_topk.__annotations__ = {
+        "batches": Iterator[pd.DataFrame],
+        "return": Iterator[pd.DataFrame],
+    }
+    return union.groupBy("branch").applyInPandas(
+        _branch_topk,
+        schema=(
+            f"qid {id_type}, nn_id {id_type}, cosine double, centroid int"
+        ),
     )
 
 

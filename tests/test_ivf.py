@@ -181,6 +181,52 @@ def test_ivf_injected_centroids_serving_path(spark, clustered_vectors):
     }
 
 
+def test_ivf_branch_grouped_multiprobe_matches_join_form(spark):
+    """r9: with a REAL multi-branch hierarchy and n_probe>1 the GEMM
+    form takes the branch-grouped path (query ships once to its coarse
+    branch, per-query top-k finished in-task, no merge shuffle) and
+    must return exactly the join form's rows — same (qid, nn_id,
+    centroid) set, same 6dp cosines — across n_probe 2 and full."""
+    import random as _random
+
+    from bigsdb_spark.operators.similarity import ivf_kmeans_ann_gemm
+
+    rng = _random.Random(7)
+    centers = [
+        [9.0, 0.0, 0.0, 0.0], [7.0, 4.0, 0.0, 0.0],
+        [0.0, 9.0, 0.0, 0.0], [0.0, 7.0, 4.0, 0.0],
+    ]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(30):
+            rows.append((vid, [x + rng.gauss(0, 0.5) for x in c]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # 2 coarse branches x 2 fine cells each
+    h = {
+        "coarse": [[8.0, 2.0, 0.0, 0.0], [0.0, 8.0, 2.0, 0.0]],
+        "fine": [centers[:2], centers[2:]],
+    }
+    for n_probe in (2, 4):
+        join_rows = ivf_kmeans_ann(
+            emb, "vec_id", "embedding", top_k=4, n_probe=n_probe,
+            hierarchy=h,
+        ).collect()
+        gemm_rows = ivf_kmeans_ann_gemm(
+            emb, "vec_id", "embedding", top_k=4, n_probe=n_probe,
+            hierarchy=h,
+        ).collect()
+        jset = {(r.qid, r.nn_id, r.centroid) for r in join_rows}
+        gset = {(r.qid, r.nn_id, r.centroid) for r in gemm_rows}
+        assert gset == jset and len(jset) > 0
+        jcos = {(r.qid, r.nn_id): r.cosine for r in join_rows}
+        assert all(
+            abs(r.cosine - jcos[(r.qid, r.nn_id)]) <= 1e-6
+            for r in gemm_rows
+        )
+
+
 def test_ivf_hierarchy_degenerates_to_flat(spark, clustered_vectors):
     """r7: a 1-coarse-branch hierarchy must reproduce the flat injected
     codebook exactly (same cells, same probes, same result) on both

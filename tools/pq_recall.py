@@ -104,34 +104,41 @@ def main() -> None:
         model = train_ivf_pq(
             emb, n_cells=n_cells, m=m, k=k, sample=16 * n_cells
         )
-        enc = ivf_pq_encode(emb, model).cache()
+        enc = ivf_pq_encode(emb, model, keep_vec=True).cache()
         enc.count()  # materialize once; every probe reuses the codes
-        for n_probe in (1, 2, 4, 8, n_cells):
-            hits = 0
-            for q in sample_ids:
-                got = ivf_pq_topk(
-                    enc, model, qvecs[q], top_k=top_k + 1, n_probe=n_probe
-                ).collect()
-                ids = [int(r.vec_id) for r in got if int(r.vec_id) != q]
-                hits += len(set(ids[:top_k]) & exact[q])
-            print(
-                json.dumps(
-                    {
-                        "corpus": "clustered",
-                        "n": n,
-                        "layout": f"m{m}k{k}",
-                        "n_cells": n_cells,
-                        "occupancy": round(n / n_cells),
-                        "top_k": top_k,
-                        "n_probe": n_probe,
-                        "sampled_queries": len(sample_ids),
-                        "recall": round(
-                            hits / (len(sample_ids) * top_k), 4
-                        ),
-                    }
-                ),
-                flush=True,
-            )
+        # refine_factor=None is the ADC-only serving path; 10 adds the
+        # exact refine stage over the 10*top_k ADC shortlist (r9)
+        for refine in (None, 10):
+            for n_probe in (1, 2, 4, 8, n_cells):
+                hits = 0
+                for q in sample_ids:
+                    got = ivf_pq_topk(
+                        enc, model, qvecs[q], top_k=top_k + 1,
+                        n_probe=n_probe, refine_factor=refine,
+                    ).collect()
+                    ids = [
+                        int(r.vec_id) for r in got if int(r.vec_id) != q
+                    ]
+                    hits += len(set(ids[:top_k]) & exact[q])
+                print(
+                    json.dumps(
+                        {
+                            "corpus": "clustered",
+                            "n": n,
+                            "layout": f"m{m}k{k}",
+                            "n_cells": n_cells,
+                            "occupancy": round(n / n_cells),
+                            "top_k": top_k,
+                            "n_probe": n_probe,
+                            "refine_factor": refine,
+                            "sampled_queries": len(sample_ids),
+                            "recall": round(
+                                hits / (len(sample_ids) * top_k), 4
+                            ),
+                        }
+                    ),
+                    flush=True,
+                )
         enc.unpersist()
 
 
