@@ -212,19 +212,34 @@ def train_ivf_pq(
     sample: int = 4096,
     iters: int = 10,
     seed: int = 42,
+    residual: bool = False,
 ) -> dict:
     """Train the composed IVF-PQ layout: a coarse quantizer (k-means
     over whole vectors — the same tiny deterministic Lloyd's used for
     the sub-space codebooks, so the whole model is reproducible without
-    MLlib seeding caveats) plus PQ codebooks over RESIDUALS is the
-    classic variant; here codebooks are over raw vectors (simpler, and
-    at k=16/m=8 the residual refinement is below the quantization
-    noise floor for unstructured data).  Returns {'cells', 'books'}.
-    One driver sample feeds both quantizers (a single Spark job)."""
+    MLlib seeding caveats) plus PQ codebooks.  Returns {'cells',
+    'books', 'residual'}.  One driver sample feeds both quantizers.
+
+    ``residual=True`` trains the codebooks over x - nearest_cell(x)
+    (the classic faiss IVF-PQ encoding).  The r9 production-n study
+    (tools/pq_recall.py, BASELINE.md r9) showed WHY this is the
+    quality-critical choice on clustered corpora: raw-vector PQ at
+    m=8/k=16 has quantization error larger than intra-cluster
+    distances, so ADC order within a cluster is noise (recall@10 =
+    0.002 at full probe, and even a 10x exact-refine shortlist only
+    reaches ~0.03 because the shortlist itself is noise-selected);
+    residual PQ spends the same code budget on the intra-cluster
+    scale, where the neighbours actually differ."""
     x = _sample_np(emb, vec_col, sample)
     cells = _kmeans_np(x, n_cells, iters, seed)
-    books = _train_pq_np(x, m, k, iters, seed + 1000)
-    return {"cells": cells.tolist(), "books": books}
+    if residual:
+        assign = (
+            x @ cells.T - 0.5 * (cells**2).sum(axis=1)
+        ).argmax(axis=1)
+        books = _train_pq_np(x - cells[assign], m, k, iters, seed + 1000)
+    else:
+        books = _train_pq_np(x, m, k, iters, seed + 1000)
+    return {"cells": cells.tolist(), "books": books, "residual": residual}
 
 
 def ivf_pq_encode(
@@ -255,6 +270,8 @@ def ivf_pq_encode(
     if keep_vec:
         out_schema += f", {vec_col} {vec_type}"
 
+    residual = bool(model.get("residual"))
+
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
@@ -262,7 +279,7 @@ def ivf_pq_encode(
             x = np.array(list(pdf[vec_col]), dtype=np.float64)
             cscore = x @ cells.T - 0.5 * (cells**2).sum(axis=1)
             cell = cscore.argmax(axis=1).astype(np.int32)
-            codes = _block_codes(x, books)
+            codes = _block_codes(x - cells[cell] if residual else x, books)
             out = {id_col: pdf[id_col], "cell": cell,
                    "codes": list(codes.tolist())}
             if keep_vec:
@@ -306,13 +323,45 @@ def ivf_pq_topk(
     d2 = ((cells - q) ** 2).sum(axis=1)
     probes = [int(c) for c in np.argsort(d2)[:n_probe]]
     probed = encoded.filter(F.col("cell").isin(probes))
-    short = pq_topk(
-        probed,
-        model["books"],
-        query,
-        top_k=(top_k * refine_factor if refine_factor else top_k),
-        id_col=id_col,
-    )
+    short_k = top_k * refine_factor if refine_factor else top_k
+    if model.get("residual"):
+        # residual ADC: the lookup table is PER PROBED CELL (the query
+        # residual q - centroid_c differs per cell), built driver-side
+        # and folded as a cell-dispatched CASE of array literals —
+        # still a pure whole-stage-codegen scan, n_probe*m*k literals
+        books = [np.array(b, dtype=np.float64) for b in model["books"]]
+        m = len(books)
+        sub = books[0].shape[1]
+        dist = None
+        for b in range(m):
+            arm = None
+            for c in probes:
+                qr = q - cells[c]
+                t = (
+                    (books[b] - qr[b * sub : (b + 1) * sub]) ** 2
+                ).sum(axis=1).tolist()
+                lut = F.array(*[F.lit(float(v)) for v in t])
+                arm = (
+                    F.when(F.col("cell") == c, lut)
+                    if arm is None
+                    else arm.when(F.col("cell") == c, lut)
+                )
+            term = F.element_at(arm, F.col("codes")[b] + 1)
+            dist = term if dist is None else dist + term
+        short = (
+            probed.select(id_col, "cell", "codes", dist.alias("adc_dist"))
+            .select(id_col, "adc_dist")
+            .orderBy(F.asc("adc_dist"), id_col)
+            .limit(short_k)
+        )
+    else:
+        short = pq_topk(
+            probed,
+            model["books"],
+            query,
+            top_k=short_k,
+            id_col=id_col,
+        )
     if not refine_factor:
         return short
     if vec_col not in encoded.columns:

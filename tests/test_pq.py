@@ -146,6 +146,76 @@ def test_ivf_pq_refine_restores_exact_order(spark):
     bare.unpersist()
 
 
+def test_ivf_pq_residual_beats_raw_on_clustered(spark):
+    """r9: residual PQ (codes over x - cell_centroid, faiss-classic)
+    must rank clustered data better than raw-vector PQ with the same
+    code budget — the production-n study showed raw ADC collapses to
+    noise when quantization error exceeds intra-cluster distances.
+    Pinned as: residual ADC recall@10 >= raw ADC recall@10 on a tight
+    40-cluster corpus, and the residual model round-trips through
+    encode/topk with the per-cell lookup tables."""
+    import random as _random
+
+    from bigsdb_spark.operators.pq import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+        train_ivf_pq,
+    )
+
+    rng = _random.Random(11)
+    rows = []
+    vid = 0
+    for c in range(40):
+        center = [rng.uniform(-1, 1) for _ in range(16)]
+        for _ in range(50):
+            rows.append(
+                (vid, [x + rng.gauss(0, 0.02) for x in center])
+            )
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).cache()
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    ids = np.array([r[0] for r in rows])
+
+    def recall(residual, refine):
+        # n_cells ~ cluster count: the regime residual encoding is FOR
+        # (cell centroid ~ cluster center, so the residual is pure
+        # intra-cluster offset); with cells spanning several clusters
+        # the residual keeps the inter-cluster structure and gains
+        # nothing — same finding as the production table's occupancy row
+        model = train_ivf_pq(
+            emb, n_cells=40, m=8, k=16, sample=2000, residual=residual
+        )
+        enc = ivf_pq_encode(emb, model, keep_vec=True).cache()
+        hits = 0
+        queries = [3, 777, 1503]
+        for qi in queries:
+            d2 = ((x - x[qi]) ** 2).sum(axis=1)
+            d2[qi] = np.inf
+            true = {int(i) for i in ids[np.lexsort((ids, d2))[:10]]}
+            got = ivf_pq_topk(
+                enc, model, [float(v) for v in x[qi]],
+                top_k=11, n_probe=8, refine_factor=refine,
+            ).collect()
+            got_ids = [int(r["vec_id"]) for r in got
+                       if int(r["vec_id"]) != qi][:10]
+            hits += len(set(got_ids) & true)
+        enc.unpersist()
+        return hits / (10 * len(queries))
+
+    raw, res = recall(False, None), recall(True, None)
+    # residual codes carry intra-cluster signal raw codes cannot (ADC
+    # ties still cap standalone recall — codes coarser than neighbour
+    # gaps tie, id-ascending picks arbitrarily)
+    assert res >= raw
+    # the full serving config — residual ADC shortlist + exact refine —
+    # is what restores recall (raw ADC + refine CANNOT: its shortlist
+    # is noise-selected, the r9 production table's 0.03 row)
+    assert recall(True, 4) >= 0.9
+    emb.unpersist()
+
+
 def test_sq_roundtrip_and_ranking(spark):
     """Int8 SQ: codes bounded, reconstruction within scale/2 per dim,
     and top-k ranking near-exact vs float dot product."""

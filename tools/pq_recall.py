@@ -100,16 +100,25 @@ def main() -> None:
     del emb_pdf
 
     n_cells = 256
-    for m, k in ((8, 16), (16, 32)):
+    # (m, k, residual): raw-vector layouts reproduce the r9 finding
+    # (ADC order is noise on clustered data); the residual layout is
+    # the faiss-classic fix measured against the same baseline
+    for m, k, residual in ((8, 16, False), (16, 32, False),
+                           (8, 16, True), (16, 32, True)):
         model = train_ivf_pq(
-            emb, n_cells=n_cells, m=m, k=k, sample=16 * n_cells
+            emb, n_cells=n_cells, m=m, k=k, sample=16 * n_cells,
+            residual=residual,
         )
         enc = ivf_pq_encode(emb, model, keep_vec=True).cache()
         enc.count()  # materialize once; every probe reuses the codes
         # refine_factor=None is the ADC-only serving path; 10 adds the
         # exact refine stage over the 10*top_k ADC shortlist (r9)
+        # residual ADC builds n_probe*m*k lookup literals (per-cell
+        # tables), so its "full probe" row is capped at 16 — the
+        # serving regime; raw-vector layouts keep the true full probe
+        top = 16 if residual else n_cells
         for refine in (None, 10):
-            for n_probe in (1, 2, 4, 8, n_cells):
+            for n_probe in (1, 2, 4, 8, top):
                 hits = 0
                 for q in sample_ids:
                     got = ivf_pq_topk(
@@ -125,7 +134,7 @@ def main() -> None:
                         {
                             "corpus": "clustered",
                             "n": n,
-                            "layout": f"m{m}k{k}",
+                            "layout": f"m{m}k{k}" + ("r" if residual else ""),
                             "n_cells": n_cells,
                             "occupancy": round(n / n_cells),
                             "top_k": top_k,
