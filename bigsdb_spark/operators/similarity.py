@@ -645,6 +645,8 @@ def ivf_kmeans_ann_gemm(
     # into their cell via groupBy(centroid) anyway — the extra exchange
     # would be pure waste at corpus scale
     if hierarchy is not None and n_probe > 1:
+        if centroids is not None:
+            raise ValueError("pass centroids OR hierarchy, not both")
         # branch-grouped multi-probe (r9): every probed cell lives in
         # the query's coarse branch, so the query ships ONCE (no
         # per-probe vector replication through the shuffle) and the

@@ -236,6 +236,38 @@ def test_asof_salted_equals_plain(spark, skewed_asof_frames):
             assert salted == plain, (d, tol)
 
 
+def test_asof_salted_timestamp_keys(spark):
+    """r9: timestamp ts columns cannot cast to double, so the salted
+    path's range bucketing goes through the epoch image (_ts_double);
+    output must equal asof_join with every key forced hot
+    (hot_threshold=0, the a11 gate-leg configuration)."""
+    from datetime import datetime
+
+    from bigsdb_spark.operators.asof import asof_join_salted
+
+    l_rows = [
+        (k, datetime(2024, 1, 1 + i), f"l{k}-{i}")
+        for k in (1, 2) for i in range(6)
+    ]
+    r_rows = [
+        (k, datetime(2024, 1, 1 + 2 * i, 12), i * 10)
+        for k in (1, 2) for i in range(3)
+    ] + [(3, None, 99)]
+    l_df = spark.createDataFrame(l_rows, "k int, ts timestamp, tag string")
+    r_df = spark.createDataFrame(r_rows, "k int, ts timestamp, v int")
+    for d in ("backward", "forward"):
+        plain = sorted(
+            map(tuple, asof_join(l_df, r_df, on="k", direction=d).collect())
+        )
+        salted = sorted(
+            map(tuple, asof_join_salted(
+                l_df, r_df, on="k", direction=d,
+                hot_threshold=0, n_buckets=4,
+            ).collect())
+        )
+        assert salted == plain, d
+
+
 def test_asof_salted_all_cold_short_circuits(spark, skewed_asof_frames):
     """With no key over the threshold the salted entry returns the
     plain path's result (and plan: no bucket machinery)."""

@@ -105,8 +105,16 @@ def main() -> None:
         emb = spark.read.parquet(path)
         k = max(64, n // 256)
         t0 = time.perf_counter()
+        # sample ∝ k (r9 fix — the probe lagged the ladder protocol):
+        # a fixed 131072 sample at k=62500 leaves ~2 training points
+        # per cell, the occupancy-skew pathology the r8 round isolated
+        # (sum(occ^2) 10.6x uniform); stage timings on that codebook
+        # attribute to the SKEW, not the pipeline (a fixed-sample rerun
+        # measured cand=735 s at 1.6e7 where the honest codebook's
+        # full ladder entry runs 85.9 s end to end)
         h = train_hierarchical_cells(
-            emb, "embedding", n_cells=k, sample=131072, iters=10
+            emb, "embedding", n_cells=k, sample=max(131072, 16 * k),
+            iters=10,
         )
         print(
             json.dumps(
