@@ -29,6 +29,14 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+# Ceiling on the residual-ADC literal CASE chain (n_probe * m * k
+# float literals folded into one Catalyst plan).  16 probes * m=32 *
+# k=16 = 8192 still plans in seconds; a full-probe request over a
+# realistic cell count (256 cells * m=8 * k=16 = 32k+) does not.
+# Past this, ivf_pq_topk ships the LUTs as a broadcast-join table
+# instead of literals — same values, O(m)-expression plan.
+RESIDUAL_ADC_MAX_LITERALS = 8192
+
 __all__ = [
     "train_pq",
     "pq_encode",
@@ -317,7 +325,20 @@ def ivf_pq_topk(
     distortion >> intra-cluster distances — BASELINE.md r9); the
     refined path restores recall at R*top_k exact distance folds per
     query.  Returns (id, adc_dist) ascending, plus l2_dist when
-    refined (ordered by l2_dist)."""
+    refined (ordered by l2_dist).
+
+    Assumes ids are UNIQUE in the encoded table (same contract as the
+    similarity operators): the refine stage broadcast-joins the ADC
+    shortlist back on ``id_col``, so a duplicated id multiplies its
+    shortlist rows and can crowd the final ``limit(top_k)`` with
+    copies of one id — dedupe ids upstream if they can repeat.
+
+    Residual models need a PER-CELL lookup table: small models
+    (n_probe*m*k <= ``RESIDUAL_ADC_MAX_LITERALS``) fold it as a CASE
+    chain of float literals (joinless codegen scan); larger ones
+    would blow up Catalyst planning, so the LUTs dispatch as a tiny
+    (cell, luts) broadcast-join table instead — identical adc_dist,
+    plan size O(m) expressions regardless of n_probe and k."""
     q = np.array(query, dtype=np.float64)
     cells = np.array(model["cells"], dtype=np.float64)
     d2 = ((cells - q) ** 2).sum(axis=1)
@@ -326,31 +347,65 @@ def ivf_pq_topk(
     short_k = top_k * refine_factor if refine_factor else top_k
     if model.get("residual"):
         # residual ADC: the lookup table is PER PROBED CELL (the query
-        # residual q - centroid_c differs per cell), built driver-side
-        # and folded as a cell-dispatched CASE of array literals —
-        # still a pure whole-stage-codegen scan, n_probe*m*k literals
+        # residual q - centroid_c differs per cell), built driver-side.
+        # Two physical dispatches (r10, ADVICE r9): a small model folds
+        # it as a cell-dispatched CASE of array literals (joinless,
+        # partition-pruned whole-stage-codegen scan); past
+        # RESIDUAL_ADC_MAX_LITERALS total literals the CASE chain would
+        # blow up Catalyst planning/codegen, so the LUTs ship as a tiny
+        # (cell, luts) broadcast table instead — plan size O(m)
+        # expressions regardless of n_probe*k, one broadcast hash join
+        # on the probed slice, same adc_dist values by construction
+        # (equality pinned in tests/test_pq.py).
         books = [np.array(b, dtype=np.float64) for b in model["books"]]
         m = len(books)
         sub = books[0].shape[1]
-        dist = None
-        for b in range(m):
-            arm = None
-            for c in probes:
-                qr = q - cells[c]
-                t = (
-                    (books[b] - qr[b * sub : (b + 1) * sub]) ** 2
-                ).sum(axis=1).tolist()
-                lut = F.array(*[F.lit(float(v)) for v in t])
-                arm = (
-                    F.when(F.col("cell") == c, lut)
-                    if arm is None
-                    else arm.when(F.col("cell") == c, lut)
+        n_lits = n_probe * m * books[0].shape[0]
+
+        def _cell_luts(c: int) -> list[list[float]]:
+            qr = q - cells[c]
+            return [
+                ((books[b] - qr[b * sub : (b + 1) * sub]) ** 2)
+                .sum(axis=1)
+                .tolist()
+                for b in range(m)
+            ]
+
+        if n_lits <= RESIDUAL_ADC_MAX_LITERALS:
+            luts_by_cell = {c: _cell_luts(c) for c in probes}
+            dist = None
+            for b in range(m):
+                arm = None
+                for c in probes:
+                    t = luts_by_cell[c][b]
+                    lut = F.array(*[F.lit(float(v)) for v in t])
+                    arm = (
+                        F.when(F.col("cell") == c, lut)
+                        if arm is None
+                        else arm.when(F.col("cell") == c, lut)
+                    )
+                term = F.element_at(arm, F.col("codes")[b] + 1)
+                dist = term if dist is None else dist + term
+            scored = probed.select(
+                id_col, "cell", "codes", dist.alias("adc_dist")
+            )
+        else:
+            spark = encoded.sparkSession
+            lut_df = spark.createDataFrame(
+                [(int(c), _cell_luts(c)) for c in probes],
+                "cell int, _luts array<array<double>>",
+            )
+            dist = None
+            for b in range(m):
+                term = F.element_at(
+                    F.col("_luts")[b], F.col("codes")[b] + 1
                 )
-            term = F.element_at(arm, F.col("codes")[b] + 1)
-            dist = term if dist is None else dist + term
+                dist = term if dist is None else dist + term
+            scored = probed.join(F.broadcast(lut_df), "cell").select(
+                id_col, "cell", "codes", dist.alias("adc_dist")
+            )
         short = (
-            probed.select(id_col, "cell", "codes", dist.alias("adc_dist"))
-            .select(id_col, "adc_dist")
+            scored.select(id_col, "adc_dist")
             .orderBy(F.asc("adc_dist"), id_col)
             .limit(short_k)
         )

@@ -602,6 +602,7 @@ def ivf_kmeans_ann_gemm(
     n_probe: int = IVF_QUALITY_N_PROBE,
     centroids=None,
     hierarchy=None,
+    max_branch_rows: int | None = None,
 ) -> DataFrame:
     """``ivf_kmeans_ann`` with the probed-list scoring done as a
     per-cell BLAS matrix product — the r6 GEMM-scorer rewrite
@@ -639,7 +640,22 @@ def ivf_kmeans_ann_gemm(
     requested explicitly; each cell emits its exact per-query top-k
     (not the tied superset), and the n_probe>1 merge is the sort-free
     ``_merge_topk_by_qid`` pass (at most n_probe*top_k rows per query
-    through one hash shuffle, no window sort)."""
+    through one hash shuffle, no window sort).
+
+    Id contract (r10, ADVICE r9): ids must be UNIQUE and of an atomic,
+    numpy-orderable type (int/float/string).  With DUPLICATE ids the
+    physical paths diverge — the hierarchy+n_probe>1 branch path and
+    the n_probe=1 exact-rank path keep top_k per replica ROW, while
+    the flat merge path keeps top_k per id VALUE; dedupe upstream if
+    ids can repeat.  Array/struct ids fail inside the numpy rank
+    passes — hash them to a string/long key first.
+
+    ``max_branch_rows`` (opt-in, hierarchy+n_probe>1 only): fail-fast
+    occupancy bound for the branch task — a coarse branch materializes
+    ~n/n_coarse corpus rows in ONE Python worker, so a mis-sized
+    codebook should error with the knob named instead of grinding into
+    an OOM (same contract as bucketed_ann_pairs_gemm's
+    ``max_bucket_rows``); size it to worker memory / (vector bytes)."""
     # repartition_queries=False: the join form repartitions the query
     # side so the probed join parallelizes, but here BOTH sides shuffle
     # into their cell via groupBy(centroid) anyway — the extra exchange
@@ -656,7 +672,9 @@ def ivf_kmeans_ann_gemm(
             emb, id_col, vec_col, None, n_probe, hierarchy,
             repartition_queries=False, explode_probes=False,
         )
-        return _ivf_gemm_branch_topk(aq, bq, top_k)
+        return _ivf_gemm_branch_topk(
+            aq, bq, top_k, max_branch_rows=max_branch_rows
+        )
     a, b = _ivf_probe_sides(
         emb, id_col, vec_col, n_centroids, seed, n_probe, centroids,
         hierarchy, repartition_queries=False,
@@ -692,6 +710,12 @@ def _merge_topk_by_qid(cand: DataFrame, top_k: int) -> DataFrame:
     (cosine desc, nn_id asc) order is total per qid and rank selection
     is deterministic regardless of batch arrival order.  Duplicate
     qids in the input merge per qid VALUE — the window's semantics.
+
+    Id-type contract (r10, ADVICE r9): the numpy lexsort ranks the raw
+    qid/nn_id arrays, so ids must be ATOMIC numpy-comparable values —
+    ints, floats, strings (object dtype) all work; arrays/structs (and
+    other types only a SQL window could order) raise inside the rank
+    pass.  Hash exotic keys to a string/long before calling.
 
     Partition sizing: rows per task = n*n_probe*top_k / n_parts at
     ~28 B/row; the repartition honors the session's pre-coalesce knob
@@ -752,7 +776,12 @@ def _merge_topk_by_qid(cand: DataFrame, top_k: int) -> DataFrame:
     )
 
 
-def _ivf_gemm_branch_topk(a: DataFrame, b: DataFrame, top_k: int) -> DataFrame:
+def _ivf_gemm_branch_topk(
+    a: DataFrame,
+    b: DataFrame,
+    top_k: int,
+    max_branch_rows: int | None = None,
+) -> DataFrame:
     """Multi-probe IVF scoring grouped by COARSE BRANCH (r9).  With a
     two-level codebook every probed fine cell of a query lies inside
     the query's nearest coarse branch (IMI — ``_ivf_probe_sides_np``
@@ -774,7 +803,16 @@ def _ivf_gemm_branch_topk(a: DataFrame, b: DataFrame, top_k: int) -> DataFrame:
     construction — same rounding, same (cosine desc, nn_id asc) total
     order, (qid, nn_id) unique.  Caveat shared with ``exact_rank``:
     duplicate ids with DIFFERENT vectors may rank per-replica rather
-    than per qid value; dedupe ids upstream if they can repeat."""
+    than per qid value; dedupe ids upstream if they can repeat (also
+    surfaced in ``ivf_kmeans_ann_gemm``'s public docstring).
+
+    ``max_branch_rows`` (opt-in): fail-fast bound on rows
+    materialized per branch task, enforced while Arrow batches stream
+    in (before any vstack) — the branch analogue of
+    ``bucketed_ann_pairs_gemm.max_bucket_rows``.  Sizing rule: a
+    branch holds ~n/n_coarse corpus rows at ~8*d bytes each (float64
+    in-task), so bound = worker_mem_budget / (8*d) and train the
+    hierarchy with n_coarse >= n / bound."""
     from typing import Iterator
 
     import numpy as np
@@ -798,9 +836,28 @@ def _ivf_gemm_branch_topk(a: DataFrame, b: DataFrame, top_k: int) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         q_ids, q_vecs, q_probes = [], [], []
         c_ids, c_vecs, c_cells = [], [], []
+        n_rows = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # fail-fast occupancy contract (r10, same as
+            # bucketed_ann_pairs_gemm.max_bucket_rows): checked as
+            # batches STREAM in, before any vstack, so a mis-sized
+            # codebook errors with the knob named instead of OOMing
+            # the worker mid-materialization
+            n_rows += len(pdf)
+            if max_branch_rows is not None and n_rows > max_branch_rows:
+                raise ValueError(
+                    f"coarse branch {int(pdf['branch'].iloc[0])} holds "
+                    f"> max_branch_rows={max_branch_rows} rows: a "
+                    "branch materializes ~n/n_coarse corpus rows in "
+                    "ONE Python task, so the two-level codebook's "
+                    "coarse arity must scale with the corpus (train "
+                    "with n_coarse ~ n / target_branch_rows, e.g. "
+                    "occupancy-256 fine cells under sqrt(k) coarse "
+                    "branches) — retrain with more branches or raise "
+                    "max_branch_rows to match worker memory"
+                )
             isq = pdf["is_q"].to_numpy()
             ids = pdf["id"].to_numpy()
             vecs = np.array(list(pdf["e"]), dtype=np.float64)

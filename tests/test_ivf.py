@@ -257,3 +257,50 @@ def test_ivf_hierarchy_degenerates_to_flat(spark, clustered_vectors):
             clustered_vectors, "vec_id", "embedding",
             centroids=cents, hierarchy=h,
         )
+
+
+def test_ivf_branch_occupancy_guard(spark):
+    """r10 (VERDICT r9 task 4): the branch-grouped path materializes a
+    whole coarse branch (~n/n_coarse rows) in one Python task, so the
+    opt-in ``max_branch_rows`` contract must fail FAST on a planted
+    giant branch with the knob named in the error — and stay silent
+    (identical output) when the bound is respected."""
+    import random as _random
+
+    import pytest as _pytest
+
+    from bigsdb_spark.operators.similarity import ivf_kmeans_ann_gemm
+
+    rng = _random.Random(11)
+    centers = [
+        [9.0, 0.0, 0.0, 0.0], [7.0, 4.0, 0.0, 0.0],
+        [0.0, 9.0, 0.0, 0.0], [0.0, 7.0, 4.0, 0.0],
+    ]
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        # branch 0 (fine cells 0/1) planted GIANT: 80 rows vs 10
+        for _ in range(80 if ci < 2 else 10):
+            rows.append((vid, [x + rng.gauss(0, 0.5) for x in c]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    h = {
+        "coarse": [[8.0, 2.0, 0.0, 0.0], [0.0, 8.0, 2.0, 0.0]],
+        "fine": [centers[:2], centers[2:]],
+    }
+    # giant branch holds 160 union rows (queries+corpus) > 100 -> raise
+    with _pytest.raises(Exception, match="max_branch_rows"):
+        ivf_kmeans_ann_gemm(
+            emb, "vec_id", "embedding", top_k=3, n_probe=2,
+            hierarchy=h, max_branch_rows=100,
+        ).collect()
+    # generous bound: output identical to the unguarded path
+    guarded = ivf_kmeans_ann_gemm(
+        emb, "vec_id", "embedding", top_k=3, n_probe=2,
+        hierarchy=h, max_branch_rows=100_000,
+    ).collect()
+    free = ivf_kmeans_ann_gemm(
+        emb, "vec_id", "embedding", top_k=3, n_probe=2, hierarchy=h,
+    ).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, free))
+    assert len(free) > 0

@@ -304,3 +304,49 @@ def test_training_sample_cutoff_path_matches_global_topk(spark):
     import numpy as np
 
     assert np.array_equal(got, np.array([r[0] for r in want_rows]))
+
+def test_ivf_pq_residual_lut_broadcast_dispatch(spark, monkeypatch):
+    """r10 (ADVICE r9): residual ADC past RESIDUAL_ADC_MAX_LITERALS
+    total literals must NOT fold a Catalyst CASE chain (plan/codegen
+    blowup) — it ships the per-cell LUTs as a tiny broadcast (cell,
+    luts) table instead.  Both physical forms return identical rows,
+    ADC-only and refined, pinned by forcing the dispatch with a zero
+    ceiling."""
+    import random as _random
+
+    import bigsdb_spark.operators.pq as pqmod
+    from bigsdb_spark.operators.pq import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+        train_ivf_pq,
+    )
+
+    rng = _random.Random(23)
+    rows = []
+    vid = 0
+    for c in range(8):
+        center = [rng.uniform(-1, 1) for _ in range(16)]
+        for _ in range(40):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in center]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = train_ivf_pq(
+        emb, n_cells=8, m=8, k=16, sample=320, residual=True
+    )
+    enc = ivf_pq_encode(emb, model, keep_vec=True).cache()
+    q = [float(v) for v in rows[5][1]]
+
+    def run():
+        adc = ivf_pq_topk(enc, model, q, top_k=10, n_probe=4).collect()
+        ref = ivf_pq_topk(
+            enc, model, q, top_k=10, n_probe=4, refine_factor=3
+        ).collect()
+        return adc, ref
+
+    lit_adc, lit_ref = run()
+    monkeypatch.setattr(pqmod, "RESIDUAL_ADC_MAX_LITERALS", 0)
+    bc_adc, bc_ref = run()
+    assert [tuple(r) for r in bc_adc] == [tuple(r) for r in lit_adc]
+    assert [tuple(r) for r in bc_ref] == [tuple(r) for r in lit_ref]
+    assert len(lit_adc) == 10 and len(lit_ref) == 10
+    enc.unpersist()
