@@ -556,7 +556,9 @@ def w1_w4(spark, sf_dir):
                       regexp_replace(upper(c_mktsegment), 'URE$|ERY$', '.'), ']')
                    AS composite
         FROM customer)
-    SELECT c_custkey, composite FROM comp
+    SELECT c_custkey, composite,
+           lower(regexp_replace(composite, '[\\W_]+', '', 'g')) AS dict_key
+    FROM comp
     ORDER BY (CASE WHEN regexp_matches(num_text, '^[0-9]+$')
                    THEN CAST(num_text AS BIGINT) END) NULLS LAST,
              composite, c_custkey
@@ -571,7 +573,16 @@ def w6_o1(spark, sf_dir):
     to_number(textcat('0', allele)) trick, ProfileQueryPage.pm
     _generate_query), paginated under a total order
     (IsolateQueryPage.pm:2120-2128 appends tiebreaks for exactly this
-    determinism)."""
+    determinism).
+
+    r10 fold (VERDICT r9 task 5): the paginated rows also carry
+    ``dict_key`` — O3's dictionary collation key
+    (functions/labels.py dictionary_sort_key, Utils.pm:1017
+    dictionary_sort: lowercase + non-word/underscore chars stripped),
+    a pure regexp expression DuckDB replicates exactly, converting the
+    SQL-expressible half of O3 from tests-only to an oracle row (the
+    UCA half stays tests-only by design: engine collation keys are not
+    comparable cross-engine)."""
     c = tbl(spark, sf_dir, "customer")
     num_text = F.regexp_replace("c_name", "^Customer#0*", "")
     composite = F.concat(
@@ -586,9 +597,15 @@ def w6_o1(spark, sf_dir):
     guard = F.when(
         F.col("num_text").rlike("^[0-9]+$"), F.col("num_text").cast("long")
     )
+    from bigsdb_spark.functions.labels import dictionary_sort_key
+
     return (
         comp.orderBy(guard.asc_nulls_last(), F.asc("composite"), F.asc("c_custkey"))
-        .select("c_custkey", "composite")
+        .select(
+            "c_custkey",
+            "composite",
+            dictionary_sort_key(F.col("composite")).alias("dict_key"),
+        )
         .offset(100)
         .limit(50)
     )

@@ -203,16 +203,63 @@ def d4_clusters(spark, sf_dir):
                CAST(sum(CASE WHEN hamming = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dlv,
                CAST(sum(CASE WHEN hamming = 3 THEN 1 ELSE 0 END) AS BIGINT) AS tlv
         FROM dirs GROUP BY id)
-    SELECT id, slv, dlv, tlv,
+    SELECT 'burst' AS kind, id, slv, dlv, tlv,
            CAST(row_number() OVER (ORDER BY slv DESC, dlv DESC, id) AS BIGINT)
                AS founder_rank
     FROM counts
+    UNION ALL
+    SELECT 'mst' AS kind, u AS id, v AS slv, CAST(v - u AS BIGINT) AS dlv,
+           CAST(0 AS BIGINT) AS tlv, CAST(0 AS BIGINT) AS founder_rank
+    FROM (
+        SELECT x AS u, lead(x) OVER (ORDER BY x) AS v FROM (
+            SELECT DISTINCT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x
+            FROM customer WHERE c_custkey % 10 = 0 AND c_custkey <= 1500))
+    WHERE v IS NOT NULL
     """,
 )
 def d7_burst(spark, sf_dir):
     """D7: BURST SLV/DLV counts + founder ranking (max SLVs, ties by
-    DLVs then id — BURST.pm:238,336,637-646)."""
-    out = burst_slv_dlv(_pairs(spark, sf_dir))
-    return out.select(
-        "id", "slv", "dlv", "tlv", F.col("founder_rank").cast("long").alias("founder_rank")
+    DLVs then id — BURST.pm:238,336,637-646), ``kind='burst'``.
+
+    r10 fold (VERDICT r9 task 5, the r7/r8 spare-column pattern): a
+    second ``kind='mst'`` leg runs the REAL distributed Borůvka MST
+    (operators/mst.py — D8, the GrapeTree/MSTree tree surface,
+    GrapeTree.pm/Plugins) over a complete graph on an SF-capped set of
+    distinct 1-D points (customer balances in cents) with |u - v|
+    weights.  On distinct 1-D points every non-adjacent edge is the
+    STRICT maximum of the cycle it closes with the sorted chain (its
+    weight is a sum of >= 2 positive adjacent gaps), so by the cycle
+    property the MST is unique and equals the sorted adjacent chain —
+    which DuckDB expresses exactly as a lead() window.  That converts
+    boruvka_mst from tests-only to a full value oracle on a ~150-node
+    / ~11k-edge graph (several Borůvka rounds) without gate-layout
+    churn.  Column reuse on the mst leg (documented, positional):
+    ``id``=u, ``slv``=v, ``dlv``=edge weight, ``tlv``/``founder_rank``
+    =0.  d7 is not in the bench headline, so the fold is bench-neutral."""
+    out = burst_slv_dlv(_pairs(spark, sf_dir)).select(
+        F.lit("burst").alias("kind"),
+        "id", "slv", "dlv", "tlv",
+        F.col("founder_rank").cast("long").alias("founder_rank"),
     )
+    from bigsdb_spark.operators.mst import boruvka_mst
+
+    nodes = (
+        tbl(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") <= 1500))
+        .select(F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("x"))
+        .distinct()
+    )
+    e1 = nodes.select(F.col("x").alias("u"))
+    e2 = nodes.select(F.col("x").alias("v"))
+    edges = e1.join(e2, e1["u"] < e2["v"]).select(
+        "u", "v", (F.col("v") - F.col("u")).alias("w")
+    )
+    mst_leg = boruvka_mst(edges, nodes).select(
+        F.lit("mst").alias("kind"),
+        F.col("u").alias("id"),
+        F.col("v").alias("slv"),
+        F.col("w").cast("long").alias("dlv"),
+        F.lit(0).cast("long").alias("tlv"),
+        F.lit(0).cast("long").alias("founder_rank"),
+    )
+    return out.unionByName(mst_leg)

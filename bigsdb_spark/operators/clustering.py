@@ -40,9 +40,57 @@ def _free_local_checkpoint(df: DataFrame) -> None:
     unpersist it; on any interface drift just let ContextCleaner do it.
     """
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        src = getattr(df, "_ckpt_handle", df)
+        src._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
         pass
+
+
+def checkpoint_no_stats(df: DataFrame, storage_level=None) -> DataFrame:
+    """localCheckpoint that also DROPS the plan statistics the
+    checkpoint would otherwise inherit (r10).
+
+    ``Dataset.localCheckpoint`` copies the optimized plan's ESTIMATED
+    statistics into the resulting LogicalRDD, and Catalyst's non-CBO
+    size estimator multiplies child sizes at every join
+    (SizeInBytesOnlyStatsPlanVisitor.visitJoin -> default = product of
+    children).  In an iterative join loop those two facts compound:
+    round r's checkpoint carries the product-of-products of every
+    earlier round, so the BigInt bit-length grows EXPONENTIALLY with
+    rounds — and with a nested loop (boruvka_mst calling
+    single_linkage every round) doubly so.  Observed r10: the d7 gate
+    fold's 150-node MST ground a single core for 18+ minutes inside
+    BigInteger.multiplyToomCook3 on million-digit sizeInBytes values
+    (jstack: SizeInBytesOnlyStatsPlanVisitor.visitJoin ->
+    scala.collection.IterableOnceOps.product).
+
+    Rebuilding the Dataset from the checkpointed internal RDD drops
+    the copied originStats, so sizeInBytes resets to
+    spark.sql.defaultSizeInBytes (one Long, 63 bits) at every round
+    boundary and planning cost stays flat for ANY number of rounds.
+    Trade: the checkpointed frame is never auto-broadcast (its size
+    estimate is the conservative default) — irrelevant in these loops,
+    whose inflated pre-fix estimates already disqualified broadcast.
+    Falls back to the plain checkpoint on py4j interface drift.  The
+    returned frame carries the raw checkpoint as ``_ckpt_handle`` so
+    ``_free_local_checkpoint`` can still release its blocks."""
+    if storage_level is not None:
+        ck = df.localCheckpoint(eager=True, storageLevel=storage_level)
+    else:
+        ck = df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    try:
+        jdf = ck._jdf
+        out = DataFrame(
+            spark._jsparkSession.internalCreateDataFrame(
+                jdf.queryExecution().toRdd(), jdf.schema(), False
+            ),
+            spark,
+        )
+    except Exception:
+        out = ck
+    out._ckpt_handle = ck
+    return out
 
 
 def single_linkage(
@@ -70,19 +118,20 @@ def single_linkage(
     # JVM-serialized): ~3-5x smaller than the deserialized default and
     # evictable to disk, so a big edge set can't pin the whole heap
     ckpt_level = StorageLevel.MEMORY_AND_DISK
-    edges = (
+    edges = checkpoint_no_stats(
         pairs.select("id1", "id2")
         .union(pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
-        .distinct()
-        .localCheckpoint(eager=True, storageLevel=ckpt_level)
+        .distinct(),
+        storage_level=ckpt_level,
         # joined every round: don't re-run the upstream pair-distance
-        # self-join once per iteration
+        # self-join once per iteration; stats dropped so an upstream
+        # join-inflated estimate can't seed the per-round product
     )
     # right-size the iteration: a small graph on 32 shuffle partitions
     # pays ~32x task overhead per round for nothing
     if edges.count() < 1_000_000:
-        small = edges.repartition(8, "id2").localCheckpoint(
-            eager=True, storageLevel=ckpt_level
+        small = checkpoint_no_stats(
+            edges.repartition(8, "id2"), storage_level=ckpt_level
         )
         _free_local_checkpoint(edges)
         edges = small
@@ -123,9 +172,11 @@ def single_linkage(
             )
             .withColumnRenamed("new_group_id", "group_id")
         )
-        materialized = updated.localCheckpoint(
-            eager=True, storageLevel=ckpt_level
-        )  # one job/round
+        materialized = checkpoint_no_stats(
+            updated, storage_level=ckpt_level
+        )  # one job/round; stats dropped — the labels x edges x parent
+        # join product would otherwise double the sizeInBytes BigInt's
+        # bit-length every round (see checkpoint_no_stats)
         # the previous round's checkpoint is dead the moment this one
         # exists — free its blocks so rounds don't stack up in the heap
         if prev_ckpt is not None:
@@ -202,14 +253,14 @@ def connected_components_star(
     default; this is the documented fallback for adversarial
     diameters.
     """
-    edges = (
+    edges = checkpoint_no_stats(
         pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
         .union(
             pairs.select(F.col("id2").alias("u"), F.col("id1").alias("v"))
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        .distinct(),
+        storage_level=StorageLevel.MEMORY_AND_DISK,
     )
 
     def _min_nbr(e: DataFrame) -> DataFrame:
@@ -244,13 +295,11 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         keep1 = m1.select("u", F.col("m").alias("v"))
-        new_edges = (
+        new_edges = checkpoint_no_stats(
             small.union(keep1)
             .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(
-                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-            )
+            .distinct(),
+            storage_level=StorageLevel.MEMORY_AND_DISK,
         )
         # fixed point: every node's edges point only at one min —
         # i.e. the symmetric closure no longer changes the hang-offs.
@@ -258,14 +307,12 @@ def connected_components_star(
         # would break on a strictly-shrinking round whose output is
         # not yet a star forest (labels would then be wrong on
         # chain-shaped leftovers).
-        sym_new = (
+        sym_new = checkpoint_no_stats(
             new_edges.union(
                 new_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-            .distinct()
-            .localCheckpoint(
-                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-            )
+            .distinct(),
+            storage_level=StorageLevel.MEMORY_AND_DISK,
         )
         _free_local_checkpoint(new_edges)  # superseded by sym_new
         unchanged = (

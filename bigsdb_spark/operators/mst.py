@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from bigsdb_spark.operators.clustering import single_linkage
+from bigsdb_spark.operators.clustering import checkpoint_no_stats, single_linkage
 
 __all__ = ["boruvka_mst", "kruskal_mst_py"]
 
@@ -52,8 +52,17 @@ def boruvka_mst(
         # repeatedly: keep its minimum weight (total order -> unique)
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
     )
+    # checkpoint_no_stats, not plain localCheckpoint: a checkpoint
+    # COPIES the optimized plan's estimated sizeInBytes, and Catalyst's
+    # size estimator multiplies child sizes at every join — an
+    # iterative loop that checkpoints join outputs therefore grows the
+    # stats BigInt EXPONENTIALLY in rounds (nested doubly so: each
+    # round here runs single_linkage's own loop).  The r10 d7 gate fold
+    # hit it for real: an 18-minute single-core BigInteger.multiply
+    # grind on a 150-node graph.  Dropping stats at every round
+    # boundary keeps planning O(1) per round.
+    canon = checkpoint_no_stats(canon)
     comp = nodes.select(F.col(nodes.columns[0]).alias("id")).withColumn(
         "comp", F.col("id")
     )
@@ -61,12 +70,11 @@ def boruvka_mst(
     for _ in range(max_rounds):
         cu = comp.select(F.col("id").alias("u"), F.col("comp").alias("cu"))
         cv = comp.select(F.col("id").alias("v"), F.col("comp").alias("cv"))
-        live = (
+        live = checkpoint_no_stats(
             canon.join(cu, "u")
             .join(cv, "v")
             .filter(F.col("cu") != F.col("cv"))
-            .localCheckpoint(eager=True)  # feeds two directed views below
-        )
+        )  # feeds two directed views below
         if live.limit(1).count() == 0:
             break
         # each component's lightest outgoing edge under the (w, u, v)
@@ -75,12 +83,11 @@ def boruvka_mst(
         directed = live.select(F.col("cu").alias("c"), pick).unionAll(
             live.select(F.col("cv").alias("c"), pick)
         )
-        chosen = (
+        chosen = checkpoint_no_stats(
             directed.groupBy("c")
             .agg(F.min("e").alias("e"))
             .select("e.u", "e.v", "e.w")
             .distinct()  # both endpoints of an edge may have picked it
-            .localCheckpoint(eager=True)
         )
         mst = chosen if mst is None else mst.unionAll(chosen)
         # merge: connected components of the picked COMPONENT graph,
@@ -102,10 +109,9 @@ def boruvka_mst(
         relabel = single_linkage(cpairs, old_comps).select(
             F.col("id").alias("comp"), F.col("group_id").alias("_new")
         )
-        comp = (
+        comp = checkpoint_no_stats(
             comp.join(relabel, "comp")
             .select("id", F.col("_new").alias("comp"))
-            .localCheckpoint(eager=True)
         )
     if mst is None:
         return canon.limit(0)

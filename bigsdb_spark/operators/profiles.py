@@ -159,6 +159,7 @@ def assign_scheme_fields(
     scheme_profiles: DataFrame,
     allow_missing_loci: bool = False,
     total_loci: int | None = None,
+    prune_candidates: bool = False,
 ) -> DataFrame:
     """A5/J3: assign scheme fields (e.g. ST) to isolates by matching their
     allele vector against the profile warehouse.
@@ -176,6 +177,28 @@ def assign_scheme_fields(
     ``isolate_profiles``: (profile_key, profile, profile_md5) from
     ``build_profiles``. ``scheme_profiles``: (st, profile, profile_md5).
     Returns (profile_key, st).
+
+    ``prune_candidates`` (r10, VERDICT r9 task 1 — wildcard path only):
+    the inverted-index join's intermediate is every (isolate, ST) pair
+    sharing ANY (pos, allele) — sum over (pos, a) of
+    iso_cnt(pos,a) * prof_cnt(pos,a), which under realistic allele
+    popularity skew grows ~ L * N * P * sum(share^2) and is the one
+    §2 core operator whose 100x behaviour was asserted rather than
+    measured (VERDICT r9).  The reference bounds this with first-k
+    -position candidate indexes (Datastore.pm:2160-2165 intersects
+    profile[1..3] lookups; sql/seqdef.sql:1193 indexes the first three
+    profile positions).  This path is the Spark-first generalization —
+    RAREST-position candidate generation (prefix filtering from the
+    set-similarity-join literature): per isolate pick the single
+    position minimizing (profile-side frequency of its allele at that
+    pos + wildcard-definition count at that pos), generate candidates
+    only from that one position (complete: any matching definition
+    either equals the isolate's allele there or holds 'N' there), then
+    verify each candidate with ONE vectorized full-vector zip_with
+    comparison.  Every stage is linear in N*L or |candidates|; the
+    per-(pos,allele) pair product never materializes.  Output equality
+    with the unpruned path is pinned in tests/test_profiles.py; the
+    1e6-4e6 ladder lives in BASELINE.md (tools/a5_scale.py).
     """
     if not allow_missing_loci:
         return isolate_profiles.join(
@@ -199,7 +222,10 @@ def assign_scheme_fields(
     # here; paralog fan-out is the reference's per-isolate path (b)
     # (sql/isolatedb.sql:1541-1554) and needs pre-expansion into one
     # candidate vector per designation combination.
-    iso = isolate_profiles.filter(F.size("profile") == total_loci).select(
+    dense = isolate_profiles.filter(F.size("profile") == total_loci)
+    if prune_candidates:
+        return _assign_wildcard_pruned(dense, scheme_profiles, total_loci)
+    iso = dense.select(
         "profile_key", F.posexplode("profile").alias("pos", "allele")
     )
     sch = scheme_profiles.select(
@@ -219,6 +245,109 @@ def assign_scheme_fields(
         .filter(F.col("n_match") == total_loci)
     )
     return hits.select("profile_key", "st")
+
+
+def _assign_wildcard_pruned(
+    dense: DataFrame, scheme_profiles: DataFrame, total_loci: int
+) -> DataFrame:
+    """Rarest-position candidate pruning for the wildcard scheme-field
+    join (see ``assign_scheme_fields(prune_candidates=True)``).
+
+    Stages, all linear (no per-(pos, allele) pair product):
+
+    1. frequency tables over the DEFINITION side: exact (pos, allele)
+       -> n_prof and pos -> n_wild ('N' rows).  P*L rows max, grouped.
+    2. per isolate position cost = n_prof(pos, allele_here) +
+       n_wild(pos) (0 when the allele appears in no definition); pick
+       the argmin position per isolate with min_by — the single most
+       selective position.  An isolate whose best cost is 0 matches
+       nothing and exits here (its allele at that position appears in
+       NO definition, exact or wild) — free rejection.
+    3. candidates: the best position equi-joins (pos, allele) against
+       exact definition rows, plus (pos) against wild rows.
+       COMPLETE: a definition matching the isolate everywhere must, at
+       the chosen position, either carry the isolate's allele (exact
+       leg) or 'N' (wild leg).
+    4. verify: one hash join back to both array-carrying frames and a
+       vectorized zip_with full-vector comparison (def == allele OR
+       def == 'N' at every position) — stays in codegen, O(L) per
+       candidate.
+
+    Worst case degrades gracefully: if every definition is identical,
+    candidates = N*P and stage 4 still beats the unpruned path's
+    L-times-larger intermediate by a factor of total_loci."""
+    iso = dense.select(
+        "profile_key", F.posexplode("profile").alias("pos", "allele")
+    )
+    sch = scheme_profiles.select(
+        "st", F.posexplode("profile").alias("pos", "def_allele")
+    )
+    sch_exact = sch.filter(F.col("def_allele") != WILDCARD)
+    sch_wild = sch.filter(F.col("def_allele") == WILDCARD)
+    exact_freq = sch_exact.groupBy(
+        "pos", F.col("def_allele").alias("allele")
+    ).agg(F.count(F.lit(1)).alias("n_prof"))
+    wild_freq = sch_wild.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n_wild")
+    )
+    cost = (
+        iso.join(exact_freq, on=["pos", "allele"], how="left")
+        .join(F.broadcast(wild_freq), on="pos", how="left")
+        .select(
+            "profile_key",
+            "pos",
+            "allele",
+            (
+                F.coalesce(F.col("n_prof"), F.lit(0))
+                + F.coalesce(F.col("n_wild"), F.lit(0))
+            ).alias("cost"),
+        )
+    )
+    best = (
+        cost.groupBy("profile_key")
+        .agg(
+            F.min_by(F.struct("pos", "allele"), F.struct("cost", "pos")).alias(
+                "b"
+            ),
+            F.min("cost").alias("_c"),
+        )
+        .filter(F.col("_c") > 0)
+        .select("profile_key", F.col("b.pos").alias("pos"), F.col("b.allele").alias("allele"))
+    )
+    cand = (
+        best.join(
+            sch_exact.select(
+                "st", "pos", F.col("def_allele").alias("allele")
+            ),
+            on=["pos", "allele"],
+        )
+        .select("profile_key", "st")
+        .unionByName(
+            best.join(sch_wild.select("st", "pos"), on="pos").select(
+                "profile_key", "st"
+            )
+        )
+    )
+    full_match = F.aggregate(
+        F.zip_with(
+            F.col("profile"),
+            F.col("def_profile"),
+            lambda a, d: ((d == a) | (d == F.lit(WILDCARD))).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(dense.select("profile_key", "profile"), on="profile_key")
+        .join(
+            scheme_profiles.select(
+                "st", F.col("profile").alias("def_profile")
+            ),
+            on="st",
+        )
+        .filter(full_match == total_loci)
+        .select("profile_key", "st")
+    )
 
 
 def define_new_profiles(

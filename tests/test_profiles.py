@@ -235,3 +235,73 @@ def test_pairs_memo_keys_on_session_object_not_id(monkeypatch):
     del s1
     gc.collect()
     assert len(ity._pairs_memo) == 1  # dead session's entry evicted
+
+
+def test_wildcard_assignment_pruned_equals_unpruned(spark, designations, scheme):
+    """r10 (VERDICT r9 task 1): the rarest-position candidate-pruned
+    wildcard path (prune_candidates=True — the Spark-first form of the
+    reference's first-k-position indexes, Datastore.pm:2160-2165) must
+    return exactly the unpruned inverted-index join's rows on (a) the
+    domain fixture and (b) a randomized skew corpus with multi-match,
+    zero-match, unmatched-allele (free-rejection) and 'N'-heavy
+    definitions."""
+    import random as _random
+
+    # (a) fixture: all isolates incl. incomplete + paralog exclusions
+    prof = build_profiles(designations, "isolate_id", "locus", "allele_id")
+    base = assign_scheme_fields(
+        prof, scheme, allow_missing_loci=True, total_loci=7
+    ).collect()
+    pruned = assign_scheme_fields(
+        prof, scheme, allow_missing_loci=True, total_loci=7,
+        prune_candidates=True,
+    ).collect()
+    assert {tuple(r) for r in pruned} == {tuple(r) for r in base}
+    assert len(base) > 0
+
+    # (b) randomized skew corpus: Zipf-ish allele popularity, multiple
+    # 'N' positions per definition, isolates cloned from definitions
+    # (guaranteed matches), mutated clones, and pure-noise isolates
+    # whose alleles appear in no definition (exercise the cost-0 exit)
+    rng = _random.Random(99)
+    total = 6
+    vocab = [str(v) for v in range(1, 13)]
+    weights = [1.0 / (i + 1) for i in range(len(vocab))]
+
+    def draw():
+        return rng.choices(vocab, weights=weights)[0]
+
+    defs = []
+    for st in range(1, 41):
+        vec = [draw() for _ in range(total)]
+        for p in rng.sample(range(total), rng.randint(0, 2)):
+            vec[p] = "N"
+        defs.append((str(st), vec))
+    iso_rows = []
+    key = 0
+    for _ in range(120):
+        key += 1
+        src = rng.choice(defs)[1]
+        vec = [draw() if v == "N" else v for v in src]
+        if rng.random() < 0.5:  # mutate one position
+            p = rng.randrange(total)
+            vec[p] = draw()
+        iso_rows.append((key, vec))
+    for _ in range(15):  # noise isolates with out-of-vocab alleles
+        key += 1
+        iso_rows.append((key, [str(rng.randint(100, 120)) for _ in range(total)]))
+    iso_df = spark.createDataFrame(
+        iso_rows, "profile_key int, profile array<string>"
+    ).withColumn("profile_md5", F.md5(F.array_join("profile", ",")))
+    sch_df = spark.createDataFrame(
+        defs, "st string, profile array<string>"
+    ).withColumn("profile_md5", F.md5(F.array_join("profile", ",")))
+    base2 = assign_scheme_fields(
+        iso_df, sch_df, allow_missing_loci=True, total_loci=total
+    ).collect()
+    pruned2 = assign_scheme_fields(
+        iso_df, sch_df, allow_missing_loci=True, total_loci=total,
+        prune_candidates=True,
+    ).collect()
+    assert {tuple(r) for r in pruned2} == {tuple(r) for r in base2}
+    assert len(base2) > 0
