@@ -711,11 +711,19 @@ def semantic_dedup(
     vec_type = dict(emb.dtypes)[vec_col]
     out_schema = f"{id_col} {id_type}, cell int, {vec_col} {vec_type}"
 
-    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def _assign(batches):
+        # Arrow-native (r10, same rewrite as similarity's IVF family):
+        # vectors arrive and leave as flat buffers — id and vector
+        # columns pass through UNTOUCHED, only the cell column is new
+        import pyarrow as pa
+
+        from bigsdb_spark.operators.similarity import _arrow_mat
+
+        for rb in batches:
+            nrows = rb.num_rows
+            if nrows == 0:
                 continue
-            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            x = _arrow_mat(rb.column(1), nrows)
             if cells is not None:
                 cell = (
                     x @ cells.T - 0.5 * (cells**2).sum(axis=1)
@@ -733,15 +741,16 @@ def semantic_dedup(
                     - 0.5 * (fc**2).sum(axis=2)
                 ).argmax(axis=1)
                 cell = ci * fine.shape[1] + fi
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "cell": cell.astype(np.int32),
-                    vec_col: pdf[vec_col],
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    pa.array(cell.astype(np.int32)),
+                    rb.column(1),
+                ],
+                names=[id_col, "cell", vec_col],
             )
 
-    assigned = emb.select(id_col, vec_col).mapInPandas(
+    assigned = emb.select(id_col, vec_col).mapInArrow(
         _assign, schema=out_schema
     )
 
@@ -764,16 +773,29 @@ def semantic_dedup(
     # codebooks) are GEMM-tiled so task memory stays O(block^2); only
     # the Arrow group materialization grows with occupancy, which is
     # why n_cells must scale with n.
-    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame(
-                {"id1": pdf[id_col][:0], "id2": pdf[id_col][:0]}
-            )
-        from bigsdb_spark.operators.similarity import np_round_half_up
+    def _cell_pairs(batches):
+        # Arrow-native iterator form (r10): batches accumulate as flat
+        # numpy blocks, no per-row pandas objects
+        import pyarrow as pa
 
-        ids = pdf[id_col].to_numpy()
-        x = np.array(list(pdf[vec_col]), dtype=np.float64)
+        from bigsdb_spark.operators.similarity import (
+            _arrow_mat,
+            np_round_half_up,
+        )
+
+        b_ids, b_vecs = [], []
+        m = 0
+        for rb in batches:
+            nb_rows = rb.num_rows
+            if nb_rows == 0:
+                continue
+            m += nb_rows
+            b_ids.append(rb.column(0).to_numpy(zero_copy_only=False))
+            b_vecs.append(_arrow_mat(rb.column(2), nb_rows))
+        if m < 2:
+            return
+        ids = np.concatenate(b_ids)
+        x = np.vstack(b_vecs)
         n = np.sqrt((x * x).sum(axis=1))
         o1, o2 = [], []
         block = 4096
@@ -791,11 +813,23 @@ def semantic_dedup(
                     keep = gi < gj  # the id1 < id2 pair contract
                     o1.append(gi[keep])
                     o2.append(gj[keep])
-        return pd.DataFrame(
-            {"id1": np.concatenate(o1), "id2": np.concatenate(o2)}
+        id1 = np.concatenate(o1)
+        if len(id1) == 0:
+            # empty object-dtype arrays infer a null Arrow type that
+            # fails the schema check — yield nothing instead
+            return
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(id1), pa.array(np.concatenate(o2))],
+            names=["id1", "id2"],
         )
 
-    pairs = assigned.groupBy("cell").applyInPandas(
+    import pyarrow as pa
+
+    _cell_pairs.__annotations__ = {
+        "batches": Iterator[pa.RecordBatch],
+        "return": Iterator[pa.RecordBatch],
+    }
+    pairs = assigned.groupBy("cell").applyInArrow(
         _cell_pairs, schema=f"id1 {id_type}, id2 {id_type}"
     )
     nodes = emb.select(F.col(id_col).alias("id"))

@@ -166,17 +166,27 @@ def pq_encode(
     id_type = dict(emb.dtypes)[id_col]
     out_schema = f"{id_col} {id_type}, codes array<int>"
 
-    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def _enc(batches):
+        # Arrow-native (r10): flat-buffer vector extraction + codes as
+        # offsets+values — no per-row ndarray/list objects
+        import pyarrow as pa
+
+        from bigsdb_spark.operators.similarity import (
+            _arrow_int_lists,
+            _arrow_mat,
+        )
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            x = _arrow_mat(rb.column(1), rb.num_rows)
             codes = _block_codes(x, books)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "codes": list(codes.tolist())}
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), _arrow_int_lists(codes)],
+                names=[id_col, "codes"],
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(_enc, schema=out_schema)
+    return emb.select(id_col, vec_col).mapInArrow(_enc, schema=out_schema)
 
 
 def pq_topk(
@@ -280,21 +290,31 @@ def ivf_pq_encode(
 
     residual = bool(model.get("residual"))
 
-    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def _enc(batches):
+        # Arrow-native (r10): id and (with keep_vec) the raw vector
+        # pass through as the SAME Arrow buffers
+        import pyarrow as pa
+
+        from bigsdb_spark.operators.similarity import (
+            _arrow_int_lists,
+            _arrow_mat,
+        )
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            x = _arrow_mat(rb.column(1), rb.num_rows)
             cscore = x @ cells.T - 0.5 * (cells**2).sum(axis=1)
             cell = cscore.argmax(axis=1).astype(np.int32)
             codes = _block_codes(x - cells[cell] if residual else x, books)
-            out = {id_col: pdf[id_col], "cell": cell,
-                   "codes": list(codes.tolist())}
+            arrays = [rb.column(0), pa.array(cell), _arrow_int_lists(codes)]
+            names = [id_col, "cell", "codes"]
             if keep_vec:
-                out[vec_col] = pdf[vec_col]
-            yield pd.DataFrame(out)
+                arrays.append(rb.column(1))
+                names.append(vec_col)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return emb.select(id_col, vec_col).mapInPandas(_enc, schema=out_schema)
+    return emb.select(id_col, vec_col).mapInArrow(_enc, schema=out_schema)
 
 
 def ivf_pq_topk(

@@ -160,6 +160,7 @@ def assign_scheme_fields(
     allow_missing_loci: bool = False,
     total_loci: int | None = None,
     prune_candidates: bool = False,
+    prune_positions: int = 3,
 ) -> DataFrame:
     """A5/J3: assign scheme fields (e.g. ST) to isolates by matching their
     allele vector against the profile warehouse.
@@ -188,17 +189,21 @@ def assign_scheme_fields(
     -position candidate indexes (Datastore.pm:2160-2165 intersects
     profile[1..3] lookups; sql/seqdef.sql:1193 indexes the first three
     profile positions).  This path is the Spark-first generalization —
-    RAREST-position candidate generation (prefix filtering from the
-    set-similarity-join literature): per isolate pick the single
-    position minimizing (profile-side frequency of its allele at that
-    pos + wildcard-definition count at that pos), generate candidates
-    only from that one position (complete: any matching definition
-    either equals the isolate's allele there or holds 'N' there), then
-    verify each candidate with ONE vectorized full-vector zip_with
-    comparison.  Every stage is linear in N*L or |candidates|; the
-    per-(pos,allele) pair product never materializes.  Output equality
-    with the unpruned path is pinned in tests/test_profiles.py; the
-    1e6-4e6 ladder lives in BASELINE.md (tools/a5_scale.py).
+    RAREST-K-POSITION candidate intersection (prefix filtering from
+    the set-similarity-join literature, with the reference's
+    intersection step): per isolate keep the ``prune_positions``
+    positions minimizing (profile-side frequency of its allele at that
+    pos + wildcard-definition count at that pos), generate narrow
+    (isolate, st) candidates from those positions, keep only pairs
+    matching at ALL of them (complete: any fully-matching definition
+    either equals the isolate's allele or holds 'N' at every selected
+    position), then verify survivors with ONE vectorized full-vector
+    zip_with comparison.  Every stage is linear in N*L or
+    |candidates|; the per-(pos,allele) pair product never
+    materializes, and no array column is shipped per candidate until
+    after the intersection cull.  Output equality with the unpruned
+    path is pinned in tests/test_profiles.py (prune_positions 1 and
+    3); the 1e5-4e6 ladder lives in BASELINE.md (tools/a5_scale.py).
     """
     if not allow_missing_loci:
         return isolate_profiles.join(
@@ -224,7 +229,9 @@ def assign_scheme_fields(
     # candidate vector per designation combination.
     dense = isolate_profiles.filter(F.size("profile") == total_loci)
     if prune_candidates:
-        return _assign_wildcard_pruned(dense, scheme_profiles, total_loci)
+        return _assign_wildcard_pruned(
+            dense, scheme_profiles, total_loci, n_positions=prune_positions
+        )
     iso = dense.select(
         "profile_key", F.posexplode("profile").alias("pos", "allele")
     )
@@ -248,34 +255,53 @@ def assign_scheme_fields(
 
 
 def _assign_wildcard_pruned(
-    dense: DataFrame, scheme_profiles: DataFrame, total_loci: int
+    dense: DataFrame,
+    scheme_profiles: DataFrame,
+    total_loci: int,
+    n_positions: int = 3,
 ) -> DataFrame:
-    """Rarest-position candidate pruning for the wildcard scheme-field
-    join (see ``assign_scheme_fields(prune_candidates=True)``).
+    """Rarest-k-position candidate pruning for the wildcard
+    scheme-field join (see
+    ``assign_scheme_fields(prune_candidates=True)``) — the Spark form
+    of the reference's first-three-position candidate INTERSECTION
+    (Datastore.pm:2160-2165 intersects profile[1..3] index lookups;
+    sql/seqdef.sql:1193 maintains those indexes).
 
     Stages, all linear (no per-(pos, allele) pair product):
 
     1. frequency tables over the DEFINITION side: exact (pos, allele)
        -> n_prof and pos -> n_wild ('N' rows).  P*L rows max, grouped.
     2. per isolate position cost = n_prof(pos, allele_here) +
-       n_wild(pos) (0 when the allele appears in no definition); pick
-       the argmin position per isolate with min_by — the single most
-       selective position.  An isolate whose best cost is 0 matches
-       nothing and exits here (its allele at that position appears in
-       NO definition, exact or wild) — free rejection.
-    3. candidates: the best position equi-joins (pos, allele) against
-       exact definition rows, plus (pos) against wild rows.
-       COMPLETE: a definition matching the isolate everywhere must, at
-       the chosen position, either carry the isolate's allele (exact
-       leg) or 'N' (wild leg).
-    4. verify: one hash join back to both array-carrying frames and a
-       vectorized zip_with full-vector comparison (def == allele OR
-       def == 'N' at every position) — stays in codegen, O(L) per
-       candidate.
+       n_wild(pos) (0 when the allele appears in no definition, exact
+       or wild); keep each isolate's ``n_positions`` CHEAPEST positions
+       (row_number window over (cost, pos)) — its most selective
+       probe set.
+    3. candidates: each selected position equi-joins (pos, allele)
+       against exact definition rows plus (pos) against wild rows —
+       NARROW (profile_key, st) rows only — then a groupBy counts per
+       pair and keeps count == n_positions: a definition survives only
+       if it matches (allele or 'N') at EVERY selected position.
+       COMPLETE: a fully-matching definition matches at all positions,
+       selected ones included.  A zero-cost selected position (the
+       isolate's allele appears in no definition there) contributes no
+       rows, so such isolates are rejected for free by the count.
+       The intersection is what makes cgMLST-wide schemes feasible: at
+       L=1000 with ~2% definition 'N' rate EVERY position carries
+       ~0.02*P wildcard candidates, so single-position pruning still
+       yields ~200 candidates/isolate and the array-carrying verify
+       join would ship ~20 KB per candidate (measured: filled a 69 GB
+       disk at N=2.5e5, P=1e4, L=1000); three-position intersection
+       culls to ~P*(0.02 + share_rare)^3 + true matches ≈ O(1) per
+       isolate BEFORE any array is shipped.
+    4. verify: one shuffle-hash join back to both array-carrying
+       frames and a vectorized zip_with full-vector comparison
+       (def == allele OR def == 'N' at every position) — stays in
+       codegen, O(L) per surviving candidate.
 
     Worst case degrades gracefully: if every definition is identical,
     candidates = N*P and stage 4 still beats the unpruned path's
     L-times-larger intermediate by a factor of total_loci."""
+    k_sel = max(1, min(n_positions, total_loci))
     iso = dense.select(
         "profile_key", F.posexplode("profile").alias("pos", "allele")
     )
@@ -303,17 +329,30 @@ def _assign_wildcard_pruned(
             ).alias("cost"),
         )
     )
-    best = (
-        cost.groupBy("profile_key")
-        .agg(
-            F.min_by(F.struct("pos", "allele"), F.struct("cost", "pos")).alias(
-                "b"
-            ),
-            F.min("cost").alias("_c"),
+    if k_sel == 1:
+        # argmin via hash aggregation — no per-partition sort (the
+        # window form below costs ~2x at the 4e6 MLST tier: 143 s
+        # min_by vs 294 s row_number, tools/a5_scale.py)
+        best = (
+            cost.groupBy("profile_key")
+            .agg(
+                F.min_by(
+                    F.struct("pos", "allele"), F.struct("cost", "pos")
+                ).alias("b")
+            )
+            .select(
+                "profile_key",
+                F.col("b.pos").alias("pos"),
+                F.col("b.allele").alias("allele"),
+            )
         )
-        .filter(F.col("_c") > 0)
-        .select("profile_key", F.col("b.pos").alias("pos"), F.col("b.allele").alias("allele"))
-    )
+    else:
+        w = Window.partitionBy("profile_key").orderBy("cost", "pos")
+        best = (
+            cost.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k_sel)
+            .select("profile_key", "pos", "allele")
+        )
     cand = (
         best.join(
             sch_exact.select(
@@ -327,6 +366,14 @@ def _assign_wildcard_pruned(
                 "profile_key", "st"
             )
         )
+        # at most one row per (isolate, st, selected position): the
+        # exact and wild legs are disjoint per (st, pos), so the count
+        # equals the number of selected positions the definition
+        # matches — == k_sel iff it matches at all of them
+        .groupBy("profile_key", "st")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == k_sel)
+        .select("profile_key", "st")
     )
     full_match = F.aggregate(
         F.zip_with(
@@ -337,12 +384,22 @@ def _assign_wildcard_pruned(
         F.lit(0),
         lambda acc, v: acc + v,
     )
+    # shuffle_hash hints on both array-carrying sides: a cgMLST
+    # definition row is ~L*20 B (1000-element allele arrays), so the
+    # row-count-based broadcast estimate understates bytes by ~3 orders
+    # of magnitude (measured: the unhinted cg tier OOM'd the broadcast
+    # build at P=1e4, L=1000), and sort-merge would sort the wide
+    # arrays for nothing — shuffle hash join is the right physical
+    # plan for wide-payload dims at any scale
     return (
-        cand.join(dense.select("profile_key", "profile"), on="profile_key")
+        cand.join(
+            dense.select("profile_key", "profile").hint("shuffle_hash"),
+            on="profile_key",
+        )
         .join(
             scheme_profiles.select(
                 "st", F.col("profile").alias("def_profile")
-            ),
+            ).hint("shuffle_hash"),
             on="st",
         )
         .filter(full_match == total_loci)

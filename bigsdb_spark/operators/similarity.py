@@ -62,6 +62,36 @@ def np_round_half_up(c, decimals: int = 6):
     return np.copysign(np.floor(np.abs(c) * scale + 0.5), c) / scale
 
 
+def _arrow_mat(arr, n_rows: int):
+    """(n_rows, d) float64 matrix from an Arrow list<float> array —
+    the flat values buffer is taken in ONE vectorized pass (zero-copy
+    where the buffer allows, a single astype otherwise) instead of the
+    pandas route's per-row ndarray objects.  r10 (VERDICT r9 task 6):
+    the per-cell Arrow round trip was 47% of the 1.6e7 IVF pipeline,
+    and most of it was exactly this conversion — Arrow ListArray ->
+    pandas object column -> np.array(list(...)) allocates one Python
+    object + one tiny ndarray PER ROW; this does none of that.
+    Requires equal-length, null-free lists (the vector-column
+    contract everywhere in this module)."""
+    import numpy as np
+
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(n_rows, -1)
+
+
+def _arrow_int_lists(mat):
+    """Arrow list<int32> array from an (n, k) int32 matrix — one
+    offsets vector + the flat values, no per-row Python lists."""
+    import numpy as np
+    import pyarrow as pa
+
+    n, k = mat.shape
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32)),
+        pa.array(mat.ravel()),
+    )
+
+
 def _with_norm(emb: DataFrame, id_col: str, vec_col: str, ids: str, e: str, n: str):
     """Project (id, vector, norm) once — O(corpus) instead of O(pairs)."""
     return emb.select(
@@ -484,7 +514,6 @@ def _ivf_probe_sides_np(
     from typing import Iterator
 
     import numpy as np
-    import pandas as pd
 
     if hierarchy is not None:
         coarse = np.array(hierarchy["coarse"], dtype=np.float64)
@@ -516,11 +545,21 @@ def _ivf_probe_sides_np(
         ]
         return np.take_along_axis(part, order, axis=1)
 
-    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def _assign(batches):
+        # Arrow-native (r10, VERDICT r9 task 6): the vector column is
+        # read as ONE flat buffer (_arrow_mat) and passed through to
+        # the output array UNTOUCHED (same Arrow buffer, no per-row
+        # object churn); probes ship as offsets+flat values.  The
+        # pandas form allocated per-row ndarrays on input AND per-row
+        # Python lists on output for every corpus row.
+        import pyarrow as pa
+
+        for rb in batches:
+            nrows = rb.num_rows
+            if nrows == 0:
                 continue
-            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vec = rb.column(1)
+            x = _arrow_mat(vec, nrows)
             nrm = np.sqrt((x * x).sum(axis=1))
             if cents is not None:
                 # argmin ||x-c||^2 == argmax x.c - 0.5||c||^2 (x^2 const)
@@ -545,19 +584,21 @@ def _ivf_probe_sides_np(
                         continue
                     fscore = x[rows] @ fine[bi].T - half_fine2[bi]
                     probes[rows] = bi * fine.shape[1] + _top_probes(fscore)
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col],
-                    "e": pdf[vec_col],
-                    "n": nrm,
-                    "centroid": probes[:, 0].astype(np.int32),
-                    "probes": list(probes.astype(np.int32)),
-                }
+            p32 = probes.astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    vec,
+                    pa.array(nrm),
+                    pa.array(p32[:, 0]),
+                    _arrow_int_lists(p32),
+                ],
+                names=["id", "e", "n", "centroid", "probes"],
             )
 
     assigned = (
         emb.select(id_col, vec_col)
-        .mapInPandas(_assign, schema=out_schema)
+        .mapInArrow(_assign, schema=out_schema)
         .filter(F.col("n") > 0)
     )
     if not explode_probes:
@@ -614,7 +655,9 @@ def ivf_kmeans_ann_gemm(
     Plan shape: instead of shuffling the exploded query side AND the
     corpus side into a join and folding an interpreted cosine per
     joined row, both sides shuffle ONCE into their cell
-    (groupBy(centroid).applyInPandas over a union frame) and each cell
+    (groupBy(centroid).applyInArrow over a union frame — Arrow-native
+    since r10: vectors cross the Python boundary as flat buffers, no
+    per-row pandas objects) and each cell
     scores queries x corpus in one tiled GEMM.  Per (query, cell) the
     task emits every candidate tied-or-above its k-th rounded cosine —
     a SUPERSET of the cell's true top-k under the (cosine desc, nn_id
@@ -724,7 +767,6 @@ def _merge_topk_by_qid(cand: DataFrame, top_k: int) -> DataFrame:
     from typing import Iterator
 
     import numpy as np
-    import pandas as pd
 
     spark = cand.sparkSession
     initial = int(
@@ -736,15 +778,20 @@ def _merge_topk_by_qid(cand: DataFrame, top_k: int) -> DataFrame:
     )
     n_parts = max(spark.sparkContext.defaultParallelism, initial)
 
-    def _rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _rank(batches):
+        # Arrow-native (r10): scalar columns convert with one
+        # to_numpy per batch (zero-copy for the doubles); output
+        # ships as RecordBatch chunks
+        import pyarrow as pa
+
         qs, ns, cs, cents = [], [], [], []
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            qs.append(pdf["qid"].to_numpy())
-            ns.append(pdf["nn_id"].to_numpy())
-            cs.append(pdf["cosine"].to_numpy())
-            cents.append(pdf["centroid"].to_numpy())
+            qs.append(rb.column(0).to_numpy(zero_copy_only=False))
+            ns.append(rb.column(1).to_numpy(zero_copy_only=False))
+            cs.append(rb.column(2).to_numpy(zero_copy_only=False))
+            cents.append(rb.column(3).to_numpy(zero_copy_only=False))
         if not qs:
             return
         q = np.concatenate(qs)
@@ -756,22 +803,20 @@ def _merge_topk_by_qid(cand: DataFrame, top_k: int) -> DataFrame:
         first = np.searchsorted(q, q, side="left")
         keep = (np.arange(len(q)) - first) < top_k
         q, nn, sc, ce = q[keep], nn[keep], sc[keep], ce[keep]
+        ce = ce.astype(np.int32, copy=False)
         block = 1 << 18
         for s in range(0, len(q), block):
-            yield pd.DataFrame(
-                {
-                    "qid": q[s : s + block],
-                    "nn_id": nn[s : s + block],
-                    "cosine": sc[s : s + block],
-                    "centroid": ce[s : s + block],
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(q[s : s + block]),
+                    pa.array(nn[s : s + block]),
+                    pa.array(sc[s : s + block]),
+                    pa.array(ce[s : s + block]),
+                ],
+                names=["qid", "nn_id", "cosine", "centroid"],
             )
 
-    _rank.__annotations__ = {
-        "batches": Iterator[pd.DataFrame],
-        "return": Iterator[pd.DataFrame],
-    }
-    return cand.repartition(n_parts, "qid").mapInPandas(
+    return cand.repartition(n_parts, "qid").mapInArrow(
         _rank, schema=cand.schema
     )
 
@@ -816,7 +861,6 @@ def _ivf_gemm_branch_topk(
     from typing import Iterator
 
     import numpy as np
-    import pandas as pd
 
     id_type = dict(b.dtypes)["nn_id"]
     union = a.select(
@@ -831,26 +875,32 @@ def _ivf_gemm_branch_topk(
         )
     )
 
-    def _branch_topk(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
+    def _branch_topk(batches):
+        # Arrow-native (r10, VERDICT r9 task 6): per-batch extraction
+        # is three flat-buffer reads (vectors via _arrow_mat, probes
+        # via ListArray.flatten — null rows, i.e. the corpus side, are
+        # skipped by flatten, so the reshape covers exactly the query
+        # rows in batch order) instead of per-row ndarray/list objects.
+        import pyarrow as pa
+
         q_ids, q_vecs, q_probes = [], [], []
         c_ids, c_vecs, c_cells = [], [], []
         n_rows = 0
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            nb = rb.num_rows
+            if nb == 0:
                 continue
             # fail-fast occupancy contract (r10, same as
             # bucketed_ann_pairs_gemm.max_bucket_rows): checked as
             # batches STREAM in, before any vstack, so a mis-sized
             # codebook errors with the knob named instead of OOMing
             # the worker mid-materialization
-            n_rows += len(pdf)
+            n_rows += nb
             if max_branch_rows is not None and n_rows > max_branch_rows:
                 raise ValueError(
-                    f"coarse branch {int(pdf['branch'].iloc[0])} holds "
-                    f"> max_branch_rows={max_branch_rows} rows: a "
-                    "branch materializes ~n/n_coarse corpus rows in "
+                    f"coarse branch {rb.column('branch')[0].as_py()} "
+                    f"holds > max_branch_rows={max_branch_rows} rows: "
+                    "a branch materializes ~n/n_coarse corpus rows in "
                     "ONE Python task, so the two-level codebook's "
                     "coarse arity must scale with the corpus (train "
                     "with n_coarse ~ n / target_branch_rows, e.g. "
@@ -858,22 +908,31 @@ def _ivf_gemm_branch_topk(
                     "branches) — retrain with more branches or raise "
                     "max_branch_rows to match worker memory"
                 )
-            isq = pdf["is_q"].to_numpy()
-            ids = pdf["id"].to_numpy()
-            vecs = np.array(list(pdf["e"]), dtype=np.float64)
+            isq = rb.column("is_q").to_numpy(zero_copy_only=False)
+            ids = rb.column("id").to_numpy(zero_copy_only=False)
+            vecs = _arrow_mat(rb.column("e"), nb)
             if isq.any():
+                nq_b = int(isq.sum())
                 q_ids.append(ids[isq])
                 q_vecs.append(vecs[isq])
+                # corpus probes are NULL lists — flatten skips them,
+                # leaving exactly the query rows' values in order
                 q_probes.append(
-                    np.vstack(
-                        list(pdf["probes"].to_numpy()[isq])
-                    ).astype(np.int64)
+                    rb.column("probes")
+                    .flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    .reshape(nq_b, -1)
                 )
             if not isq.all():
                 c_ids.append(ids[~isq])
                 c_vecs.append(vecs[~isq])
+                # query centroids are NULL -> to_numpy gives float64
+                # with NaN; the corpus mask selects only non-nulls
                 c_cells.append(
-                    pdf["centroid"].to_numpy()[~isq].astype(np.int64)
+                    rb.column("centroid")
+                    .to_numpy(zero_copy_only=False)[~isq]
+                    .astype(np.int64)
                 )
         if not q_ids or not c_ids:
             return
@@ -934,6 +993,8 @@ def _ivf_gemm_branch_topk(
         if not out_q:
             return
         gq = np.concatenate(out_q)
+        if len(gq) == 0:
+            return
         gn = np.concatenate(out_n)
         gs = np.concatenate(out_s)
         gc = np.concatenate(out_c)
@@ -944,20 +1005,26 @@ def _ivf_gemm_branch_topk(
         gq, gn, gs, gc = gq[keep], gn[keep], gs[keep], gc[keep]
         out_block = 1 << 18
         for s in range(0, len(gq), out_block):
-            yield pd.DataFrame(
-                {
-                    "qid": qids[gq[s : s + out_block]],
-                    "nn_id": gn[s : s + out_block],
-                    "cosine": gs[s : s + out_block],
-                    "centroid": gc[s : s + out_block],
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids[gq[s : s + out_block]]),
+                    pa.array(gn[s : s + out_block]),
+                    pa.array(gs[s : s + out_block]),
+                    pa.array(gc[s : s + out_block]),
+                ],
+                names=["qid", "nn_id", "cosine", "centroid"],
             )
 
+    # applyInArrow picks the iterator variant from RESOLVED type hints;
+    # this module's `from __future__ import annotations` stringifies the
+    # def-site ones, so set real type objects explicitly.
+    import pyarrow as pa
+
     _branch_topk.__annotations__ = {
-        "batches": Iterator[pd.DataFrame],
-        "return": Iterator[pd.DataFrame],
+        "batches": Iterator[pa.RecordBatch],
+        "return": Iterator[pa.RecordBatch],
     }
-    return union.groupBy("branch").applyInPandas(
+    return union.groupBy("branch").applyInArrow(
         _branch_topk,
         schema=(
             f"qid {id_type}, nn_id {id_type}, cosine double, centroid int"
@@ -997,19 +1064,19 @@ def _ivf_gemm_candidates(
     top_k rows per duplicate), while the window path keeps top_k per
     qid VALUE; dedupe ids upstream if they can repeat.
 
-    Memory shape (r9, VERDICT r8 task 3): the cell function is the
-    ITERATOR form of applyInPandas — input Arrow batches are split into
-    query/corpus numpy blocks as they arrive (never materialized as one
-    whole-cell pandas frame), and output is YIELDED one fixed-size
-    query-block chunk at a time (<= block*top_k rows per chunk), so a
-    giant cell's candidate output never exists as a single reduce-side
-    Python object.  The r8 probe measured the single-frame form's
-    ``+cand`` stage at the 32-partition floor as 816.9 s of reduce-side
-    materialization at 1.6e7."""
+    Memory shape (r9, VERDICT r8 task 3; Arrow-native r10): the cell
+    function is the ITERATOR form of applyInArrow — input RecordBatches
+    are split into query/corpus numpy blocks as they arrive (never
+    materialized as one whole-cell frame; vectors extracted as flat
+    buffers via ``_arrow_mat``, no per-row objects), and output is
+    YIELDED one fixed-size query-block chunk at a time (<= block*top_k
+    rows per chunk), so a giant cell's candidate output never exists as
+    a single reduce-side Python object.  The r8 probe measured the
+    single-frame pandas form's ``+cand`` stage at the 32-partition
+    floor as 816.9 s of reduce-side materialization at 1.6e7."""
     from typing import Iterator
 
     import numpy as np
-    import pandas as pd
 
     del exact_rank  # ranking is always exact per row now (see above)
     id_type = dict(b.dtypes)["nn_id"]
@@ -1023,18 +1090,23 @@ def _ivf_gemm_candidates(
         )
     )
 
-    def _cell_topk(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
+    def _cell_topk(batches):
+        # Arrow-native (r10, VERDICT r9 task 6): flat-buffer vector
+        # extraction via _arrow_mat — the pandas route's per-row
+        # ndarray allocation was the bulk of the measured 47%
+        # exchange+Arrow term at 1.6e7
+        import pyarrow as pa
+
         q_ids, q_vecs, c_ids, c_vecs = [], [], [], []
         cid = None
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            nb = rb.num_rows
+            if nb == 0:
                 continue
-            cid = pdf["centroid"].iloc[0]
-            isq = pdf["is_q"].to_numpy()
-            ids = pdf["id"].to_numpy()
-            vecs = np.array(list(pdf["e"]), dtype=np.float64)
+            cid = rb.column("centroid")[0].as_py()
+            isq = rb.column("is_q").to_numpy(zero_copy_only=False)
+            ids = rb.column("id").to_numpy(zero_copy_only=False)
+            vecs = _arrow_mat(rb.column("e"), nb)
             if isq.any():
                 q_ids.append(ids[isq])
                 q_vecs.append(vecs[isq])
@@ -1074,24 +1146,30 @@ def _ivf_gemm_candidates(
             first = np.searchsorted(ii, ii, side="left")
             in_k = (np.arange(len(ii)) - first) < top_k
             ii, sc, nn = ii[in_k], sc[in_k], nn[in_k]
-            yield pd.DataFrame(
-                {
-                    "qid": qids[ii + s],
-                    "nn_id": nn,
-                    "cosine": sc,
-                    "centroid": np.full(len(ii), cid),
-                }
+            if len(ii) == 0:
+                # empty object-dtype id arrays infer a null Arrow type
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids[ii + s]),
+                    pa.array(nn),
+                    pa.array(sc),
+                    pa.array(np.full(len(ii), cid, dtype=np.int32)),
+                ],
+                names=["qid", "nn_id", "cosine", "centroid"],
             )
 
-    # applyInPandas picks the iterator variant from RESOLVED type hints;
+    # applyInArrow picks the iterator variant from RESOLVED type hints;
     # this module's `from __future__ import annotations` stringifies the
     # def-site ones and the local imports make them unresolvable, so set
     # real type objects explicitly.
+    import pyarrow as pa
+
     _cell_topk.__annotations__ = {
-        "batches": Iterator[pd.DataFrame],
-        "return": Iterator[pd.DataFrame],
+        "batches": Iterator[pa.RecordBatch],
+        "return": Iterator[pa.RecordBatch],
     }
-    return union.groupBy("centroid").applyInPandas(
+    return union.groupBy("centroid").applyInArrow(
         _cell_topk,
         schema=(
             f"qid {id_type}, nn_id {id_type}, cosine double, centroid int"
@@ -1215,37 +1293,46 @@ def bucketed_ann_pairs_gemm(
     types = dict(withb.dtypes)
     id_type, bucket_type = types["id"], types["bucket"]
 
-    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        if max_bucket_rows is not None and m > max_bucket_rows:
-            raise ValueError(
-                f"sign bucket {pdf['bucket'].iloc[0]} holds {m} rows "
-                f"> max_bucket_rows={max_bucket_rows}: 2**dims must "
-                f"scale with the corpus (dims={dims} gives {2**dims} "
-                "buckets) — raise dims to hold occupancy bounded"
-            )
+    def _bucket_pairs(batches):
+        # Arrow-native (r10): bucket rows accumulate as flat numpy
+        # blocks while RecordBatches STREAM in — the occupancy guard
+        # fires before any big materialization, and vectors never
+        # become per-row pandas objects
+        import pyarrow as pa
+
+        b_ids, b_vecs = [], []
+        m = 0
+        bkt = None
+        for rb in batches:
+            nb = rb.num_rows
+            if nb == 0:
+                continue
+            m += nb
+            if max_bucket_rows is not None and m > max_bucket_rows:
+                raise ValueError(
+                    f"sign bucket {rb.column('bucket')[0].as_py()} "
+                    f"holds {m}+ rows "
+                    f"> max_bucket_rows={max_bucket_rows}: 2**dims must "
+                    f"scale with the corpus (dims={dims} gives {2**dims} "
+                    "buckets) — raise dims to hold occupancy bounded"
+                )
+            bkt = rb.column("bucket")[0]  # Arrow scalar: keeps its type
+            b_ids.append(rb.column("id").to_numpy(zero_copy_only=False))
+            b_vecs.append(_arrow_mat(rb.column("e"), nb))
         if m < 2:
-            return pd.DataFrame(
-                {
-                    "bucket": pdf["bucket"][:0],
-                    "id1": pdf["id"][:0],
-                    "id2": pdf["id"][:0],
-                    "cosine": pd.Series([], dtype="float64"),
-                }
-            )
-        ids = pdf["id"].to_numpy()
-        x = np.array(list(pdf["e"]), dtype=np.float64)
+            return
+        ids = np.concatenate(b_ids)
+        x = np.vstack(b_vecs)
         n = np.sqrt((x * x).sum(axis=1))
-        bkt = pdf["bucket"].iloc[0]
         o1, o2, oc = [], [], []
         block = 4096
         with np.errstate(divide="ignore", invalid="ignore"):
             for s in range(0, m, block):
-                xb, nb = x[s : s + block], n[s : s + block]
+                xb, nb_ = x[s : s + block], n[s : s + block]
                 for t in range(0, m, block):
                     cb = np_round_half_up(
                         (xb @ x[t : t + block].T)
-                        / np.outer(nb, n[t : t + block])
+                        / np.outer(nb_, n[t : t + block])
                     )
                     ib, jb = np.nonzero(cb >= min_cosine)
                     gi, gj = ids[ib + s], ids[jb + t]
@@ -1254,16 +1341,30 @@ def bucketed_ann_pairs_gemm(
                     o2.append(gj[keep])
                     oc.append(cb[ib, jb][keep])
         id1 = np.concatenate(o1)
-        return pd.DataFrame(
-            {
-                "bucket": np.full(len(id1), bkt),
-                "id1": id1,
-                "id2": np.concatenate(o2),
-                "cosine": np.concatenate(oc),
-            }
+        if len(id1) == 0:
+            # empty object-dtype arrays infer a null Arrow type
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                # repeat the captured Arrow scalar so the column keeps
+                # the INPUT's exact type (int32 'int' buckets would
+                # otherwise come back int64 and fail the schema check)
+                pa.repeat(bkt, len(id1)),
+                pa.array(id1),
+                pa.array(np.concatenate(o2)),
+                pa.array(np.concatenate(oc)),
+            ],
+            names=["bucket", "id1", "id2", "cosine"],
         )
 
-    return withb.groupBy("bucket").applyInPandas(
+    import pyarrow as pa
+    from typing import Iterator
+
+    _bucket_pairs.__annotations__ = {
+        "batches": Iterator[pa.RecordBatch],
+        "return": Iterator[pa.RecordBatch],
+    }
+    return withb.groupBy("bucket").applyInArrow(
         _bucket_pairs,
         schema=(
             f"bucket {bucket_type}, id1 {id_type}, "

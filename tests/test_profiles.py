@@ -252,11 +252,12 @@ def test_wildcard_assignment_pruned_equals_unpruned(spark, designations, scheme)
     base = assign_scheme_fields(
         prof, scheme, allow_missing_loci=True, total_loci=7
     ).collect()
-    pruned = assign_scheme_fields(
-        prof, scheme, allow_missing_loci=True, total_loci=7,
-        prune_candidates=True,
-    ).collect()
-    assert {tuple(r) for r in pruned} == {tuple(r) for r in base}
+    for k_sel in (1, 3):
+        pruned = assign_scheme_fields(
+            prof, scheme, allow_missing_loci=True, total_loci=7,
+            prune_candidates=True, prune_positions=k_sel,
+        ).collect()
+        assert {tuple(r) for r in pruned} == {tuple(r) for r in base}
     assert len(base) > 0
 
     # (b) randomized skew corpus: Zipf-ish allele popularity, multiple
@@ -299,9 +300,10 @@ def test_wildcard_assignment_pruned_equals_unpruned(spark, designations, scheme)
     base2 = assign_scheme_fields(
         iso_df, sch_df, allow_missing_loci=True, total_loci=total
     ).collect()
-    pruned2 = assign_scheme_fields(
-        iso_df, sch_df, allow_missing_loci=True, total_loci=total,
-        prune_candidates=True,
-    ).collect()
-    assert {tuple(r) for r in pruned2} == {tuple(r) for r in base2}
+    for k_sel in (1, 3):
+        pruned2 = assign_scheme_fields(
+            iso_df, sch_df, allow_missing_loci=True, total_loci=total,
+            prune_candidates=True, prune_positions=k_sel,
+        ).collect()
+        assert {tuple(r) for r in pruned2} == {tuple(r) for r in base2}
     assert len(base2) > 0

@@ -12,10 +12,15 @@ Under realistic allele-popularity skew (the top MLST allele at a locus
 often covers 30-50% of isolates) that is ~ L * N * P * sum(share^2) —
 the one SURVEY §2 core operator whose 100x behaviour was asserted
 (AQE skew splitting) rather than measured.  This tool measures it, and
-measures the r10 mitigation — rarest-position candidate pruning
+measures the r10 mitigation — rarest-k-position candidate INTERSECTION
 (``prune_candidates=True``; the Spark-first form of the reference's
-first-k-position candidate indexes, Datastore.pm:2160-2165 /
-sql/seqdef.sql:1193).
+first-three-position candidate indexes, Datastore.pm:2160-2165 /
+sql/seqdef.sql:1193).  The intersection matters at the cgMLST shape:
+with ~2% definition 'N' rate and L=1000, EVERY position carries
+~0.02*P wildcard candidates, so single-position pruning still yields
+~200 candidates/isolate whose array-carrying verify join ships ~20 KB
+each (the first cg run filled a 69 GB disk); intersecting 3 selective
+positions culls to O(1) survivors per isolate before any array moves.
 
 Synthesis (deterministic, pure expressions + one synthesis-time join):
 - definitions: P STs x L loci; allele at (st, pos) drawn Zipf-skewed by
@@ -38,9 +43,15 @@ Per tier this reports:
   (must be 0).
 
 Usage:
-  python tools/a5_scale.py [--tiers mlst:1000000:7:10000:60,...]
+  python tools/a5_scale.py [--tiers mlst:1000000:7:10000:60:1,...]
                            [--cap 2500000000] [--out /tmp/a5_scale]
-Tier spec: name:n_isolates:loci:profiles:vocab
+Tier spec: name:n_isolates:loci:profiles:vocab[:prune_positions]
+prune_positions defaults to 1 for loci<=20 and 3 otherwise: candidate
+GENERATION volume is sum over selected positions of that allele's
+definition frequency, so on a 7-locus scheme the 3rd-rarest position
+is still a popular allele (~k x more narrow candidate rows, measured
+2x wall at 1e5), while on 1000-locus schemes the 3 rarest of 1000 are
+near-unique and the intersection is what makes the verify feasible.
 Prints one JSON line per tier and a final summary JSON.
 """
 
@@ -64,13 +75,13 @@ from bigsdb_spark.session import get_spark  # noqa: E402
 
 DEFAULT_TIERS = (
     # MLST shape: 7 loci, 60-allele vocab (top share ~0.41)
-    "mlst_1e5:100000:7:10000:60,"
-    "mlst_1e6:1000000:7:10000:60,"
-    "mlst_4e6:4000000:7:10000:60,"
-    "mlst_1e6_p1e5:1000000:7:100000:60,"
+    "mlst_1e5:100000:7:10000:60:1,"
+    "mlst_1e6:1000000:7:10000:60:1,"
+    "mlst_4e6:4000000:7:10000:60:1,"
+    "mlst_1e6_p1e5:1000000:7:100000:60:1,"
     # cgMLST slice: 1000 loci, 500-allele vocab (top share ~0.33)
-    "cg_2p5e5:250000:1000:10000:500,"
-    "cg_1e6:1000000:1000:10000:500"
+    "cg_2p5e5:250000:1000:10000:500:3,"
+    "cg_1e6:1000000:1000:10000:500:3"
 )
 
 
@@ -81,7 +92,9 @@ def _skewed_allele(h, vocab: int):
     u = F.pmod(h, F.lit(1_000_003)).cast("double") / 1_000_003.0
     return F.least(
         F.lit(vocab),
-        F.greatest(1, F.floor(F.pow(F.lit(float(vocab)), u * u)).cast("int")),
+        F.greatest(
+            F.lit(1), F.floor(F.pow(F.lit(float(vocab)), u * u)).cast("int")
+        ),
     ).cast("string")
 
 
@@ -110,26 +123,50 @@ def _gen_isolates(spark, n: int, p: int, loci: int, vocab: int,
                   defs_path: str, path: str) -> None:
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return
-    defs = spark.read.parquet(defs_path).select(
-        F.col("st").cast("long").alias("_src"), F.col("profile").alias("_def")
-    )
+    del defs_path  # definitions are a deterministic hash function —
+    # the source profile is RECOMPUTED inline per (isolate, position)
+    # instead of joined: a join against 1000-element array rows builds
+    # ~20 KB/row hash maps per task (the joined form OOM'd the heap at
+    # the cgMLST shape even as shuffle_hash), while the inline form is
+    # two extra xxhash64 calls per element inside codegen, no join,
+    # byte-identical output (same formulas, same seeds)
     base = spark.range(n, numPartitions=max(32, n * loci // 2_000_000)).select(
         F.col("id").alias("profile_key"),
         F.pmod(F.xxhash64(F.col("id"), F.lit(5)), F.lit(p)).alias("_src"),
     )
-    joined = base.join(defs, on="_src")
+
+    def _def_allele(i):
+        # must mirror _gen_defs exactly (same seeds 7 and 1)
+        return F.when(
+            F.pmod(F.xxhash64(F.col("_src"), i, F.lit(7)), F.lit(100)) < 2,
+            F.lit(WILDCARD),
+        ).otherwise(
+            _skewed_allele(F.xxhash64(F.col("_src"), i, F.lit(1)), vocab)
+        )
+
+    # mutation hashes use the 0-based element index (i - 1) — the
+    # joined form hashed the transform's 0-based index, and the cached
+    # parquet tiers were generated that way; def-side hashes use the
+    # 1-based position to mirror _gen_defs
     mutate = F.transform(
-        F.col("_def"),
-        lambda v, i: F.when(
-            v == WILDCARD,
-            _skewed_allele(F.xxhash64(F.col("profile_key"), i, F.lit(11)), vocab),
+        F.sequence(F.lit(1), F.lit(loci)),
+        lambda i: F.when(
+            _def_allele(i) == WILDCARD,
+            _skewed_allele(
+                F.xxhash64(F.col("profile_key"), i - 1, F.lit(11)), vocab
+            ),
         )
         .when(
-            F.pmod(F.xxhash64(F.col("profile_key"), i, F.lit(13)), F.lit(1000))
+            F.pmod(
+                F.xxhash64(F.col("profile_key"), i - 1, F.lit(13)),
+                F.lit(1000),
+            )
             < 10,
-            _skewed_allele(F.xxhash64(F.col("profile_key"), i, F.lit(17)), vocab),
+            _skewed_allele(
+                F.xxhash64(F.col("profile_key"), i - 1, F.lit(17)), vocab
+            ),
         )
-        .otherwise(v),
+        .otherwise(_def_allele(i)),
     )
     noise = F.transform(
         F.sequence(F.lit(1), F.lit(loci)),
@@ -144,7 +181,7 @@ def _gen_isolates(spark, n: int, p: int, loci: int, vocab: int,
         noise,
     ).otherwise(mutate)
     (
-        joined.select(
+        base.select(
             "profile_key",
             prof.alias("profile"),
         )
@@ -199,8 +236,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     results = {}
     for spec in args.tiers.split(","):
-        name, n, loci, p, vocab = spec.split(":")
+        parts = spec.split(":")
+        name, n, loci, p, vocab = parts[:5]
         n, loci, p, vocab = int(n), int(loci), int(p), int(vocab)
+        k_sel = int(parts[5]) if len(parts) > 5 else (1 if loci <= 20 else 3)
         defs_path = os.path.join(args.out, f"defs_{loci}_{p}_{vocab}")
         iso_path = os.path.join(args.out, f"iso_{name}")
         _gen_defs(spark, p, loci, vocab, defs_path)
@@ -212,13 +251,14 @@ def main() -> None:
         t_pred = round(time.time() - t0, 1)
         row: dict = {
             "tier": name, "n": n, "loci": loci, "p": p, "vocab": vocab,
+            "prune_positions": k_sel,
             "predicted_intermediate": predicted, "t_predict": t_pred,
         }
         # pruned path (always)
         t0 = time.time()
         pruned = assign_scheme_fields(
             iso_df, sch_df, allow_missing_loci=True, total_loci=loci,
-            prune_candidates=True,
+            prune_candidates=True, prune_positions=k_sel,
         )
         pruned_path = os.path.join(args.out, f"out_pruned_{name}")
         pruned.write.mode("overwrite").parquet(pruned_path)

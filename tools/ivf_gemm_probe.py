@@ -155,17 +155,33 @@ def main() -> None:
                 )
             )
 
-            def count_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-                return pd.DataFrame(
+            # r10: the serving operator is Arrow-native now
+            # (applyInArrow + flat-buffer extraction), so the probe's
+            # exchange+materialization stage must measure the SAME
+            # boundary — a trivial applyInArrow count, not pandas
+            import pyarrow as pa
+
+            def count_cell(tbl):
+                isq = tbl.column("is_q").to_numpy(zero_copy_only=False)
+                return pa.table(
                     {
-                        "centroid": [pdf["centroid"].iloc[0]],
-                        "n_q": [int(pdf["is_q"].sum())],
-                        "n_c": [int((~pdf["is_q"]).sum())],
+                        "centroid": pa.array(
+                            [tbl.column("centroid")[0].as_py()],
+                            type=pa.int32(),
+                        ),
+                        "n_q": pa.array([int(isq.sum())], type=pa.int64()),
+                        "n_c": pa.array(
+                            [int(len(isq) - isq.sum())], type=pa.int64()
+                        ),
                     }
                 )
 
+            # resolved type objects, not stringified def-site hints
+            # (module has `from __future__ import annotations`)
+            count_cell.__annotations__ = {"tbl": pa.Table, "return": pa.Table}
+
             _noop(
-                union.groupBy("centroid").applyInPandas(
+                union.groupBy("centroid").applyInArrow(
                     count_cell, schema="centroid int, n_q long, n_c long"
                 )
             )

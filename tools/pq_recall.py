@@ -19,6 +19,12 @@ from both the exact set and the served set (its ADC distance is just
 its own quantization error, which would flatter recall).
 
 Usage: python tools/pq_recall.py [n] [top_k] [n_queries]
+                                 [--layouts m8k16,m16k32r,...]
+Layout spec m{m}k{k}[r] (r = residual encoding).  r10: the default
+battery adds the faiss-defaults code-budget study (VERDICT r9 task 2)
+— m16k64r and m32k256r; with the broadcast-LUT dispatch
+(RESIDUAL_ADC_MAX_LITERALS) residual layouts can now probe FULL cell
+counts, so the quantization-loss-only row is measurable for them too.
 Prints one JSON line per (layout, n_probe).
 """
 
@@ -58,6 +64,19 @@ def main() -> None:
     n = int(args[0]) if len(args) > 0 else 1_000_000
     top_k = int(args[1]) if len(args) > 1 else 10
     n_queries = int(args[2]) if len(args) > 2 else 50
+    import re as _re
+
+    layouts = None
+    for a in sys.argv[1:]:
+        if a.startswith("--layouts="):
+            layouts = []
+            for spec in a.split("=", 1)[1].split(","):
+                mm = _re.fullmatch(r"m(\d+)k(\d+)(r?)", spec)
+                if not mm:
+                    raise SystemExit(f"bad layout spec: {spec}")
+                layouts.append(
+                    (int(mm.group(1)), int(mm.group(2)), mm.group(3) == "r")
+                )
 
     from bigsdb_spark.operators.pq import (
         ivf_pq_encode,
@@ -101,10 +120,16 @@ def main() -> None:
 
     n_cells = 256
     # (m, k, residual): raw-vector layouts reproduce the r9 finding
-    # (ADC order is noise on clustered data); the residual layout is
-    # the faiss-classic fix measured against the same baseline
-    for m, k, residual in ((8, 16, False), (16, 32, False),
-                           (8, 16, True), (16, 32, True)):
+    # (ADC order is noise on clustered data); the residual layouts are
+    # the faiss-classic fix measured against the same baseline —
+    # m16k64r / m32k256r are the r10 code-budget study (faiss-default
+    # k=256 tier)
+    default_layouts = (
+        (8, 16, False), (16, 32, False),
+        (8, 16, True), (16, 32, True),
+        (16, 64, True), (32, 256, True),
+    )
+    for m, k, residual in (layouts or default_layouts):
         model = train_ivf_pq(
             emb, n_cells=n_cells, m=m, k=k, sample=16 * n_cells,
             residual=residual,
@@ -112,11 +137,12 @@ def main() -> None:
         enc = ivf_pq_encode(emb, model, keep_vec=True).cache()
         enc.count()  # materialize once; every probe reuses the codes
         # refine_factor=None is the ADC-only serving path; 10 adds the
-        # exact refine stage over the 10*top_k ADC shortlist (r9)
-        # residual ADC builds n_probe*m*k lookup literals (per-cell
-        # tables), so its "full probe" row is capped at 16 — the
-        # serving regime; raw-vector layouts keep the true full probe
-        top = 16 if residual else n_cells
+        # exact refine stage over the 10*top_k ADC shortlist (r9).
+        # r10: residual full probe is no longer capped at 16 — past
+        # RESIDUAL_ADC_MAX_LITERALS the per-cell LUTs dispatch as a
+        # broadcast table instead of a literal CASE chain, so the
+        # quantization-loss-only row is measurable for residual too
+        top = n_cells
         for refine in (None, 10):
             for n_probe in (1, 2, 4, 8, top):
                 hits = 0
