@@ -247,7 +247,18 @@ def train_ivf_pq(
     0.002 at full probe, and even a 10x exact-refine shortlist only
     reaches ~0.03 because the shortlist itself is noise-selected);
     residual PQ spends the same code budget on the intra-cluster
-    scale, where the neighbours actually differ."""
+    scale, where the neighbours actually differ.
+
+    Deployment guidance (r10 code-budget study, n=1e6 clustered,
+    refine 10x — BASELINE.md r10): the MEMORY-TIER quality config is
+    **m=32, k=256, residual** — recall@10 = 0.874/0.938/0.946 at
+    n_probe 1/2/4 (0.946 is the quantization ceiling: full probe is
+    identical), i.e. >= 0.9 from n_probe=2 at 32 codes/vector (8x
+    smaller than raw float32 at d=64, 1-byte codes).  m=16/k=64
+    residual PLATEAUS at 0.702 from n_probe=4 through FULL probe —
+    a shortlist-quality ceiling, not routing; it cannot reach 0.9 at
+    this corpus tightness.  Below that budget, serve quality with the
+    exact-vector GEMM path (similarity.ivf_kmeans_ann_gemm)."""
     x = _sample_np(emb, vec_col, sample)
     cells = _kmeans_np(x, n_cells, iters, seed)
     if residual:

@@ -350,3 +350,56 @@ def test_ivf_pq_residual_lut_broadcast_dispatch(spark, monkeypatch):
     assert [tuple(r) for r in bc_ref] == [tuple(r) for r in lit_ref]
     assert len(lit_adc) == 10 and len(lit_ref) == 10
     enc.unpersist()
+
+def test_ivf_pq_m32k256_residual_memory_tier(spark):
+    """r10 (VERDICT r9 task 2): the m=32/k=256 residual + exact-refine
+    layout is the shipped memory-tier quality config (recall@10 0.938
+    at n_probe=2 on the 1e6 production corpus, BASELINE.md r10).  Pin
+    at test scale: (a) the config round-trips encode/topk and reaches
+    >= 0.9 recall on a tight clustered corpus, and (b) its LUT volume
+    (n_probe*m*k = 4*32*256 = 32768 literals) exceeds
+    RESIDUAL_ADC_MAX_LITERALS, so this exercises the broadcast-LUT
+    dispatch in the serving shape."""
+    import random as _random
+
+    from bigsdb_spark.operators.pq import (
+        RESIDUAL_ADC_MAX_LITERALS,
+        ivf_pq_encode,
+        ivf_pq_topk,
+        train_ivf_pq,
+    )
+
+    assert 4 * 32 * 256 > RESIDUAL_ADC_MAX_LITERALS
+    rng = _random.Random(31)
+    rows = []
+    vid = 0
+    for c in range(40):
+        center = [rng.uniform(-1, 1) for _ in range(64)]
+        for _ in range(50):
+            rows.append((vid, [x + rng.gauss(0, 0.02) for x in center]))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).cache()
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    ids = np.array([r[0] for r in rows])
+    model = train_ivf_pq(
+        emb, n_cells=40, m=32, k=256, sample=2000, residual=True
+    )
+    enc = ivf_pq_encode(emb, model, keep_vec=True).cache()
+    hits = 0
+    queries = [7, 801, 1490]
+    for qi in queries:
+        d2 = ((x - x[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        true = {int(i) for i in ids[np.lexsort((ids, d2))[:10]]}
+        got = ivf_pq_topk(
+            enc, model, [float(v) for v in x[qi]],
+            top_k=11, n_probe=4, refine_factor=10,
+        ).collect()
+        got_ids = [int(r["vec_id"]) for r in got
+                   if int(r["vec_id"]) != qi][:10]
+        hits += len(set(got_ids) & true)
+    assert hits / (10 * len(queries)) >= 0.9
+    enc.unpersist()
+    emb.unpersist()

@@ -67,7 +67,13 @@ def main() -> None:
     import re as _re
 
     layouts = None
+    refines = (None, 10)
     for a in sys.argv[1:]:
+        if a.startswith("--refines="):
+            refines = tuple(
+                None if r in ("none", "adc") else int(r)
+                for r in a.split("=", 1)[1].split(",")
+            )
         if a.startswith("--layouts="):
             layouts = []
             for spec in a.split("=", 1)[1].split(","):
@@ -143,7 +149,7 @@ def main() -> None:
         # broadcast table instead of a literal CASE chain, so the
         # quantization-loss-only row is measurable for residual too
         top = n_cells
-        for refine in (None, 10):
+        for refine in refines:
             for n_probe in (1, 2, 4, 8, top):
                 hits = 0
                 for q in sample_ids:
