@@ -269,6 +269,9 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bigsdb_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # 1/5/15-min load at run start: a contaminated run (ambient load
+    # from a co-scheduled process) identifies itself in the artifact
+    load_start = [round(x, 2) for x in os.getloadavg()]
 
     timings: dict[str, float] = {}
     # warm the JVM, parquet footers, broadcast machinery and the python
@@ -290,22 +293,34 @@ def main() -> None:
     # best of N runs (default 3, env-overridable): single-JVM shuffle
     # stages show large run-to-run variance (GC / straggler noise —
     # r2 saw ~1.8x drift on sub-2s queries at n=2); the minimum over
-    # n>=3 is the reproducible cost of the plan. The max/min spread is
-    # printed per query so noise is visible in the run log.
+    # n>=3 is the reproducible cost of the plan.  Noise defense
+    # (VERDICT r10 #3 — two consecutive driver artifacts were
+    # contaminated by ambient load): sub-3s entries, where a single
+    # co-scheduled process can double the reading, automatically get
+    # extra reps (up to SPARK_GRAFT_BENCH_N_FAST, default 5), and the
+    # per-query max/min spread plus the host load average at run
+    # start/end are emitted INTO the JSON so a contaminated artifact
+    # is self-identifying, not just visible on stderr.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
+    fast_repeats = max(
+        repeats, int(os.environ.get("SPARK_GRAFT_BENCH_N_FAST", "5"))
+    )
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
-        for _ in range(repeats):
+        while len(runs) < repeats or (
+            min(runs) < 3.0 and len(runs) < fast_repeats
+        ):
             t0 = time.time()
             df = (QUERIES.get(name) or EXTRA[name])(spark, sf_dir)
             n = df.count()
             runs.append(time.time() - t0)
             reset()
         timings[name] = round(min(runs), 3)
-        spread = max(runs) / min(runs)
+        spreads[name] = round(max(runs) / min(runs), 2)
         print(
-            f"  {name}: {timings[name]}s ({n} rows, n={repeats}, "
-            f"spread {spread:.2f}x)",
+            f"  {name}: {timings[name]}s ({n} rows, n={len(runs)}, "
+            f"spread {spreads[name]:.2f}x)",
             file=sys.stderr,
         )
     # per-tier sub-timings for the two composite gate entries, so
@@ -330,7 +345,9 @@ def main() -> None:
         subtimings[comp] = {}
         for tier in names:
             runs = []
-            for _ in range(repeats):
+            while len(runs) < repeats or (
+                min(runs) < 3.0 and len(runs) < fast_repeats
+            ):
                 t0 = time.time()
                 tiers_of(tier).count()
                 runs.append(time.time() - t0)
@@ -351,6 +368,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spreads": spreads,
+                "loadavg_start": load_start,
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "subtimings": subtimings,
                 "oracle_baselines_excluded_from_total": sorted(
                     ORACLE_BASELINES

@@ -46,6 +46,17 @@ def _free_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+# inherited-stats bit-length above which checkpoint_no_stats rebuilds
+# the Dataset to reset sizeInBytes (r11, VERDICT r10 #4).  The growth
+# is ~2x bits/round (each round's join multiplies two frames carrying
+# the prior round's estimate), so 4096 bits = rebuild every ~6 rounds;
+# BigInt arithmetic below ~2^8192 is sub-microsecond, and the estimate
+# is equally meaningless at 64 or 4096 bits (anything past 2^63 bytes
+# exceeds addressable storage), so nothing downstream can distinguish
+# the two except the multiply cost this bounds.
+STATS_REBUILD_BITS = 4096
+
+
 def checkpoint_no_stats(df: DataFrame, storage_level=None) -> DataFrame:
     """localCheckpoint that also DROPS the plan statistics the
     checkpoint would otherwise inherit (r10).
@@ -73,20 +84,46 @@ def checkpoint_no_stats(df: DataFrame, storage_level=None) -> DataFrame:
     whose inflated pre-fix estimates already disqualified broadcast.
     Falls back to the plain checkpoint on py4j interface drift.  The
     returned frame carries the raw checkpoint as ``_ckpt_handle`` so
-    ``_free_local_checkpoint`` can still release its blocks."""
+    ``_free_local_checkpoint`` can still release its blocks.
+
+    r11 (VERDICT r10 #4): the rebuild is now CONDITIONAL.  The r10
+    form rebuilt every round, paying the py4j round trips +
+    re-analysis of a fresh Dataset once per iteration whether or not
+    the inherited estimate was pathological (d4's measured same-host
+    cost: 1.12x at sf0.1 — NOT a partitioning loss; under AQE even a
+    plain localCheckpoint's LogicalRDD reports UnknownPartitioning,
+    AdaptiveSparkPlanExec hides the final partitioning from
+    fromDataset, so post-checkpoint joins re-shuffle in BOTH forms —
+    verified by plan probe, r11).  Since the blowup is geometric (~2x
+    bits/round), it is enough to CHECK the inherited estimate's bit
+    length (one py4j stats read of the already-computed LogicalRDD
+    stats, no job) and rebuild only past ``STATS_REBUILD_BITS`` —
+    most rounds return the raw checkpoint untouched, the BigInt stays
+    bounded, and the 18-minute multiplyToomCook3 pathology stays dead
+    (regression covered by test_mst's nested-fold timing and
+    test_checkpoint_no_stats_* in tests/test_stats_clustering.py)."""
     if storage_level is not None:
         ck = df.localCheckpoint(eager=True, storageLevel=storage_level)
     else:
         ck = df.localCheckpoint(eager=True)
     spark = df.sparkSession
+    out = ck
     try:
         jdf = ck._jdf
-        out = DataFrame(
-            spark._jsparkSession.internalCreateDataFrame(
-                jdf.queryExecution().toRdd(), jdf.schema(), False
-            ),
-            spark,
-        )
+        size = jdf.queryExecution().analyzed().stats().sizeInBytes()
+        # py4j hands scala BigInt back as a Python int (via the
+        # BigInteger converter); keep a JavaObject fallback for drift
+        try:
+            bits = int(size).bit_length()
+        except (TypeError, ValueError):
+            bits = size.bigInteger().bitLength()
+        if bits > STATS_REBUILD_BITS:
+            out = DataFrame(
+                spark._jsparkSession.internalCreateDataFrame(
+                    jdf.queryExecution().toRdd(), jdf.schema(), False
+                ),
+                spark,
+            )
     except Exception:
         out = ck
     out._ckpt_handle = ck

@@ -154,13 +154,50 @@ def hamming_zipwith(a, b):
     return F.aggregate(diffs, F.lit(0), lambda acc, v: acc + v)
 
 
+# auto knob rule for _assign_wildcard_pruned (r11, VERDICT r10 #2):
+# use the 3-position intersection when the wildcard floor alone makes
+# single-position pruning ship too much array payload to the verify
+# join.  min-per-position wildcard-definition count is a LOWER bound on
+# k=1 candidates per isolate (every definition with 'N' at the selected
+# position survives, whatever allele the isolate carries), and each
+# survivor ships an L-element allele array — so the decision weighs
+# min_wild * L, the zip_with verify cells per isolate from that floor.
+# Measured regimes (BASELINE.md r10 ladder): MLST-shape (L=7, ~2% 'N',
+# P=1e4 -> floor 200*7 = 1.4e3 cells) ran FASTER at k=1 (36.6 s vs
+# 60.5-82.2 s — two extra probe joins cost more than the narrow
+# verify); cgMLST-shape (L=1000 -> floor 200*1000 = 2e5 cells, ~20 KB
+# of array per candidate) filled a 69 GB disk at k=1 and needs k=3.
+# The threshold sits between the two measured shapes.
+AUTO_PRUNE_VERIFY_CELLS = 10_000
+
+
+def _auto_prune_positions(sch_long: DataFrame, total_loci: int) -> int:
+    """Pick prune_positions (1 or 3) from the definition side — one
+    tiny aggregate over the same long form stage 1 re-derives (L rows
+    after the groupBy).  Pass ``prune_positions`` explicitly to skip
+    the probe job."""
+    row = (
+        sch_long.filter(F.col("def_allele") == WILDCARD)
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("n_wild"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.coalesce(F.min("n_wild"), F.lit(0)).alias("min_wild"),
+        )
+        .collect()[0]
+    )
+    # a position with NO wildcard definitions caps the floor at 0
+    min_wild = row.min_wild if row.n_pos == total_loci else 0
+    return 3 if min_wild * total_loci > AUTO_PRUNE_VERIFY_CELLS else 1
+
+
 def assign_scheme_fields(
     isolate_profiles: DataFrame,
     scheme_profiles: DataFrame,
     allow_missing_loci: bool = False,
     total_loci: int | None = None,
-    prune_candidates: bool = False,
-    prune_positions: int = 3,
+    prune_candidates: bool = True,
+    prune_positions: int | None = None,
 ) -> DataFrame:
     """A5/J3: assign scheme fields (e.g. ST) to isolates by matching their
     allele vector against the profile warehouse.
@@ -179,7 +216,12 @@ def assign_scheme_fields(
     ``build_profiles``. ``scheme_profiles``: (st, profile, profile_md5).
     Returns (profile_key, st).
 
-    ``prune_candidates`` (r10, VERDICT r9 task 1 — wildcard path only):
+    ``prune_candidates`` (r10, VERDICT r9 task 1 — wildcard path only;
+    DEFAULT since r11, VERDICT r10 #2 — the reference never runs its
+    cache build unindexed: Datastore.pm:2160-2165 always intersects
+    the profile[1..3] candidate indexes, so the unpruned inverted-index
+    join is the opt-OUT comparison path here, kept for the equality
+    pins and for schemes whose definitions defeat pruning entirely):
     the inverted-index join's intermediate is every (isolate, ST) pair
     sharing ANY (pos, allele) — sum over (pos, a) of
     iso_cnt(pos,a) * prof_cnt(pos,a), which under realistic allele
@@ -204,6 +246,11 @@ def assign_scheme_fields(
     after the intersection cull.  Output equality with the unpruned
     path is pinned in tests/test_profiles.py (prune_positions 1 and
     3); the 1e5-4e6 ladder lives in BASELINE.md (tools/a5_scale.py).
+
+    ``prune_positions=None`` (the default) picks 1 or 3 from the
+    definition side's measured wildcard floor (one tiny aggregate,
+    ``_auto_prune_positions``); pass an int to skip the probe job and
+    force a width.
     """
     if not allow_missing_loci:
         return isolate_profiles.join(
@@ -228,14 +275,22 @@ def assign_scheme_fields(
     # (sql/isolatedb.sql:1541-1554) and needs pre-expansion into one
     # candidate vector per designation combination.
     dense = isolate_profiles.filter(F.size("profile") == total_loci)
+    # the SAME length contract on the definition side (r11, ADVICE
+    # r10): an over-length definition shifts nothing here (positional
+    # explode), but the unpruned count==total_loci test would accept
+    # one whose first total_loci positions match while the pruned
+    # zip_with verify (null-padded) rejects it — out-of-contract input
+    # either way, so both paths now uniformly IGNORE definitions whose
+    # vector is not exactly total_loci long
+    defs = scheme_profiles.filter(F.size("profile") == total_loci)
     if prune_candidates:
         return _assign_wildcard_pruned(
-            dense, scheme_profiles, total_loci, n_positions=prune_positions
+            dense, defs, total_loci, n_positions=prune_positions
         )
     iso = dense.select(
         "profile_key", F.posexplode("profile").alias("pos", "allele")
     )
-    sch = scheme_profiles.select(
+    sch = defs.select(
         "st", F.posexplode("profile").alias("pos", "def_allele")
     )
     exact = iso.join(
@@ -258,7 +313,7 @@ def _assign_wildcard_pruned(
     dense: DataFrame,
     scheme_profiles: DataFrame,
     total_loci: int,
-    n_positions: int = 3,
+    n_positions: int | None = 3,
 ) -> DataFrame:
     """Rarest-k-position candidate pruning for the wildcard
     scheme-field join (see
@@ -300,14 +355,20 @@ def _assign_wildcard_pruned(
 
     Worst case degrades gracefully: if every definition is identical,
     candidates = N*P and stage 4 still beats the unpruned path's
-    L-times-larger intermediate by a factor of total_loci."""
-    k_sel = max(1, min(n_positions, total_loci))
+    L-times-larger intermediate by a factor of total_loci.
+
+    ``n_positions=None`` (r11 default via ``assign_scheme_fields``)
+    auto-selects 1 or 3 from the definition side's wildcard floor —
+    see ``_auto_prune_positions``."""
     iso = dense.select(
         "profile_key", F.posexplode("profile").alias("pos", "allele")
     )
     sch = scheme_profiles.select(
         "st", F.posexplode("profile").alias("pos", "def_allele")
     )
+    if n_positions is None:
+        n_positions = _auto_prune_positions(sch, total_loci)
+    k_sel = max(1, min(n_positions, total_loci))
     sch_exact = sch.filter(F.col("def_allele") != WILDCARD)
     sch_wild = sch.filter(F.col("def_allele") == WILDCARD)
     exact_freq = sch_exact.groupBy(

@@ -72,10 +72,25 @@ def _arrow_mat(arr, n_rows: int):
     pandas object column -> np.array(list(...)) allocates one Python
     object + one tiny ndarray PER ROW; this does none of that.
     Requires equal-length, null-free lists (the vector-column
-    contract everywhere in this module)."""
+    contract everywhere in this module) — and GUARDS it (r11, ADVICE
+    r10): ``ListArray.flatten`` skips null rows, so a contract
+    violation whose shrunken element count happens to divide n_rows
+    would otherwise reshape into a silently garbled matrix (the old
+    ``np.array(list(...))`` path raised loudly on ragged input)."""
     import numpy as np
 
+    if arr.null_count:
+        raise ValueError(
+            f"_arrow_mat: {arr.null_count} null vector rows — the "
+            "vector-column contract requires null-free lists"
+        )
     flat = arr.flatten().to_numpy(zero_copy_only=False)
+    if n_rows and len(flat) % n_rows:
+        raise ValueError(
+            f"_arrow_mat: ragged vector lengths ({len(flat)} elements "
+            f"across {n_rows} rows) — the vector-column contract "
+            "requires equal-length lists"
+        )
     return flat.astype(np.float64, copy=False).reshape(n_rows, -1)
 
 
@@ -890,25 +905,31 @@ def _ivf_gemm_branch_topk(
             nb = rb.num_rows
             if nb == 0:
                 continue
+            isq = rb.column("is_q").to_numpy(zero_copy_only=False)
             # fail-fast occupancy contract (r10, same as
             # bucketed_ann_pairs_gemm.max_bucket_rows): checked as
             # batches STREAM in, before any vstack, so a mis-sized
             # codebook errors with the knob named instead of OOMing
-            # the worker mid-materialization
-            n_rows += nb
+            # the worker mid-materialization.  Counts CORPUS rows only
+            # (r11, ADVICE r10): the union stream also carries the
+            # branch's query rows (~2x corpus in the self-join serving
+            # shape), and the documented sizing rule — bound =
+            # worker_mem_budget / (8*d) over ~n/n_coarse corpus rows —
+            # describes the corpus side
+            n_rows += nb - int(isq.sum())
             if max_branch_rows is not None and n_rows > max_branch_rows:
                 raise ValueError(
                     f"coarse branch {rb.column('branch')[0].as_py()} "
-                    f"holds > max_branch_rows={max_branch_rows} rows: "
-                    "a branch materializes ~n/n_coarse corpus rows in "
-                    "ONE Python task, so the two-level codebook's "
-                    "coarse arity must scale with the corpus (train "
-                    "with n_coarse ~ n / target_branch_rows, e.g. "
-                    "occupancy-256 fine cells under sqrt(k) coarse "
-                    "branches) — retrain with more branches or raise "
-                    "max_branch_rows to match worker memory"
+                    f"holds > max_branch_rows={max_branch_rows} corpus "
+                    "rows: a branch materializes ~n/n_coarse corpus "
+                    "rows in ONE Python task, so the two-level "
+                    "codebook's coarse arity must scale with the "
+                    "corpus (train with n_coarse ~ n / "
+                    "target_branch_rows, e.g. occupancy-256 fine "
+                    "cells under sqrt(k) coarse branches) — retrain "
+                    "with more branches or raise max_branch_rows to "
+                    "match worker memory"
                 )
-            isq = rb.column("is_q").to_numpy(zero_copy_only=False)
             ids = rb.column("id").to_numpy(zero_copy_only=False)
             vecs = _arrow_mat(rb.column("e"), nb)
             if isq.any():

@@ -55,9 +55,17 @@ def test_wildcard_scheme_join_is_equi(spark):
     scheme = spark.createDataFrame(
         [("9", ["N", "2"])], "st string, profile array<string>"
     ).withColumn("profile_md5", F.md5(F.array_join("profile", ",")))
-    out = assign_scheme_fields(prof, scheme, allow_missing_loci=True, total_loci=2)
+    out = assign_scheme_fields(
+        prof, scheme, allow_missing_loci=True, total_loci=2,
+        prune_candidates=False,  # pin the UNPRUNED inverted-index plan
+    )
     plan = plan_of(out)
     assert "CartesianProduct" not in plan
+    # and the r11 default (pruned, auto knob) plans clean too
+    dflt = assign_scheme_fields(
+        prof, scheme, allow_missing_loci=True, total_loci=2
+    )
+    assert "CartesianProduct" not in plan_of(dflt)
 
 
 def test_interval_join_no_cartesian(spark):

@@ -248,9 +248,12 @@ def test_wildcard_assignment_pruned_equals_unpruned(spark, designations, scheme)
     import random as _random
 
     # (a) fixture: all isolates incl. incomplete + paralog exclusions
+    # (prune_candidates=False pins the UNPRUNED inverted-index join as
+    # the comparison base — since r11 the pruned path is the default)
     prof = build_profiles(designations, "isolate_id", "locus", "allele_id")
     base = assign_scheme_fields(
-        prof, scheme, allow_missing_loci=True, total_loci=7
+        prof, scheme, allow_missing_loci=True, total_loci=7,
+        prune_candidates=False,
     ).collect()
     for k_sel in (1, 3):
         pruned = assign_scheme_fields(
@@ -258,6 +261,11 @@ def test_wildcard_assignment_pruned_equals_unpruned(spark, designations, scheme)
             prune_candidates=True, prune_positions=k_sel,
         ).collect()
         assert {tuple(r) for r in pruned} == {tuple(r) for r in base}
+    # the r11 DEFAULT (pruned, auto knob) must also match
+    dflt = assign_scheme_fields(
+        prof, scheme, allow_missing_loci=True, total_loci=7
+    ).collect()
+    assert {tuple(r) for r in dflt} == {tuple(r) for r in base}
     assert len(base) > 0
 
     # (b) randomized skew corpus: Zipf-ish allele popularity, multiple
@@ -298,7 +306,8 @@ def test_wildcard_assignment_pruned_equals_unpruned(spark, designations, scheme)
         defs, "st string, profile array<string>"
     ).withColumn("profile_md5", F.md5(F.array_join("profile", ",")))
     base2 = assign_scheme_fields(
-        iso_df, sch_df, allow_missing_loci=True, total_loci=total
+        iso_df, sch_df, allow_missing_loci=True, total_loci=total,
+        prune_candidates=False,
     ).collect()
     for k_sel in (1, 3):
         pruned2 = assign_scheme_fields(
@@ -306,4 +315,72 @@ def test_wildcard_assignment_pruned_equals_unpruned(spark, designations, scheme)
             prune_candidates=True, prune_positions=k_sel,
         ).collect()
         assert {tuple(r) for r in pruned2} == {tuple(r) for r in base2}
+    dflt2 = assign_scheme_fields(
+        iso_df, sch_df, allow_missing_loci=True, total_loci=total
+    ).collect()
+    assert {tuple(r) for r in dflt2} == {tuple(r) for r in base2}
     assert len(base2) > 0
+
+
+def test_auto_prune_positions_rule(spark):
+    """r11 (VERDICT r10 #2): the auto knob picks k=3 only when the
+    definition side's wildcard floor (min per-position 'N' count x
+    scheme width) exceeds AUTO_PRUNE_VERIFY_CELLS — the measured
+    boundary between the MLST shape (k=1 faster) and the cgMLST shape
+    (k=1 fills a disk with array-carrying verify rows)."""
+    from bigsdb_spark.operators.profiles import _auto_prune_positions
+
+    def long_form(rows):
+        return spark.createDataFrame(
+            rows, "st string, pos int, def_allele string"
+        )
+
+    # cg-like: every one of 4 positions carries 3000 'N' definitions
+    # -> floor 3000*4 = 12000 > 10000 -> 3
+    heavy = long_form(
+        [(str(st), p, "N") for st in range(3000) for p in range(4)]
+    )
+    assert _auto_prune_positions(heavy, 4) == 3
+
+    # same counts but ONE position has no wildcards: the floor is 0
+    # (selection can always route through it) -> 1
+    gapped = long_form(
+        [(str(st), p, "N") for st in range(3000) for p in range(3)]
+        + [("x", 3, "7")]
+    )
+    assert _auto_prune_positions(gapped, 4) == 1
+
+    # MLST-like: 2% 'N' at P=1e3, L=7 -> floor 20*7 = 140 -> 1
+    mlst = long_form(
+        [(str(st), p, "N") for st in range(20) for p in range(7)]
+    )
+    assert _auto_prune_positions(mlst, 7) == 1
+
+
+def test_wildcard_overlength_definitions_ignored_by_both_paths(spark):
+    """r11 (ADVICE r10): a definition whose vector is LONGER than
+    total_loci is out of contract; previously the unpruned path could
+    accept one whose first total_loci positions matched while the
+    pruned zip_with verify rejected it.  Both paths now uniformly
+    ignore definitions that are not exactly total_loci long."""
+    iso = spark.createDataFrame(
+        [(1, ["1", "2"]), (2, ["3", "4"])],
+        "profile_key int, profile array<string>",
+    ).withColumn("profile_md5", F.md5(F.array_join("profile", ",")))
+    sch = spark.createDataFrame(
+        [
+            ("long", ["1", "2", "9"]),   # over-length: prefix matches iso 1
+            ("short", ["3"]),            # under-length
+            ("ok", ["3", "N"]),          # in contract: matches iso 2
+        ],
+        "st string, profile array<string>",
+    ).withColumn("profile_md5", F.md5(F.array_join("profile", ",")))
+    for kwargs in (
+        {"prune_candidates": False},
+        {"prune_candidates": True, "prune_positions": 1},
+        {},  # the default: pruned + auto knob
+    ):
+        got = assign_scheme_fields(
+            iso, sch, allow_missing_loci=True, total_loci=2, **kwargs
+        ).collect()
+        assert {(r.profile_key, r.st) for r in got} == {(2, "ok")}

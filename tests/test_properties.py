@@ -238,3 +238,31 @@ def test_np_round_half_up_matches_spark_tie_rule():
     assert got[0] == pytest.approx(0.123456)
     assert np.isnan(got[1])
     assert got[2] == pytest.approx(-1.0)
+
+
+def test_arrow_mat_guards_contract_violations():
+    """r11 (ADVICE r10): _arrow_mat must raise on null rows and ragged
+    lists instead of silently reshaping a shrunken buffer into a
+    garbled matrix (ListArray.flatten skips null slots, so a null-row
+    violation whose element count still divides n_rows used to degrade
+    from a crash to wrong cosines)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from bigsdb_spark.operators.similarity import _arrow_mat
+
+    ok = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+    m = _arrow_mat(ok, 3)
+    assert m.shape == (3, 2) and m.dtype == np.float64
+    assert m[2, 1] == 6.0
+
+    # null row whose removal still divides n_rows (4 elements, 2 rows)
+    nulled = pa.array([[1.0, 2.0], None, [3.0, 4.0]])
+    with _pytest.raises(ValueError, match="null"):
+        _arrow_mat(nulled, 3)
+
+    # ragged lengths that do NOT divide
+    ragged = pa.array([[1.0, 2.0], [3.0], [4.0, 5.0]])
+    with _pytest.raises(ValueError, match="ragged"):
+        _arrow_mat(ragged, 3)
