@@ -323,6 +323,125 @@ def a5_pivot(spark, sf_dir):
 
 
 @register(
+    "a5_multi_designation",
+    oracle="""
+    WITH desig AS (
+        SELECT l_orderkey AS profile_key, l_linenumber - 1 AS pos,
+               CAST(CAST(l_quantity AS INT) % 10 AS VARCHAR) AS allele
+        FROM lineitem WHERE l_linenumber <= 4
+        UNION
+        SELECT l_orderkey, l_linenumber - 1,
+               CAST(CAST(l_quantity AS INT) % 7 AS VARCHAR)
+        FROM lineitem WHERE l_linenumber <= 4 AND l_partkey % 17 = 0
+    ),
+    complete AS (
+        SELECT profile_key FROM desig GROUP BY profile_key
+        HAVING count(DISTINCT pos) = 4
+    ),
+    defsrc AS (
+        SELECT l_orderkey AS dk, l_linenumber - 1 AS pos,
+               min(CAST(CAST(l_quantity AS INT) % 10 AS VARCHAR)) AS allele
+        FROM lineitem WHERE l_linenumber <= 4
+        GROUP BY l_orderkey, l_linenumber
+    ),
+    defs0 AS (
+        SELECT dk, list(allele ORDER BY pos) AS profile
+        FROM defsrc GROUP BY dk HAVING count(*) = 4
+    ),
+    defs1 AS (
+        SELECT dk, CASE WHEN dk % 70 = 0
+               THEN list_value(profile[1], profile[2], 'N', profile[4])
+               ELSE profile END AS profile
+        FROM defs0
+    ),
+    defs AS (SELECT min(dk) AS st, profile FROM defs1 GROUP BY profile),
+    sch AS (
+        SELECT d.st, p.pos, d.profile[CAST(p.pos AS INT) + 1] AS def_allele
+        FROM defs d CROSS JOIN (SELECT range AS pos FROM range(4)) p
+    ),
+    hits AS (
+        SELECT d.profile_key, s.st, s.pos
+        FROM desig d JOIN sch s ON d.pos = s.pos AND d.allele = s.def_allele
+        UNION
+        SELECT c.profile_key, s.st, s.pos
+        FROM complete c CROSS JOIN sch s WHERE s.def_allele = 'N'
+    )
+    SELECT h.profile_key, h.st
+    FROM hits h JOIN complete c ON h.profile_key = c.profile_key
+    GROUP BY h.profile_key, h.st HAVING count(*) = 4
+    """,
+)
+def a5_multi(spark, sf_dir):
+    """A5 path (b): multi-designation scheme assignment by positional
+    SET MEMBERSHIP (sql/isolatedb.sql:1555-1566 — profile[i]=ANY(the
+    isolate's designations at locus i); r11, VERDICT r10 #5).  The
+    lineitem table's duplicate l_linenumber values are natural
+    paralogous double designations; a second allele stream
+    (l_partkey%17 rows) adds a controlled extra rate.  Definitions
+    are the deterministic min-allele-per-position vectors of complete
+    orders, deduped (st = min orderkey), with ~1.4% of them carrying
+    a wildcard 'N' at position 3.  No designation-combination
+    pre-expansion exists on either side — the oracle is the same
+    membership join in ANSI SQL."""
+    from bigsdb_spark.operators.profiles import assign_scheme_fields_multi
+
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 4)
+    allele10 = (F.col("l_quantity").cast("int") % 10).cast("string")
+    allele7 = (F.col("l_quantity").cast("int") % 7).cast("string")
+    desig = li.select(
+        F.col("l_orderkey").alias("profile_key"),
+        (F.col("l_linenumber") - 1).alias("pos"),
+        allele10.alias("allele"),
+    ).unionByName(
+        li.filter(F.col("l_partkey") % 17 == 0).select(
+            F.col("l_orderkey").alias("profile_key"),
+            (F.col("l_linenumber") - 1).alias("pos"),
+            allele7.alias("allele"),
+        )
+    )
+    defsrc = li.groupBy(
+        F.col("l_orderkey").alias("dk"),
+        (F.col("l_linenumber") - 1).alias("pos"),
+    ).agg(F.min(allele10).alias("allele"))
+    defs0 = (
+        defsrc.groupBy("dk")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "allele"))
+            ).alias("_p")
+        )
+        .filter(F.size("_p") == 4)
+        .select(
+            "dk",
+            F.transform(F.col("_p"), lambda s: s["allele"]).alias("profile"),
+        )
+    )
+    defs1 = defs0.select(
+        "dk",
+        # F.get (0-based, null on out-of-bounds): ANSI indexing throws
+        # when Catalyst collapses this projection with the size filter
+        F.when(
+            F.col("dk") % 70 == 0,
+            F.array(
+                F.get("profile", 0),
+                F.get("profile", 1),
+                F.lit("N"),
+                F.get("profile", 3),
+            ),
+        )
+        .otherwise(F.col("profile"))
+        .alias("profile"),
+    )
+    defs = defs1.groupBy("profile").agg(F.min("dk").alias("st"))
+    return assign_scheme_fields_multi(
+        desig,
+        defs.select("st", "profile"),
+        total_loci=4,
+        allow_missing_loci=False,
+    )
+
+
+@register(
     "a6_a7_completeness",
     oracle="""
     SELECT 'scheme' AS kind, l_orderkey AS entity_id,

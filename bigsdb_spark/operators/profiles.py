@@ -468,6 +468,234 @@ def _assign_wildcard_pruned(
     )
 
 
+def assign_scheme_fields_multi(
+    designations: DataFrame,
+    scheme_profiles: DataFrame,
+    total_loci: int,
+    allow_missing_loci: bool = False,
+    prune_candidates: bool = True,
+    prune_positions: int | None = None,
+) -> DataFrame:
+    """A5 path (b): scheme-field assignment for isolates with
+    MULTIPLE designations at some loci (paralogous double
+    designations) — and the r11 answer to VERDICT r10 #5.
+
+    The reference does NOT expand designation combinations.  Its
+    per-isolate path-(b) loop builds one test per position,
+    ``profile[i] = ANY(ARRAY(SELECT allele_id FROM ad WHERE locus=...
+    AND isolate_id=...))`` (sql/isolatedb.sql:1555-1566), and its
+    allow-missing query is the same membership test with 'N' appended
+    to the isolate's set (sql/isolatedb.sql:1526-1540): a definition
+    matches iff AT EVERY POSITION its allele is one of the isolate's
+    designations there (or the definition holds 'N').  Positional SET
+    MEMBERSHIP, no cross-product — so the feared pre-expansion
+    fan-out of Π(designations per locus) candidate vectors never
+    exists in the reference and never needs to exist here.  This
+    operator supersedes the pre-expansion contract documented on the
+    dense path (``assign_scheme_fields``), whose positional exclusion
+    of over-length vectors stays correct for single-designation data.
+
+    ``designations``: long form (profile_key, pos, allele), ANY number
+    of rows per (profile_key, pos); pos is the 0-based warehouse index
+    (scheme_warehouse_indices order).  ``allow_missing_loci=False``
+    reproduces the reference's ELSE branch: only isolates with
+    designations at ALL total_loci positions are eligible
+    (HAVING COUNT(DISTINCT locus) = L, :1546-1547).  True reproduces
+    the IF branch: every designated isolate is eligible and a missing
+    position can only be matched by a definition 'N'.
+
+    Scale shape: everything is linear in |designations| (sum, not
+    product, of per-locus designation counts) plus |candidates|.  The
+    big join is the same (pos, allele) inverted-index equi-join as the
+    dense path; with ``prune_candidates`` (default, same
+    rarest-k-position intersection and auto knob) candidate
+    generation only probes each isolate's ``k`` cheapest positions and
+    the verify stage re-checks survivors with ONE narrow-row join per
+    (candidate, position) — no array column ever ships.
+
+    Returns (profile_key, st)."""
+    iso = designations.select("profile_key", "pos", "allele").distinct()
+    if not allow_missing_loci:
+        complete = (
+            iso.groupBy("profile_key")
+            .agg(F.count_distinct("pos").alias("_np"))
+            .filter(F.col("_np") == total_loci)
+            .select("profile_key")
+        )
+        iso = iso.join(complete, on="profile_key")
+    defs = scheme_profiles.filter(F.size("profile") == total_loci)
+    sch = defs.select(
+        "st", F.posexplode("profile").alias("pos", "def_allele")
+    )
+    sch_exact = sch.filter(F.col("def_allele") != WILDCARD)
+    sch_wild = sch.filter(F.col("def_allele") == WILDCARD)
+    if prune_candidates:
+        return _assign_multi_pruned(
+            iso, sch, sch_exact, sch_wild, total_loci,
+            allow_missing_loci, prune_positions,
+        )
+    exact = iso.join(
+        sch_exact,
+        (iso["pos"] == sch_exact["pos"])
+        & (iso["allele"] == sch_exact["def_allele"]),
+    ).select("profile_key", "st", iso["pos"])
+    if allow_missing_loci:
+        # the reference appends 'N' to the isolate's set at EVERY
+        # position, designated or not (:1534-1535), so a wildcard
+        # definition row matches every eligible isolate: a
+        # broadcast-dimension grid (wildcard rows are few by design —
+        # same assumption as the dense path's wild leg)
+        wild = (
+            iso.select("profile_key")
+            .distinct()
+            .crossJoin(F.broadcast(sch_wild.select("st", "pos")))
+        )
+    else:
+        wild = (
+            iso.select("profile_key", "pos")
+            .distinct()
+            .join(sch_wild.select("st", "pos"), on="pos")
+            .select("profile_key", "st", "pos")
+        )
+    # rows are unique per (profile_key, st, pos): a definition holds
+    # ONE allele at a position (>= matches at most one of the
+    # isolate's distinct designations) and the exact/wild legs are
+    # disjoint per (st, pos) — so count(1) counts matched positions
+    return (
+        exact.unionByName(wild.select("profile_key", "st", "pos"))
+        .groupBy("profile_key", "st")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == total_loci)
+        .select("profile_key", "st")
+    )
+
+
+def _assign_multi_pruned(
+    iso: DataFrame,
+    sch: DataFrame,
+    sch_exact: DataFrame,
+    sch_wild: DataFrame,
+    total_loci: int,
+    allow_missing_loci: bool,
+    n_positions: int | None,
+) -> DataFrame:
+    """Rarest-k-position candidate intersection for the
+    multi-designation membership join (``assign_scheme_fields_multi``)
+    — the same four stages as ``_assign_wildcard_pruned`` lifted to
+    set-valued positions:
+
+    1. definition-side frequency tables (identical).
+    2. per-(isolate, position) cost = sum over the isolate's
+       designations there of n_prof(pos, allele), + n_wild(pos); a
+       position the isolate LACKS (allow_missing only) costs just
+       n_wild(pos) — only a wildcard definition can match it, which
+       makes missing positions maximally selective probes when 'N' is
+       rare, and rejects the isolate for free when n_wild is 0.
+       The position grid is keys x sequence(total_loci), N*L rows.
+    3. candidates from the k cheapest positions: designations at
+       selected positions equi-join (pos, allele); selected positions
+       join (pos) against wildcard rows; count == k survives.
+    4. verify with narrow rows (no arrays): candidates x definition
+       long rows (|cand|*L), left join designations on
+       (profile_key, pos, allele == def_allele); a position passes if
+       the definition holds 'N' or the join hit; sum == total_loci.
+    """
+    if n_positions is None:
+        n_positions = _auto_prune_positions(sch, total_loci)
+    k_sel = max(1, min(n_positions, total_loci))
+    exact_freq = sch_exact.groupBy(
+        "pos", F.col("def_allele").alias("allele")
+    ).agg(F.count(F.lit(1)).alias("n_prof"))
+    wild_freq = sch_wild.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n_wild")
+    )
+    desig_cost = (
+        iso.join(exact_freq, on=["pos", "allele"], how="left")
+        .groupBy("profile_key", "pos")
+        .agg(F.sum(F.coalesce(F.col("n_prof"), F.lit(0))).alias("_ce"))
+    )
+    grid = (
+        iso.select("profile_key")
+        .distinct()
+        .select(
+            "profile_key",
+            F.explode(F.sequence(F.lit(0), F.lit(total_loci - 1))).alias(
+                "pos"
+            ),
+        )
+    )
+    cost = (
+        grid.join(desig_cost, on=["profile_key", "pos"], how="left")
+        .join(F.broadcast(wild_freq), on="pos", how="left")
+        .select(
+            "profile_key",
+            "pos",
+            (
+                F.coalesce(F.col("_ce"), F.lit(0))
+                + F.coalesce(F.col("n_wild"), F.lit(0))
+            ).alias("cost"),
+        )
+    )
+    if k_sel == 1:
+        best = (
+            cost.groupBy("profile_key")
+            .agg(F.min_by(F.col("pos"), F.struct("cost", "pos")).alias("pos"))
+            .select("profile_key", "pos")
+        )
+    else:
+        w = Window.partitionBy("profile_key").orderBy("cost", "pos")
+        best = (
+            cost.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k_sel)
+            .select("profile_key", "pos")
+        )
+    cand = (
+        best.join(iso, on=["profile_key", "pos"])
+        .join(
+            sch_exact.select(
+                "st", "pos", F.col("def_allele").alias("allele")
+            ),
+            on=["pos", "allele"],
+        )
+        .select("profile_key", "st", "pos")
+        .unionByName(
+            best.join(sch_wild.select("st", "pos"), on="pos").select(
+                "profile_key", "st", "pos"
+            )
+        )
+        # unique per (profile_key, st, pos) — same argument as the
+        # unpruned legs — so the count equals matched selected
+        # positions; == k_sel iff the definition matches at all of them
+        .groupBy("profile_key", "st")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == k_sel)
+        .select("profile_key", "st")
+    )
+    full = cand.join(sch, on="st")  # (profile_key, st, pos, def_allele)
+    hit = full.join(
+        iso.select(
+            "profile_key", "pos", F.col("allele").alias("def_allele"),
+            F.lit(1).alias("_hit"),
+        ),
+        on=["profile_key", "pos", "def_allele"],
+        how="left",
+    )
+    return (
+        hit.groupBy("profile_key", "st")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("def_allele") == WILDCARD)
+                    | F.col("_hit").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("_ok")
+        )
+        .filter(F.col("_ok") == total_loci)
+        .select("profile_key", "st")
+    )
+
+
 def define_new_profiles(
     isolate_profiles: DataFrame,
     scheme_profiles: DataFrame,

@@ -384,3 +384,113 @@ def test_wildcard_overlength_definitions_ignored_by_both_paths(spark):
             iso, sch, allow_missing_loci=True, total_loci=2, **kwargs
         ).collect()
         assert {(r.profile_key, r.st) for r in got} == {(2, "ok")}
+
+
+def test_multi_designation_membership_semantics(spark):
+    """r11 (VERDICT r10 #5): A5 path (b) is positional SET MEMBERSHIP
+    (sql/isolatedb.sql:1555-1566 — profile[i]=ANY(designations at
+    locus i)), NOT a designation-combination cross-product.  An
+    isolate with a paralogous double designation matches every
+    definition covered by either allele, with NO pre-expansion."""
+    from bigsdb_spark.operators.profiles import assign_scheme_fields_multi
+
+    # isolate 1: two designations at pos 2 -> matches ST a (via "4")
+    # AND ST b (via "9"); isolate 2: single designations, matches a
+    desig = spark.createDataFrame(
+        [
+            (1, 0, "1"), (1, 1, "3"), (1, 2, "4"), (1, 2, "9"),
+            (2, 0, "1"), (2, 1, "3"), (2, 2, "4"),
+            (3, 0, "1"), (3, 1, "3"),  # incomplete: pos 2 missing
+        ],
+        "profile_key int, pos int, allele string",
+    )
+    sch = spark.createDataFrame(
+        [
+            ("a", ["1", "3", "4"]),
+            ("b", ["1", "3", "9"]),
+            ("c", ["1", "3", "N"]),  # wildcard at pos 2
+        ],
+        "st string, profile array<string>",
+    )
+    for prune in (False, True):
+        got = {
+            (r.profile_key, r.st)
+            for r in assign_scheme_fields_multi(
+                desig, sch, total_loci=3, allow_missing_loci=False,
+                prune_candidates=prune, prune_positions=1 if prune else None,
+            ).collect()
+        }
+        # complete isolates only; paralog 1 matches a, b AND c ('N'
+        # matches any designated allele); isolate 3 excluded
+        assert got == {(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "c")}
+
+    for prune in (False, True):
+        got = {
+            (r.profile_key, r.st)
+            for r in assign_scheme_fields_multi(
+                desig, sch, total_loci=3, allow_missing_loci=True,
+                prune_candidates=prune, prune_positions=2 if prune else None,
+            ).collect()
+        }
+        # allow-missing (isolatedb.sql:1526-1540): 'N' is appended to
+        # the isolate's set at EVERY position, so isolate 3's missing
+        # pos 2 is matched by ST c's 'N' — and ONLY by it
+        assert got == {
+            (1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "c"), (3, "c"),
+        }
+
+
+def test_multi_designation_pruned_equals_unpruned_randomized(spark):
+    """Randomized paralog corpus (1-5 pct loci with 2 designations,
+    'N'-carrying definitions, noise isolates): the pruned membership
+    path must return exactly the unpruned rows at k=1 and k=3 and via
+    the auto knob, in both allow_missing modes."""
+    import random as _random
+
+    from bigsdb_spark.operators.profiles import assign_scheme_fields_multi
+
+    rng = _random.Random(1234)
+    total = 6
+    vocab = [str(v) for v in range(1, 13)]
+    weights = [1.0 / (i + 1) for i in range(len(vocab))]
+
+    def draw():
+        return rng.choices(vocab, weights=weights)[0]
+
+    defs = []
+    for st in range(1, 41):
+        vec = [draw() for _ in range(total)]
+        for p in rng.sample(range(total), rng.randint(0, 2)):
+            vec[p] = "N"
+        defs.append((str(st), vec))
+    rows = []
+    key = 0
+    for _ in range(150):
+        key += 1
+        src = rng.choice(defs)[1]
+        for p, v in enumerate(src):
+            if v == "N" and rng.random() < 0.3:
+                continue  # leave some positions undesignated
+            rows.append((key, p, draw() if v == "N" else v))
+            if rng.random() < 0.05:  # paralogous second designation
+                rows.append((key, p, draw()))
+    desig = spark.createDataFrame(
+        rows, "profile_key int, pos int, allele string"
+    )
+    sch = spark.createDataFrame(defs, "st string, profile array<string>")
+    for allow in (False, True):
+        base = assign_scheme_fields_multi(
+            desig, sch, total_loci=total, allow_missing_loci=allow,
+            prune_candidates=False,
+        ).collect()
+        assert len(base) > 0
+        for kw in (
+            {"prune_positions": 1},
+            {"prune_positions": 3},
+            {},  # auto knob
+        ):
+            pruned = assign_scheme_fields_multi(
+                desig, sch, total_loci=total, allow_missing_loci=allow,
+                prune_candidates=True, **kw,
+            ).collect()
+            assert {tuple(r) for r in pruned} == {tuple(r) for r in base}

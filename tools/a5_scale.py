@@ -274,6 +274,7 @@ def main() -> None:
             t0 = time.time()
             base = assign_scheme_fields(
                 iso_df, sch_df, allow_missing_loci=True, total_loci=loci,
+                prune_candidates=False,  # r11: pruned became the default
             )
             base_path = os.path.join(args.out, f"out_base_{name}")
             base.write.mode("overwrite").parquet(base_path)
