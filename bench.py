@@ -183,6 +183,30 @@ def _ivf_pq(spark, sf_dir):
     )
 
 
+def _ivf_pq_r32_refine(spark, sf_dir):
+    # r11 (VERDICT r10 #7): the NAMED memory-tier quality config —
+    # m=32/k=256 residual codes + 10x exact refine at n_probe>=2
+    # (recall@10 0.938-0.946 at n=1e6, BASELINE.md r10; pinned in
+    # tests/test_pq.py) — tracked as a serving-path plan floor like
+    # sim_ivf_gemm_q8.  The LUT volume (2*32*256) exceeds
+    # RESIDUAL_ADC_MAX_LITERALS, so this also exercises the
+    # broadcast-LUT dispatch every round.
+    from bigsdb_spark.operators.pq import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+        train_ivf_pq,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    model = train_ivf_pq(
+        emb, n_cells=16, m=32, k=256, sample=2048, residual=True
+    )
+    return ivf_pq_topk(
+        ivf_pq_encode(emb, model, keep_vec=True), model, _PQ_QUERY,
+        top_k=10, n_probe=2, refine_factor=10,
+    )
+
+
 def _bpe_count(spark, sf_dir):
     # full tokenizer lifecycle: distributed word counting -> driver
     # merge loop (vocab-sized) -> Arrow-batched memoized application
@@ -215,6 +239,7 @@ EXTRA = {
     "corpus_assembly": _corpus_assembly,
     "sq_topk": _sq_topk,
     "sim_ivf_pq_topk": _ivf_pq,
+    "sim_ivf_pq_r32_refine": _ivf_pq_r32_refine,
     "sim_bucketed_ann_sq": _bucketed_ann_sq,
     "sim_bucketed_ann_gemm": _bucketed_ann_gemm,
 }
@@ -244,6 +269,7 @@ HEADLINE = [
     "sim_bucketed_ann_gemm",
     "sq_topk",
     "sim_ivf_pq_topk",
+    "sim_ivf_pq_r32_refine",
     "sim_ivf_gemm",
     "sim_ivf_gemm_q8",
     "asof_events",

@@ -308,24 +308,8 @@ def dashboard_sketch_rollups(spark, sf_dir):
         SELECT l_orderkey,
                md5(string_agg(l_returnflag, ','
                    ORDER BY l_linenumber, l_returnflag)) AS profile_md5
-        FROM lineitem GROUP BY l_orderkey)
-    SELECT profile_md5, count(*) AS n_orders FROM prof GROUP BY profile_md5
-    """,
-)
-def a5_pivot(spark, sf_dir):
-    """A5: the scheme-warehouse pivot — long designations -> ordered
-    allele vector -> md5 identity (initiate_scheme_warehouse,
-    sql/seqdef.sql:1199-1253; md5-of-array :1151-1153). Orders sharing a
-    profile are the 'same ST'."""
-    li = tbl(spark, sf_dir, "lineitem")
-    prof = build_profiles(li, "l_orderkey", "l_linenumber", "l_returnflag")
-    return prof.groupBy("profile_md5").agg(F.count(F.lit(1)).alias("n_orders"))
-
-
-@register(
-    "a5_multi_designation",
-    oracle="""
-    WITH desig AS (
+        FROM lineitem GROUP BY l_orderkey),
+    desig AS (
         SELECT l_orderkey AS profile_key, l_linenumber - 1 AS pos,
                CAST(CAST(l_quantity AS INT) % 10 AS VARCHAR) AS allele
         FROM lineitem WHERE l_linenumber <= 4
@@ -366,25 +350,46 @@ def a5_pivot(spark, sf_dir):
         SELECT c.profile_key, s.st, s.pos
         FROM complete c CROSS JOIN sch s WHERE s.def_allele = 'N'
     )
-    SELECT h.profile_key, h.st
+    SELECT 'pivot' AS kind, profile_md5 AS key_str, count(*) AS n
+    FROM prof GROUP BY profile_md5
+    UNION ALL
+    SELECT 'multi' AS kind, CAST(h.profile_key AS VARCHAR) AS key_str,
+           h.st AS n
     FROM hits h JOIN complete c ON h.profile_key = c.profile_key
     GROUP BY h.profile_key, h.st HAVING count(*) = 4
     """,
 )
-def a5_multi(spark, sf_dir):
-    """A5 path (b): multi-designation scheme assignment by positional
-    SET MEMBERSHIP (sql/isolatedb.sql:1555-1566 — profile[i]=ANY(the
-    isolate's designations at locus i); r11, VERDICT r10 #5).  The
-    lineitem table's duplicate l_linenumber values are natural
-    paralogous double designations; a second allele stream
-    (l_partkey%17 rows) adds a controlled extra rate.  Definitions
-    are the deterministic min-allele-per-position vectors of complete
-    orders, deduped (st = min orderkey), with ~1.4% of them carrying
-    a wildcard 'N' at position 3.  No designation-combination
-    pre-expansion exists on either side — the oracle is the same
-    membership join in ANSI SQL."""
+def a5_pivot(spark, sf_dir):
+    """A5: the scheme-warehouse pivot (kind='pivot' — long
+    designations -> ordered allele vector -> md5 identity,
+    initiate_scheme_warehouse, sql/seqdef.sql:1199-1253; md5-of-array
+    :1151-1153; orders sharing a profile are the 'same ST') + the r11
+    fold-in (VERDICT r10 #5) kind='multi': A5 path (b),
+    multi-designation scheme assignment by positional SET MEMBERSHIP
+    (sql/isolatedb.sql:1555-1566 — profile[i]=ANY(the isolate's
+    designations at locus i)).  The lineitem table's duplicate
+    l_linenumber values are natural paralogous double designations; a
+    second allele stream (l_partkey%17 rows) adds a controlled extra
+    rate.  Definitions are the deterministic min-allele-per-position
+    vectors of complete orders, deduped (st = min orderkey), with
+    ~1.4% of them carrying a wildcard 'N' at position 3.  No
+    designation-combination pre-expansion exists on either side — the
+    oracle is the same membership join in ANSI SQL."""
     from bigsdb_spark.operators.profiles import assign_scheme_fields_multi
 
+    pivot = (
+        build_profiles(
+            tbl(spark, sf_dir, "lineitem"),
+            "l_orderkey", "l_linenumber", "l_returnflag",
+        )
+        .groupBy("profile_md5")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("pivot").alias("kind"),
+            F.col("profile_md5").alias("key_str"),
+            F.col("n"),
+        )
+    )
     li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 4)
     allele10 = (F.col("l_quantity").cast("int") % 10).cast("string")
     allele7 = (F.col("l_quantity").cast("int") % 7).cast("string")
@@ -433,12 +438,17 @@ def a5_multi(spark, sf_dir):
         .alias("profile"),
     )
     defs = defs1.groupBy("profile").agg(F.min("dk").alias("st"))
-    return assign_scheme_fields_multi(
+    multi = assign_scheme_fields_multi(
         desig,
         defs.select("st", "profile"),
         total_loci=4,
         allow_missing_loci=False,
+    ).select(
+        F.lit("multi").alias("kind"),
+        F.col("profile_key").cast("string").alias("key_str"),
+        F.col("st").alias("n"),
     )
+    return pivot.unionByName(multi)
 
 
 @register(
