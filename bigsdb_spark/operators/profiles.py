@@ -271,9 +271,10 @@ def assign_scheme_fields(
     # vector (undesignated loci) can never reach n_match == total_loci,
     # and a LONGER one (paralogous double designation) shifts every
     # later position and could match spuriously — both are excluded
-    # here; paralog fan-out is the reference's per-isolate path (b)
-    # (sql/isolatedb.sql:1541-1554) and needs pre-expansion into one
-    # candidate vector per designation combination.
+    # here; multi-designation isolates are the reference's per-isolate
+    # path (b) (sql/isolatedb.sql:1541-1566), which is positional SET
+    # MEMBERSHIP — use ``assign_scheme_fields_multi`` on the long
+    # form (r11; no combination pre-expansion exists or is needed).
     dense = isolate_profiles.filter(F.size("profile") == total_loci)
     # the SAME length contract on the definition side (r11, ADVICE
     # r10): an over-length definition shifts nothing here (positional
