@@ -446,18 +446,23 @@ def _assign_wildcard_pruned(
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    # shuffle_hash hints on both array-carrying sides: a cgMLST
-    # definition row is ~L*20 B (1000-element allele arrays), so the
-    # row-count-based broadcast estimate understates bytes by ~3 orders
-    # of magnitude (measured: the unhinted cg tier OOM'd the broadcast
-    # build at P=1e4, L=1000), and sort-merge would sort the wide
-    # arrays for nothing — shuffle hash join is the right physical
-    # plan for wide-payload dims at any scale
+    # shuffle hash join (never broadcast, never sort-merge) for the
+    # verify: a cgMLST definition row is ~L*20 B (1000-element allele
+    # arrays), so the row-count-based broadcast estimate understates
+    # bytes by ~3 orders of magnitude (measured: the unhinted cg tier
+    # OOM'd the broadcast build at P=1e4, L=1000), and sort-merge
+    # would sort the wide arrays for nothing.  BUILD-SIDE CHOICE is
+    # the memory law (r11, VERDICT r10 #6): r10 hinted the
+    # array-carrying sides, so each task's LongToUnsafeRowMap held
+    # ~N*L*20B/partitions — the cg_4e6 tier OOM'd a 24 GB heap in
+    # exactly that stack (HashedRelation.grow).  Hinting the NARROW
+    # side instead (cand: two longs/row) makes the isolate-side build
+    # ~N*24B/partitions and streams the wide arrays, so task heap is
+    # essentially flat in N; the definition-side join builds on the
+    # defs (P*L*20B total — the genuinely small side).
     return (
-        cand.join(
-            dense.select("profile_key", "profile").hint("shuffle_hash"),
-            on="profile_key",
-        )
+        cand.hint("shuffle_hash")
+        .join(dense.select("profile_key", "profile"), on="profile_key")
         .join(
             scheme_profiles.select(
                 "st", F.col("profile").alias("def_profile")
