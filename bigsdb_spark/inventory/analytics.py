@@ -443,6 +443,10 @@ def a5_pivot(spark, sf_dir):
         defs.select("st", "profile"),
         total_loci=4,
         allow_missing_loci=False,
+        # k=1 is pinned by the construction (wildcards only ever at
+        # position 3, so three positions have a zero wildcard floor);
+        # passing it skips the auto-probe job in the serving path
+        prune_positions=1,
     ).select(
         F.lit("multi").alias("kind"),
         F.col("profile_key").cast("string").alias("key_str"),

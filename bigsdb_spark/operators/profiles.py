@@ -620,19 +620,29 @@ def _assign_multi_pruned(
         .groupBy("profile_key", "pos")
         .agg(F.sum(F.coalesce(F.col("n_prof"), F.lit(0))).alias("_ce"))
     )
-    grid = (
-        iso.select("profile_key")
-        .distinct()
-        .select(
-            "profile_key",
-            F.explode(F.sequence(F.lit(0), F.lit(total_loci - 1))).alias(
-                "pos"
-            ),
+    if allow_missing_loci:
+        # positions the isolate LACKS must still be selectable (they
+        # cost only n_wild(pos) — maximally selective when 'N' is
+        # rare, free rejection when n_wild is 0), so expand the full
+        # keys x positions grid
+        base_cost = (
+            iso.select("profile_key")
+            .distinct()
+            .select(
+                "profile_key",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(total_loci - 1))
+                ).alias("pos"),
+            )
+            .join(desig_cost, on=["profile_key", "pos"], how="left")
         )
-    )
+    else:
+        # complete isolates carry every position in desig_cost
+        # already — the grid would be an identical frame built with
+        # two extra stages
+        base_cost = desig_cost
     cost = (
-        grid.join(desig_cost, on=["profile_key", "pos"], how="left")
-        .join(F.broadcast(wild_freq), on="pos", how="left")
+        base_cost.join(F.broadcast(wild_freq), on="pos", how="left")
         .select(
             "profile_key",
             "pos",
