@@ -510,3 +510,38 @@ def test_dsir_pipeline_plan_shape(spark):
     assert "SortMergeJoin" not in score_plan
     sel_plan = plan_of(gumbel_topk(scored, "doc_id", "dsir_logw", k=5))
     assert "TakeOrderedAndProject" in sel_plan
+
+
+def test_a5_verify_join_builds_on_narrow_side(spark):
+    """r11 (VERDICT r10 #6): the pruned wildcard verify must hash-BUILD
+    on the narrow side of each join — candidates (two longs/row) for
+    the isolate join, the definition table for the def join.  r10
+    hinted the array-carrying sides, so each task's build map held
+    ~N*L*20B/partitions and the cg_4e6 tier OOM'd a 24 GB heap inside
+    HashedRelation.grow; with the narrow build, cg_1e6 fits 12 GB
+    (BASELINE.md r11 memory ladder)."""
+    import re
+
+    from bigsdb_spark.operators.profiles import assign_scheme_fields
+
+    iso = spark.createDataFrame(
+        [(i, ["1", "2", "3"]) for i in range(10)],
+        "profile_key int, profile array<string>",
+    ).withColumn("profile_md5", F.md5(F.array_join("profile", ",")))
+    sch = spark.createDataFrame(
+        [("a", ["1", "N", "3"])], "st string, profile array<string>"
+    )
+    out = assign_scheme_fields(
+        iso, sch, allow_missing_loci=True, total_loci=3, prune_positions=1
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    key_join = re.search(
+        r"ShuffledHashJoin \[profile_key#\d+\], \[profile_key#\d+\], "
+        r"Inner, (Build\w+)",
+        plan,
+    )
+    st_join = re.search(
+        r"ShuffledHashJoin \[st#\d+\], \[st#\d+\], Inner, (Build\w+)", plan
+    )
+    assert key_join and key_join.group(1) == "BuildLeft"  # cand side
+    assert st_join and st_join.group(1) == "BuildRight"  # defs side
