@@ -341,6 +341,15 @@ def main() -> None:
     )
     spreads: dict[str, float] = {}
     for name in HEADLINE:
+        # one UNTIMED warm-up execution per entry (r12, VERDICT r11
+        # #3): entries with first-rep initialization (PQ codebook
+        # training memoized per-process, first-entry session warm-up)
+        # showed 4-6x spreads that measured initialization, not
+        # variance; the warm-up absorbs it so `spread` means variance.
+        # Best-of-n semantics unchanged (the min was never the first
+        # rep for these entries anyway).
+        (QUERIES.get(name) or EXTRA[name])(spark, sf_dir).count()
+        reset()
         runs = []
         while len(runs) < repeats or (
             min(runs) < 3.0 and len(runs) < fast_repeats
@@ -406,6 +415,36 @@ def main() -> None:
     total = round(
         sum(v for k, v in timings.items() if k not in ORACLE_BASELINES), 3
     )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # r12 (VERDICT r11 #7): the spreads/subtimings/loadavg fields
+    # pushed the single stdout JSON line past the driver's 2000-char
+    # tail capture (BENCH_r11.json parsed: null).  The LAST stdout
+    # line is now a COMPACT summary (metric/value/queries/sf only —
+    # what the driver parses); the full detail object goes to a
+    # PRECEDING stdout line and to bench_detail.json next to this
+    # script, so nothing is lost and the artifact parses again.
+    detail = {
+        "metric": "headline_queries_wall_clock_detail",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spreads": spreads,
+        "loadavg_start": load_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "subtimings": subtimings,
+        "oracle_baselines_excluded_from_total": sorted(ORACLE_BASELINES),
+        "sf": sf_val,
+    }
+    print(json.dumps(detail))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_detail.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -413,14 +452,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spreads": spreads,
-                "loadavg_start": load_start,
-                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                "subtimings": subtimings,
-                "oracle_baselines_excluded_from_total": sorted(
-                    ORACLE_BASELINES
-                ),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )

@@ -57,7 +57,12 @@ def _free_local_checkpoint(df: DataFrame) -> None:
 STATS_REBUILD_BITS = 4096
 
 
-def checkpoint_no_stats(df: DataFrame, storage_level=None) -> DataFrame:
+def checkpoint_no_stats(
+    df: DataFrame,
+    storage_level=None,
+    check_stats: bool = True,
+    bits_out: list | None = None,
+) -> DataFrame:
     """localCheckpoint that also DROPS the plan statistics the
     checkpoint would otherwise inherit (r10).
 
@@ -101,13 +106,37 @@ def checkpoint_no_stats(df: DataFrame, storage_level=None) -> DataFrame:
     most rounds return the raw checkpoint untouched, the BigInt stays
     bounded, and the 18-minute multiplyToomCook3 pathology stays dead
     (regression covered by test_mst's nested-fold timing and
-    test_checkpoint_no_stats_* in tests/test_stats_clustering.py)."""
+    test_checkpoint_no_stats_* in tests/test_stats_clustering.py).
+
+    Physical-plan note (r12, ADVICE r11): because most rounds now keep
+    the RAW checkpoint, a frame whose inherited estimate is small and
+    sane KEEPS those stats — so a post-checkpoint join can newly
+    qualify for auto-broadcast, which the r10 always-rebuild form
+    (defaultSizeInBytes on every round) never allowed.  That is the
+    intended behaviour: a genuinely small checkpointed frame SHOULD be
+    broadcastable (the r10 form pessimised it by accident), and an
+    inflated estimate disqualifies broadcast in both forms.  The only
+    frames whose estimate flips from huge-junk to default are the
+    rebuilt ones past STATS_REBUILD_BITS, where the junk estimate had
+    already disqualified broadcast — so no plan regresses from
+    broadcast to shuffle; broadcast eligibility under sane stats is
+    pinned in tests/test_stats_clustering.py.
+
+    ``check_stats=False`` skips the py4j stats read entirely and
+    returns the raw checkpoint (r12, VERDICT r11 #6): in an iterative
+    loop the bit growth is geometric and predictable, so the caller
+    can read stats every k rounds instead of every round — see
+    ``single_linkage``'s cadence.  ``bits_out``: pass a list to
+    receive the read bit length (for deriving that cadence)."""
     if storage_level is not None:
         ck = df.localCheckpoint(eager=True, storageLevel=storage_level)
     else:
         ck = df.localCheckpoint(eager=True)
     spark = df.sparkSession
     out = ck
+    if not check_stats:
+        out._ckpt_handle = ck
+        return out
     try:
         jdf = ck._jdf
         size = jdf.queryExecution().analyzed().stats().sizeInBytes()
@@ -117,6 +146,8 @@ def checkpoint_no_stats(df: DataFrame, storage_level=None) -> DataFrame:
             bits = int(size).bit_length()
         except (TypeError, ValueError):
             bits = size.bigInteger().bitLength()
+        if bits_out is not None:
+            bits_out.append(bits)
         if bits > STATS_REBUILD_BITS:
             out = DataFrame(
                 spark._jsparkSession.internalCreateDataFrame(
@@ -150,6 +181,7 @@ def single_linkage(
     convergence check otherwise short-circuits at the first hit), so
     leave it None outside probes.
     """
+    import math as _math
     import time as _time
     # serialized MEMORY_AND_DISK blocks (PySpark's MEMORY_AND_DISK is
     # JVM-serialized): ~3-5x smaller than the deserialized default and
@@ -176,6 +208,18 @@ def single_linkage(
         "group_id", F.col("id")
     )
     prev_ckpt: DataFrame | None = None
+    # stats-read cadence (r12, VERDICT r11 #6): the inherited-estimate
+    # bit growth is geometric and deterministic per loop shape, so one
+    # reading + the observed growth rate predicts how many rounds fit
+    # under STATS_REBUILD_BITS — the per-round py4j stats read (the
+    # residual 1.08x over the never-rebuild floor) is skipped for the
+    # predicted-safe rounds.  Overshoot is harmless by an order of
+    # magnitude: the pathology is million-digit BigInts, and the model
+    # undershooting by even 4 rounds leaves ~2^16-bit values whose
+    # multiply is still microseconds.
+    _check_round = 0
+    _last_bits = 0
+    _growth = 2.0
     for _round in range(max_iter):
         _t0 = _time.perf_counter()
         neighbor_min = (
@@ -209,11 +253,40 @@ def single_linkage(
             )
             .withColumnRenamed("new_group_id", "group_id")
         )
-        materialized = checkpoint_no_stats(
-            updated, storage_level=ckpt_level
-        )  # one job/round; stats dropped — the labels x edges x parent
-        # join product would otherwise double the sizeInBytes BigInt's
-        # bit-length every round (see checkpoint_no_stats)
+        if _round >= _check_round:
+            _bits_box: list = []
+            materialized = checkpoint_no_stats(
+                updated, storage_level=ckpt_level, bits_out=_bits_box
+            )  # one job/round; stats dropped past the threshold — the
+            # labels x edges x parent join product would otherwise
+            # double the sizeInBytes BigInt's bit-length every round
+            # (see checkpoint_no_stats)
+            _bits = _bits_box[0] if _bits_box else 0
+            if _bits:
+                if _last_bits and _bits > _last_bits:
+                    _growth = max(2.0, _bits / _last_bits)
+                # after a rebuild the estimate resets to the 63-bit
+                # default; project forward from there
+                _base = 63 if _bits > STATS_REBUILD_BITS else _bits
+                _skip = max(
+                    0,
+                    int(
+                        _math.log(
+                            max(STATS_REBUILD_BITS / _base, 1.0), _growth
+                        )
+                    )
+                    - 1,
+                )
+                _last_bits = _base
+                _check_round = _round + 1 + _skip
+            else:
+                # stats read failed (py4j drift): check every round,
+                # exactly the r11 behaviour
+                _check_round = _round + 1
+        else:
+            materialized = checkpoint_no_stats(
+                updated, storage_level=ckpt_level, check_stats=False
+            )
         # the previous round's checkpoint is dead the moment this one
         # exists — free its blocks so rounds don't stack up in the heap
         if prev_ckpt is not None:

@@ -85,12 +85,24 @@ def _arrow_mat(arr, n_rows: int):
             "vector-column contract requires null-free lists"
         )
     flat = arr.flatten().to_numpy(zero_copy_only=False)
-    if n_rows and len(flat) % n_rows:
-        raise ValueError(
-            f"_arrow_mat: ragged vector lengths ({len(flat)} elements "
-            f"across {n_rows} rows) — the vector-column contract "
-            "requires equal-length lists"
-        )
+    if n_rows:
+        if len(flat) % n_rows:
+            raise ValueError(
+                f"_arrow_mat: ragged vector lengths ({len(flat)} "
+                f"elements across {n_rows} rows) — the vector-column "
+                "contract requires equal-length lists"
+            )
+        # divisibility alone misses ragged lists whose TOTAL happens
+        # to divide n_rows (e.g. lengths [1, 3] over 2 rows) — check
+        # true uniformity on the length vector itself (r12, ADVICE
+        # r11).  value_lengths is offset arithmetic, O(n) ints.
+        vl = arr.value_lengths().to_numpy(zero_copy_only=False)
+        if len(vl) and vl.min() != vl.max():
+            raise ValueError(
+                f"_arrow_mat: ragged vector lengths (min {int(vl.min())}"
+                f", max {int(vl.max())}) — the vector-column contract "
+                "requires equal-length lists"
+            )
     return flat.astype(np.float64, copy=False).reshape(n_rows, -1)
 
 

@@ -266,3 +266,9 @@ def test_arrow_mat_guards_contract_violations():
     ragged = pa.array([[1.0, 2.0], [3.0], [4.0, 5.0]])
     with _pytest.raises(ValueError, match="ragged"):
         _arrow_mat(ragged, 3)
+
+    # ragged lengths whose TOTAL divides n_rows (r12, ADVICE r11: the
+    # divisibility guard alone reshaped [1, 3] over 2 rows silently)
+    divisible_ragged = pa.array([[1.0], [2.0, 3.0, 4.0]])
+    with _pytest.raises(ValueError, match="ragged"):
+        _arrow_mat(divisible_ragged, 2)

@@ -415,3 +415,38 @@ def test_checkpoint_no_stats_rebuilds_past_bit_bound(spark):
     # rebuild fired: fresh frame, stats reset to a single Long
     assert out._ckpt_handle is not out
     assert bits_of(out) <= 64
+
+
+def test_checkpoint_no_stats_cadence_controls(spark):
+    """r12 (VERDICT r11 #6): check_stats=False must skip the stats
+    read entirely (raw checkpoint returned untouched), and bits_out
+    must surface the read bit length on the checked path so callers
+    can derive a read-every-k-rounds cadence."""
+    from bigsdb_spark.operators.clustering import checkpoint_no_stats
+
+    df = spark.range(64).withColumnRenamed("id", "k")
+    raw = checkpoint_no_stats(df, check_stats=False)
+    assert raw._ckpt_handle is raw
+    assert raw.count() == 64
+
+    box: list = []
+    checked = checkpoint_no_stats(df, bits_out=box)
+    assert checked.count() == 64
+    assert box and 0 < box[0] <= 64  # sane estimate, one Long
+
+
+def test_checkpoint_sane_stats_keep_broadcast_eligibility(spark):
+    """r12 (ADVICE r11): with the conditional rebuild, a checkpointed
+    frame whose inherited estimate is small and sane KEEPS those stats
+    — so it can auto-broadcast in a later join, which the r10
+    always-rebuild form (defaultSizeInBytes) never allowed.  Pin the
+    intended physical behaviour: small checkpoint + big probe side ->
+    BroadcastHashJoin."""
+    from bigsdb_spark.operators.clustering import checkpoint_no_stats
+
+    small = checkpoint_no_stats(
+        spark.range(10).withColumnRenamed("id", "k")
+    )
+    big = spark.range(200_000).withColumnRenamed("id", "k")
+    plan = big.join(small, on="k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
