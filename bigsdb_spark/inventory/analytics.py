@@ -318,10 +318,6 @@ def dashboard_sketch_rollups(spark, sf_dir):
                CAST(CAST(l_quantity AS INT) % 7 AS VARCHAR)
         FROM lineitem WHERE l_linenumber <= 4 AND l_partkey % 17 = 0
     ),
-    complete AS (
-        SELECT profile_key FROM desig GROUP BY profile_key
-        HAVING count(DISTINCT pos) = 4
-    ),
     defsrc AS (
         SELECT l_orderkey AS dk, l_linenumber - 1 AS pos,
                min(CAST(CAST(l_quantity AS INT) % 10 AS VARCHAR)) AS allele
@@ -344,18 +340,25 @@ def dashboard_sketch_rollups(spark, sf_dir):
         FROM defs d CROSS JOIN (SELECT range AS pos FROM range(4)) p
     ),
     hits AS (
+        -- the IF branch (isolatedb.sql:1526-1540): 'N' is appended to
+        -- EVERY eligible isolate's per-position set, so a wildcard
+        -- definition row matches every designated isolate; an exact
+        -- row needs positional set membership.  Eligibility is ANY
+        -- designation (not completeness) under allow_missing_loci.
         SELECT d.profile_key, s.st, s.pos
         FROM desig d JOIN sch s ON d.pos = s.pos AND d.allele = s.def_allele
+        WHERE s.def_allele <> 'N'
         UNION
-        SELECT c.profile_key, s.st, s.pos
-        FROM complete c CROSS JOIN sch s WHERE s.def_allele = 'N'
+        SELECT e.profile_key, s.st, s.pos
+        FROM (SELECT DISTINCT profile_key FROM desig) e
+        CROSS JOIN sch s WHERE s.def_allele = 'N'
     )
     SELECT 'pivot' AS kind, profile_md5 AS key_str, count(*) AS n
     FROM prof GROUP BY profile_md5
     UNION ALL
     SELECT 'multi' AS kind, CAST(h.profile_key AS VARCHAR) AS key_str,
            h.st AS n
-    FROM hits h JOIN complete c ON h.profile_key = c.profile_key
+    FROM hits h
     GROUP BY h.profile_key, h.st HAVING count(*) = 4
     """,
 )
@@ -404,22 +407,36 @@ def a5_pivot(spark, sf_dir):
             allele7.alias("allele"),
         )
     )
-    defsrc = li.groupBy(
-        F.col("l_orderkey").alias("dk"),
-        (F.col("l_linenumber") - 1).alias("pos"),
-    ).agg(F.min(allele10).alias("allele"))
+    # oracle's defsrc+defs0 (min allele per (dk, pos), then the
+    # ordered 4-vector of complete orders) fused into ONE groupBy:
+    # the per-(dk, pos) min runs inside the per-dk projection
+    # (array_min over the position's collected alleles — lexicographic
+    # on string, same as min(VARCHAR)), so the 600k-row (dk, pos)
+    # sort-aggregate shuffle disappears; "complete" = all 4 positions
+    # present = no null min (r12, VERDICT r11 #1)
+    def _pos_eq(p: int):
+        # single-arg lambda via factory on purpose: pyspark HOFs pass
+        # (element, index) to two-arg callables, so a ``lambda e, p=p``
+        # capture would silently bind p to the element index
+        return lambda e: e["pos"] == F.lit(p)
+
+    def _min_at(p: int):
+        return F.array_min(
+            F.transform(F.filter("_pa", _pos_eq(p)), lambda e: e["allele"])
+        )
+
     defs0 = (
-        defsrc.groupBy("dk")
+        li.groupBy(F.col("l_orderkey").alias("dk"))
         .agg(
-            F.sort_array(
-                F.collect_list(F.struct("pos", "allele"))
-            ).alias("_p")
+            F.collect_list(
+                F.struct(
+                    (F.col("l_linenumber") - 1).alias("pos"),
+                    allele10.alias("allele"),
+                )
+            ).alias("_pa")
         )
-        .filter(F.size("_p") == 4)
-        .select(
-            "dk",
-            F.transform(F.col("_p"), lambda s: s["allele"]).alias("profile"),
-        )
+        .select("dk", F.array(*[_min_at(p) for p in range(4)]).alias("profile"))
+        .filter(~F.exists("profile", lambda a: a.isNull()))
     )
     defs1 = defs0.select(
         "dk",
@@ -442,11 +459,21 @@ def a5_pivot(spark, sf_dir):
         desig,
         defs.select("st", "profile"),
         total_loci=4,
-        allow_missing_loci=False,
+        # the IF branch (isolatedb.sql:1526-1540): every designated
+        # isolate is eligible, missing positions match only via a
+        # definition 'N' — the branch where 'N' has its wildcard
+        # meaning (r12, ADVICE r11: the ELSE branch treats 'N' as a
+        # literal allele, so the previous allow_missing_loci=False
+        # form exercised an extension the reference doesn't have)
+        allow_missing_loci=True,
         # k=1 is pinned by the construction (wildcards only ever at
         # position 3, so three positions have a zero wildcard floor);
-        # passing it skips the auto-probe job in the serving path
+        # passing it + broadcast_defs skips the auto-probe job in the
+        # serving path.  defs here is ~#orders rows x 4 — a dimension
+        # broadcast — which keeps the whole leg inside grp's single
+        # profile_key exchange (VERDICT r11 #1)
         prune_positions=1,
+        broadcast_defs=True,
     ).select(
         F.lit("multi").alias("kind"),
         F.col("profile_key").cast("string").alias("key_str"),

@@ -26,8 +26,11 @@ on (locus, allele_id) so only genuinely-matching designation pairs meet
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
 
 WILDCARD = "N"
 ABSENT = "0"
@@ -171,24 +174,70 @@ def hamming_zipwith(a, b):
 AUTO_PRUNE_VERIFY_CELLS = 10_000
 
 
-def _auto_prune_positions(sch_long: DataFrame, total_loci: int) -> int:
-    """Pick prune_positions (1 or 3) from the definition side — one
-    tiny aggregate over the same long form stage 1 re-derives (L rows
-    after the groupBy).  Pass ``prune_positions`` explicitly to skip
-    the probe job."""
+# definition-long-form row count at or below which the definition-side
+# frames (frequency tables, exploded rows, profile arrays) broadcast in
+# the multi path: 2e6 narrow rows is ~60 MB serialized — comfortably a
+# dimension broadcast on any executor sizing, while cgMLST-scale defs
+# (2.5e8 long rows) stay on the shuffle path.
+BROADCAST_DEFS_MAX_ROWS = 2_000_000
+
+# memo for the auto-knob probe, keyed on (definition plan semanticHash,
+# total_loci) — the probe is an EAGER driver-side aggregate (ADVICE
+# r11: it used to re-run on every call, once per round in an iterative
+# loop).  semanticHash covers the full logical plan including source
+# paths, so same-plan-same-result holds for batch reads within a
+# process (same caveat class as inventory.typing._pairs_memo); a
+# source whose FILES changed under an identical plan should pass the
+# knobs explicitly.
+_PROBE_MEMO: dict = {}
+
+
+def _probe_defs(sch_long: DataFrame, total_loci: int) -> tuple[int, int]:
+    """One tiny aggregate over the definition long form -> (auto
+    prune_positions, definition long-form row count).  Memoized per
+    (plan, total_loci); pass both knobs explicitly to skip the probe
+    job entirely."""
+    try:
+        key = (sch_long.semanticHash(), total_loci)
+    except Exception:
+        key = None
+    if key is not None and key in _PROBE_MEMO:
+        return _PROBE_MEMO[key]
     row = (
-        sch_long.filter(F.col("def_allele") == WILDCARD)
-        .groupBy("pos")
-        .agg(F.count(F.lit(1)).alias("n_wild"))
+        sch_long.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(
+                F.when(F.col("def_allele") == WILDCARD, F.lit(1))
+            ).alias("n_wild"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_pos"),
+            F.sum("n_rows").alias("n_rows"),
             F.coalesce(F.min("n_wild"), F.lit(0)).alias("min_wild"),
         )
         .collect()[0]
     )
-    # a position with NO wildcard definitions caps the floor at 0
+    # a position with NO wildcard definitions caps the floor at 0 (a
+    # position absent from the table entirely does too, via n_pos)
     min_wild = row.min_wild if row.n_pos == total_loci else 0
-    return 3 if min_wild * total_loci > AUTO_PRUNE_VERIFY_CELLS else 1
+    out = (
+        3 if min_wild * total_loci > AUTO_PRUNE_VERIFY_CELLS else 1,
+        int(row.n_rows or 0),
+    )
+    if key is not None:
+        if len(_PROBE_MEMO) > 256:
+            _PROBE_MEMO.clear()
+        _PROBE_MEMO[key] = out
+    return out
+
+
+def _auto_prune_positions(sch_long: DataFrame, total_loci: int) -> int:
+    """Pick prune_positions (1 or 3) from the definition side — one
+    tiny aggregate over the same long form stage 1 re-derives (L rows
+    after the groupBy), MEMOIZED per plan (see ``_probe_defs``).  Pass
+    ``prune_positions`` explicitly to skip the probe job."""
+    return _probe_defs(sch_long, total_loci)[0]
 
 
 def assign_scheme_fields(
@@ -481,6 +530,7 @@ def assign_scheme_fields_multi(
     allow_missing_loci: bool = False,
     prune_candidates: bool = True,
     prune_positions: int | None = None,
+    broadcast_defs: bool | None = None,
 ) -> DataFrame:
     """A5 path (b): scheme-field assignment for isolates with
     MULTIPLE designations at some loci (paralogous double
@@ -493,222 +543,476 @@ def assign_scheme_fields_multi(
     allow-missing query is the same membership test with 'N' appended
     to the isolate's set (sql/isolatedb.sql:1526-1540): a definition
     matches iff AT EVERY POSITION its allele is one of the isolate's
-    designations there (or the definition holds 'N').  Positional SET
-    MEMBERSHIP, no cross-product — so the feared pre-expansion
-    fan-out of Π(designations per locus) candidate vectors never
-    exists in the reference and never needs to exist here.  This
-    operator supersedes the pre-expansion contract documented on the
-    dense path (``assign_scheme_fields``), whose positional exclusion
-    of over-length vectors stays correct for single-designation data.
+    designations there (or, allow-missing only, the definition holds
+    'N').  Positional SET MEMBERSHIP, no cross-product — so the
+    feared pre-expansion fan-out of Π(designations per locus)
+    candidate vectors never exists in the reference and never needs
+    to exist here.
+
+    'N' semantics (r12, ADVICE r11): ``allow_missing_loci=False`` is
+    the reference's plain ELSE branch — ``profile[i] =
+    ANY(designations)`` with NOTHING appended, so a definition 'N' is
+    an ordinary allele value that matches only a literal 'N'
+    designation (out-of-domain for real schemes: non-allow-missing
+    schemes carry no 'N' profiles, but the letter of the branch is
+    reproduced).  Only ``allow_missing_loci=True`` (the IF branch,
+    :1534-1535, which appends 'N' to the isolate's per-position set)
+    gives 'N' its match-anything meaning.
 
     ``designations``: long form (profile_key, pos, allele), ANY number
     of rows per (profile_key, pos); pos is the 0-based warehouse index
     (scheme_warehouse_indices order).  ``allow_missing_loci=False``
-    reproduces the reference's ELSE branch: only isolates with
-    designations at ALL total_loci positions are eligible
-    (HAVING COUNT(DISTINCT locus) = L, :1546-1547).  True reproduces
-    the IF branch: every designated isolate is eligible and a missing
-    position can only be matched by a definition 'N'.
+    additionally restricts to isolates designated at ALL total_loci
+    positions (HAVING COUNT(DISTINCT locus) = L, :1546-1547); True
+    makes every designated isolate eligible, with a missing position
+    matched only by a definition 'N'.
 
     Scale shape: everything is linear in |designations| (sum, not
-    product, of per-locus designation counts) plus |candidates|.  The
-    big join is the same (pos, allele) inverted-index equi-join as the
-    dense path; with ``prune_candidates`` (default, same
-    rarest-k-position intersection and auto knob) candidate
-    generation only probes each isolate's ``k`` cheapest positions and
-    the verify stage re-checks survivors with ONE narrow-row join per
-    (candidate, position) — no array column ever ships.
+    product, of per-locus designation counts).  The whole pipeline
+    hangs off ONE shuffle of the designations on profile_key (a
+    per-isolate ``collect_set`` — bounded by the isolate's designation
+    count, never a combination product).  With ``broadcast_defs`` (and
+    ``total_loci <= INTERSECT_UNROLL_MAX_LOCI``) the plan is
+    ``_multi_intersect``: the definition side collapses to broadcast
+    per-(pos, allele) ST posting lists and the membership test is a
+    positional array intersection computed in-stage — no candidate
+    row set, no verify join, no further non-broadcast exchange (r12,
+    VERDICT r11 #1 — the r11 form paid ~15 sequential tiny-stage
+    shuffles at gate scale, and a candidate-join form materialized
+    35M rows at sf0.1 to keep 12k).  Otherwise
+    ``_multi_pruned_shuffle`` stages the rarest-k candidate join in
+    long form — linear in |designations| + |candidates|, the shape
+    the 2.6e8-designation cgMLST ladder proved out.
+
+    ``broadcast_defs``: True broadcasts the definition-side frames
+    (posting lists or frequency tables and exploded rows) — right
+    when the scheme definition table is driver-small (every real
+    scheme: even cgMLST definition tables are ~P*L rows where P is
+    thousands, but their EXPLODED long form can reach 1e8+ — hence
+    the knob).  False shuffles them.  None (default) decides from the
+    definition long-form row count measured by the auto-knob probe
+    (``<= BROADCAST_DEFS_MAX_ROWS``).
+
+    EAGER-PROBE NOTE (r12, ADVICE r11): with the defaults
+    (``prune_candidates=True`` and ``prune_positions`` or
+    ``broadcast_defs`` unset) this function may run one small Spark
+    aggregate over the definition long form AT CALL TIME to pick the
+    knobs — construction is not fully lazy.  The probe result is
+    memoized per (definition plan, total_loci) for the process
+    (``_PROBE_MEMO``), so iterative callers pay it once; pass BOTH
+    knobs explicitly to skip the probe entirely (``prune_positions``
+    only matters on the shuffle path).
 
     Returns (profile_key, st)."""
-    iso = designations.select("profile_key", "pos", "allele").distinct()
-    if not allow_missing_loci:
-        complete = (
-            iso.groupBy("profile_key")
-            .agg(F.count_distinct("pos").alias("_np"))
-            .filter(F.col("_np") == total_loci)
-            .select("profile_key")
-        )
-        iso = iso.join(complete, on="profile_key")
-    defs = scheme_profiles.filter(F.size("profile") == total_loci)
+    iso_long = designations.select(
+        "profile_key",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("allele").cast("string").alias("allele"),
+    )
+    defs = scheme_profiles.select(
+        "st", F.col("profile").cast("array<string>").alias("profile")
+    ).filter(F.size("profile") == total_loci)
     sch = defs.select(
         "st", F.posexplode("profile").alias("pos", "def_allele")
     )
-    sch_exact = sch.filter(F.col("def_allele") != WILDCARD)
-    sch_wild = sch.filter(F.col("def_allele") == WILDCARD)
+    if allow_missing_loci:
+        sch_exact = sch.filter(F.col("def_allele") != WILDCARD)
+        sch_wild = sch.filter(F.col("def_allele") == WILDCARD)
+    else:
+        # plain ELSE branch: 'N' is an ordinary allele value
+        sch_exact = sch
+        sch_wild = None
     if prune_candidates:
         return _assign_multi_pruned(
-            iso, sch, sch_exact, sch_wild, total_loci,
-            allow_missing_loci, prune_positions,
+            iso_long, defs, sch, sch_exact, sch_wild, total_loci,
+            allow_missing_loci, prune_positions, broadcast_defs,
         )
+    # the one designation-side shuffle: per-isolate distinct
+    # (pos, allele) set.  Replaces the r11 chain distinct ->
+    # groupBy(count_distinct) -> semi-join (4 exchanges) with ONE
+    # exchange; the set is bounded by the isolate's designation count.
+    grp = _multi_grp(iso_long, total_loci, allow_missing_loci)
+    iso = grp.select("profile_key", F.explode("_ds").alias("_d")).select(
+        "profile_key",
+        F.col("_d.pos").alias("pos"),
+        F.col("_d.allele").alias("allele"),
+    )  # narrow: stays partitioned on profile_key
     exact = iso.join(
         sch_exact,
         (iso["pos"] == sch_exact["pos"])
         & (iso["allele"] == sch_exact["def_allele"]),
     ).select("profile_key", "st", iso["pos"])
-    if allow_missing_loci:
+    legs = exact
+    if sch_wild is not None:
         # the reference appends 'N' to the isolate's set at EVERY
         # position, designated or not (:1534-1535), so a wildcard
         # definition row matches every eligible isolate: a
         # broadcast-dimension grid (wildcard rows are few by design —
         # same assumption as the dense path's wild leg)
-        wild = (
-            iso.select("profile_key")
-            .distinct()
-            .crossJoin(F.broadcast(sch_wild.select("st", "pos")))
+        wild = grp.select("profile_key").crossJoin(
+            F.broadcast(sch_wild.select("st", "pos"))
         )
-    else:
-        wild = (
-            iso.select("profile_key", "pos")
-            .distinct()
-            .join(sch_wild.select("st", "pos"), on="pos")
-            .select("profile_key", "st", "pos")
-        )
+        legs = exact.unionByName(wild.select("profile_key", "st", "pos"))
     # rows are unique per (profile_key, st, pos): a definition holds
     # ONE allele at a position (>= matches at most one of the
     # isolate's distinct designations) and the exact/wild legs are
     # disjoint per (st, pos) — so count(1) counts matched positions
     return (
-        exact.unionByName(wild.select("profile_key", "st", "pos"))
-        .groupBy("profile_key", "st")
+        legs.groupBy("profile_key", "st")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") == total_loci)
         .select("profile_key", "st")
     )
 
 
+# loci cap for the fused positional-intersection multi plan: its
+# per-position posting-set terms are UNROLLED (L expression terms, each
+# an O(designations-per-isolate) scan -> O(L^2) per-isolate work with a
+# tiny constant), the fastest shape by far for MLST-class schemes but
+# plan-bloating and quadratic at cgMLST widths — and cgMLST posting
+# arrays would be huge anyway; those take the long-form staging.
+INTERSECT_UNROLL_MAX_LOCI = 64
+
+
+def _multi_grp(
+    iso_long: DataFrame, total_loci: int, allow_missing_loci: bool
+) -> DataFrame:
+    """Per-isolate distinct designation set (struct form) + the
+    completeness eligibility filter (HAVING COUNT(DISTINCT locus) = L,
+    sql/isolatedb.sql:1546-1547) — ONE exchange."""
+    grp = iso_long.groupBy("profile_key").agg(
+        F.collect_set(F.struct("pos", "allele")).alias("_ds")
+    )
+    if not allow_missing_loci:
+        grp = grp.filter(
+            F.size(
+                F.array_distinct(F.transform("_ds", lambda s: s["pos"]))
+            )
+            == total_loci
+        )
+    return grp
+
+
 def _assign_multi_pruned(
-    iso: DataFrame,
+    iso_long: DataFrame,
+    defs: DataFrame,
     sch: DataFrame,
     sch_exact: DataFrame,
-    sch_wild: DataFrame,
+    sch_wild: DataFrame | None,
     total_loci: int,
     allow_missing_loci: bool,
     n_positions: int | None,
+    broadcast_defs: bool | None,
 ) -> DataFrame:
-    """Rarest-k-position candidate intersection for the
-    multi-designation membership join (``assign_scheme_fields_multi``)
-    — the same four stages as ``_assign_wildcard_pruned`` lifted to
-    set-valued positions:
+    """Plan dispatcher for the multi-designation membership join
+    (``assign_scheme_fields_multi``) — the two r12 shapes (VERDICT
+    r11 #1):
 
-    1. definition-side frequency tables (identical).
-    2. per-(isolate, position) cost = sum over the isolate's
-       designations there of n_prof(pos, allele), + n_wild(pos); a
-       position the isolate LACKS (allow_missing only) costs just
-       n_wild(pos) — only a wildcard definition can match it, which
-       makes missing positions maximally selective probes when 'N' is
-       rare, and rejects the isolate for free when n_wild is 0.
-       The position grid is keys x sequence(total_loci), N*L rows.
-    3. candidates from the k cheapest positions: designations at
-       selected positions equi-join (pos, allele); selected positions
-       join (pos) against wildcard rows; count == k survives.
-    4. verify with narrow rows (no arrays): candidates x definition
-       long rows (|cand|*L), left join designations on
-       (profile_key, pos, allele == def_allele); a position passes if
-       the definition holds 'N' or the join hit; sum == total_loci.
+    - ``_multi_intersect``: broadcast-defs AND total_loci <=
+      INTERSECT_UNROLL_MAX_LOCI.  ONE designation shuffle total; the
+      per-(pos, allele) ST posting lists broadcast and the whole
+      membership test collapses to a positional array intersection —
+      no candidate row set is ever materialized, so rarest-k pruning
+      has nothing left to prune (``n_positions`` is irrelevant here).
+    - ``_multi_pruned_shuffle``: everything else — the rarest-k
+      candidate staging that the 2.6e8-designation cgMLST ladder
+      proved out, upgraded with the r12 allele-carry (no probe-side
+      re-join) and the per-definition verify arrays.
     """
-    if n_positions is None:
-        n_positions = _auto_prune_positions(sch, total_loci)
+    if broadcast_defs is None or (
+        n_positions is None
+        and not (broadcast_defs and total_loci <= INTERSECT_UNROLL_MAX_LOCI)
+    ):
+        auto_k, n_sch_rows = _probe_defs(sch, total_loci)
+        if n_positions is None:
+            n_positions = auto_k
+        if broadcast_defs is None:
+            broadcast_defs = n_sch_rows <= BROADCAST_DEFS_MAX_ROWS
+    if broadcast_defs and total_loci <= INTERSECT_UNROLL_MAX_LOCI:
+        return _multi_intersect(
+            iso_long, sch, sch_exact, sch_wild, total_loci,
+            allow_missing_loci,
+        )
     k_sel = max(1, min(n_positions, total_loci))
+    return _multi_pruned_shuffle(
+        iso_long, defs, sch_exact, sch_wild, total_loci,
+        allow_missing_loci, k_sel, broadcast_defs,
+    )
+
+
+def _multi_intersect(
+    iso_long: DataFrame,
+    sch: DataFrame,
+    sch_exact: DataFrame,
+    sch_wild: DataFrame | None,
+    total_loci: int,
+    allow_missing_loci: bool,
+) -> DataFrame:
+    """The single-shuffle positional-intersection multi plan (r12,
+    VERDICT r11 #1: the r11 leg spent ~5 s at sf0.1 on ~15 sequential
+    tiny-data exchanges; the first r12 rewrite still materialized a
+    35M-row candidate set at sf0.1).  Requires driver-small
+    definitions (broadcast mode) and total_loci <=
+    INTERSECT_UNROLL_MAX_LOCI.
+
+    Key fact: a definition holds exactly ONE allele per position, so
+    the per-(pos, allele) ST posting lists at a position are DISJOINT
+    across alleles, and the membership test (matches at EVERY
+    position) is exactly
+
+        st  in  INTERSECT over p of ( CONCAT over the isolate's
+        alleles a at p of postings[p][a]  ++  wild_sts[p] )
+
+    — the intersection IS the full verify.  No candidate row set, no
+    membership re-check, no rarest-k pruning needed (at sf0.1 the
+    candidate-join form materialized 35M (isolate, st) rows to keep
+    12k; this computes the same 12k inside one projection).
+
+    Plan: ONE exchange (the per-isolate designation groupBy, forced to
+    the session's shuffle-partition count because AQE would coalesce
+    the ~MB-scale shuffle onto a few cores while the downstream
+    intersection work is CPU-bound); the posting lookup is an
+    in-stage broadcast hash join back onto the exploded set, the
+    second per-isolate aggregate reuses the same partitioning (no
+    exchange), and the per-position posting-set terms are unrolled
+    expressions.
+
+    'N' handling mirrors the caller's split: allow-missing treats a
+    definition 'N' as match-anything (its STs ride ``wild_sts[p]``,
+    appended at every position whether or not the isolate designated
+    it — sql/isolatedb.sql:1534-1535), while the plain ELSE branch
+    passes ``sch_wild=None`` and 'N' stays an ordinary allele value
+    inside the posting table."""
+    st_arr = ArrayType(sch.schema["st"].dataType)
+    empty = F.array().cast(st_arr)
+    # ELSE branch: 'N' is an ordinary allele -> posting rows include it
+    lookup_src = sch_exact if sch_wild is not None else sch
+    postings = lookup_src.groupBy(
+        "pos", F.col("def_allele").alias("allele")
+    ).agg(F.collect_list("st").alias("_sts"))
+    try:
+        n_shuffle = int(
+            iso_long.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        iso_long = iso_long.repartition(n_shuffle, "profile_key")
+    except (TypeError, ValueError):
+        pass  # e.g. "auto" under some AQE configs: let AQE size it
+    grp = _multi_grp(iso_long, total_loci, allow_missing_loci)
+    ex = grp.select("profile_key", F.explode("_ds").alias("_d")).select(
+        "profile_key",
+        F.col("_d.pos").alias("pos"),
+        F.col("_d.allele").alias("allele"),
+    )
+    lk = ex.join(F.broadcast(postings), on=["pos", "allele"], how="left")
+    agg2 = lk.groupBy("profile_key").agg(
+        F.collect_list(F.struct("pos", "_sts")).alias("_ps")
+    )
+    if sch_wild is not None:
+        wild_map = (
+            sch_wild.groupBy("pos")
+            .agg(F.collect_list("st").alias("_w"))
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("pos", "_w"))
+                ).alias("_wm")
+            )
+        )
+        agg2 = agg2.crossJoin(F.broadcast(wild_map))
+
+    def _eq_pos(p: int):
+        # single-arg lambda ON PURPOSE: pyspark HOF helpers pass
+        # (element, index) to two-arg callables, so the tempting
+        # ``lambda e, p=p: ...`` capture silently binds p to the
+        # element INDEX, not the captured constant
+        return lambda e: e["pos"] == F.lit(p)
+
+    def sts_p(p: int):
+        found = F.flatten(
+            F.transform(
+                F.filter("_ps", _eq_pos(p)),
+                lambda e: F.coalesce(e["_sts"], empty),
+            )
+        )
+        if sch_wild is None:
+            return found
+        return F.concat(
+            found, F.coalesce(F.element_at("_wm", F.lit(p)), empty)
+        )
+
+    matched = reduce(
+        F.array_intersect, [sts_p(p) for p in range(total_loci)]
+    )
+    if total_loci == 1:
+        # no intersection ever ran; dedupe the (out-of-domain)
+        # duplicate-ST definition case the way count==L paths do
+        matched = F.array_distinct(matched)
+    return agg2.select("profile_key", F.explode(matched).alias("st"))
+
+
+def _multi_pruned_shuffle(
+    iso_long: DataFrame,
+    defs: DataFrame,
+    sch_exact: DataFrame,
+    sch_wild: DataFrame | None,
+    total_loci: int,
+    allow_missing_loci: bool,
+    k_sel: int,
+    broadcast_defs: bool,
+) -> DataFrame:
+    """The linear long-form staging for big definition tables or wide
+    schemes — the shape the 2.6e8-designation cgMLST ladder proved
+    out (BASELINE.md r11/r12), with two r12 upgrades:
+
+    1. ALLELE CARRY: the per-(isolate, position) cost aggregate also
+       collects the distinct alleles there, so candidate generation
+       explodes them straight out of the argmin result instead of
+       re-joining the long form (one fewer co-partitioned join+sort).
+    2. ARRAY VERIFY: survivors join the per-definition REQUIRED-pair
+       array (precomputed on the P-row defs side) and the per-isolate
+       designation set, then one ``array_intersect`` size check —
+       O(L + designations-per-isolate) per candidate.  The r11
+       long-row verify shuffled |cand|*L rows twice (cand x sch
+       explode, then the designation left-join); this ships each
+       side's array once.  Build sides follow the r11 memory law:
+       narrow candidate keys and the bounded per-isolate sets build,
+       the array-carrying definition rows stream.
+
+    Stage chain: grp exchange (designations on profile_key) ->
+    freq join on (pos, allele) -> ONE re-cluster back to profile_key
+    (replaces three downstream exchanges) -> cost/argmin/probe all
+    shuffle-free -> candidate (pos, allele) equi-join -> verify.
+    """
+    maybe_b = F.broadcast if broadcast_defs else (lambda df: df)
+    grp = _multi_grp(iso_long, total_loci, allow_missing_loci)
+    iso = grp.select("profile_key", F.explode("_ds").alias("_d")).select(
+        "profile_key",
+        F.col("_d.pos").alias("pos"),
+        F.col("_d.allele").alias("allele"),
+    )  # narrow: stays partitioned on profile_key
     exact_freq = sch_exact.groupBy(
         "pos", F.col("def_allele").alias("allele")
     ).agg(F.count(F.lit(1)).alias("n_prof"))
-    wild_freq = sch_wild.groupBy("pos").agg(
-        F.count(F.lit(1)).alias("n_wild")
-    )
-    desig_cost = (
-        iso.join(exact_freq, on=["pos", "allele"], how="left")
-        .groupBy("profile_key", "pos")
-        .agg(F.sum(F.coalesce(F.col("n_prof"), F.lit(0))).alias("_ce"))
+    joined = iso.join(maybe_b(exact_freq), on=["pos", "allele"], how="left")
+    if not broadcast_defs:
+        # re-cluster ONCE on profile_key: the (pos, allele) join key
+        # destroyed grp's partitioning, and both following aggregates
+        # plus the grid join all cluster on profile_key
+        joined = joined.repartition("profile_key")
+    desig_cost = joined.groupBy("profile_key", "pos").agg(
+        F.sum(F.coalesce(F.col("n_prof"), F.lit(0))).alias("_ce"),
+        F.collect_set("allele").alias("_as"),
     )
     if allow_missing_loci:
-        # positions the isolate LACKS must still be selectable (they
-        # cost only n_wild(pos) — maximally selective when 'N' is
-        # rare, free rejection when n_wild is 0), so expand the full
-        # keys x positions grid
-        base_cost = (
-            iso.select("profile_key")
-            .distinct()
-            .select(
-                "profile_key",
-                F.explode(
-                    F.sequence(F.lit(0), F.lit(total_loci - 1))
-                ).alias("pos"),
-            )
-            .join(desig_cost, on=["profile_key", "pos"], how="left")
-        )
-    else:
-        # complete isolates carry every position in desig_cost
-        # already — the grid would be an identical frame built with
-        # two extra stages
-        base_cost = desig_cost
-    cost = (
-        base_cost.join(F.broadcast(wild_freq), on="pos", how="left")
-        .select(
+        # positions the isolate LACKS must still be selectable; the
+        # grid is a narrow explode over the pk-partitioned grp
+        base_cost = grp.select(
             "profile_key",
-            "pos",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(total_loci - 1))
+            ).alias("pos"),
+        ).join(desig_cost, on=["profile_key", "pos"], how="left")
+    else:
+        # complete isolates carry every position in desig_cost already
+        base_cost = desig_cost
+    if sch_wild is not None:
+        wild_freq = sch_wild.groupBy("pos").agg(
+            F.count(F.lit(1)).alias("n_wild")
+        )
+        cost = base_cost.join(
+            F.broadcast(wild_freq), on="pos", how="left"
+        ).select(
+            "profile_key", "pos", "_as",
             (
                 F.coalesce(F.col("_ce"), F.lit(0))
                 + F.coalesce(F.col("n_wild"), F.lit(0))
             ).alias("cost"),
         )
-    )
+    else:
+        cost = base_cost.select(
+            "profile_key", "pos", "_as",
+            F.coalesce(F.col("_ce"), F.lit(0)).alias("cost"),
+        )
     if k_sel == 1:
         best = (
             cost.groupBy("profile_key")
-            .agg(F.min_by(F.col("pos"), F.struct("cost", "pos")).alias("pos"))
-            .select("profile_key", "pos")
+            .agg(
+                F.min_by(
+                    F.struct("pos", "_as"), F.struct("cost", "pos")
+                ).alias("b")
+            )
+            .select(
+                "profile_key",
+                F.col("b.pos").alias("pos"),
+                F.col("b._as").alias("_as"),
+            )
         )
     else:
         w = Window.partitionBy("profile_key").orderBy("cost", "pos")
         best = (
             cost.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k_sel)
-            .select("profile_key", "pos")
+            .select("profile_key", "pos", "_as")
         )
     cand = (
-        best.join(iso, on=["profile_key", "pos"])
+        best.select("profile_key", "pos", F.explode("_as").alias("allele"))
         .join(
-            sch_exact.select(
-                "st", "pos", F.col("def_allele").alias("allele")
+            maybe_b(
+                sch_exact.select(
+                    "st", "pos", F.col("def_allele").alias("allele")
+                )
             ),
             on=["pos", "allele"],
         )
         .select("profile_key", "st", "pos")
-        .unionByName(
-            best.join(sch_wild.select("st", "pos"), on="pos").select(
-                "profile_key", "st", "pos"
-            )
-        )
-        # unique per (profile_key, st, pos) — same argument as the
-        # unpruned legs — so the count equals matched selected
-        # positions; == k_sel iff the definition matches at all of them
-        .groupBy("profile_key", "st")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") == k_sel)
-        .select("profile_key", "st")
     )
-    full = cand.join(sch, on="st")  # (profile_key, st, pos, def_allele)
-    hit = full.join(
-        iso.select(
-            "profile_key", "pos", F.col("allele").alias("def_allele"),
-            F.lit(1).alias("_hit"),
+    if sch_wild is not None:
+        cand = cand.unionByName(
+            best.join(
+                F.broadcast(sch_wild.select("st", "pos")), on="pos"
+            ).select("profile_key", "st", "pos")
+        )
+    if k_sel == 1:
+        # unique per (profile_key, st) already — see the fused path
+        cand_keys = cand.select("profile_key", "st")
+    else:
+        cand_keys = (
+            cand.groupBy("profile_key", "st")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") == k_sel)
+            .select("profile_key", "st")
+        )
+    # per-definition REQUIRED pairs, computed once on the P-row defs
+    # side (not per candidate): all L pairs under the literal-'N'
+    # ELSE semantics; the non-'N' ones under allow_missing
+    def_pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(total_loci - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.element_at("profile", i.cast("int") + 1).alias("allele"),
         ),
-        on=["profile_key", "pos", "def_allele"],
-        how="left",
     )
-    return (
-        hit.groupBy("profile_key", "st")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("def_allele") == WILDCARD)
-                    | F.col("_hit").isNotNull(),
-                    1,
-                ).otherwise(0)
-            ).alias("_ok")
+    if allow_missing_loci:
+        def_pairs = F.filter(
+            def_pairs, lambda s: s["allele"] != F.lit(WILDCARD)
         )
-        .filter(F.col("_ok") == total_loci)
-        .select("profile_key", "st")
+    defs_arr = defs.select(
+        "st", def_pairs.alias("_dp"), F.size(def_pairs).alias("_req")
+    )
+    matched = F.size(F.array_intersect(F.col("_ds"), F.col("_dp")))
+    if broadcast_defs:
+        verified = cand_keys.join(F.broadcast(defs_arr), on="st").join(
+            grp, on="profile_key"
+        )
+    else:
+        # shuffle form: build sides per the r11 memory law — the
+        # narrow/bounded sides build, the array-carrying defs stream
+        verified = (
+            cand_keys.hint("shuffle_hash")
+            .join(defs_arr, on="st")
+            .join(grp.hint("shuffle_hash"), on="profile_key")
+        )
+    return verified.filter(matched == F.col("_req")).select(
+        "profile_key", "st"
     )
 
 

@@ -420,9 +420,29 @@ def test_multi_designation_membership_semantics(spark):
                 prune_candidates=prune, prune_positions=1 if prune else None,
             ).collect()
         }
-        # complete isolates only; paralog 1 matches a, b AND c ('N'
-        # matches any designated allele); isolate 3 excluded
-        assert got == {(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "c")}
+        # complete isolates only; the plain ELSE branch
+        # (isolatedb.sql:1555-1566) appends NOTHING to the isolate's
+        # set, so ST c's 'N' is a literal allele value here and
+        # matches neither "4" nor "9" (r12, ADVICE r11 — the r11 form
+        # gave 'N' its match-anything meaning in this branch too,
+        # which the reference reserves for allow_missing_loci)
+        assert got == {(1, "a"), (1, "b"), (2, "a")}
+
+    # ... and a literal 'N' DESIGNATION does match a definition 'N'
+    # under the ELSE branch (ordinary allele equality)
+    desig_lit = spark.createDataFrame(
+        [(9, 0, "1"), (9, 1, "3"), (9, 2, "N")],
+        "profile_key int, pos int, allele string",
+    )
+    for prune in (False, True):
+        got = {
+            (r.profile_key, r.st)
+            for r in assign_scheme_fields_multi(
+                desig_lit, sch, total_loci=3, allow_missing_loci=False,
+                prune_candidates=prune, prune_positions=1 if prune else None,
+            ).collect()
+        }
+        assert got == {(9, "c")}
 
     for prune in (False, True):
         got = {
@@ -485,9 +505,11 @@ def test_multi_designation_pruned_equals_unpruned_randomized(spark):
         ).collect()
         assert len(base) > 0
         for kw in (
-            {"prune_positions": 1},
-            {"prune_positions": 3},
-            {},  # auto knob
+            {"prune_positions": 1, "broadcast_defs": True},
+            {"prune_positions": 1, "broadcast_defs": False},
+            {"prune_positions": 3, "broadcast_defs": True},
+            {"prune_positions": 3, "broadcast_defs": False},
+            {},  # auto knobs (probe memoized per plan)
         ):
             pruned = assign_scheme_fields_multi(
                 desig, sch, total_loci=total, allow_missing_loci=allow,
