@@ -240,6 +240,98 @@ def _auto_prune_positions(sch_long: DataFrame, total_loci: int) -> int:
     return _probe_defs(sch_long, total_loci)[0]
 
 
+# compressed isolate-side bytes per partition that the candidate/cost
+# machinery tolerates before GC pressure turns growth superlinear:
+# the r11 cg ladder (BASELINE.md) ran 279 s at cg_1e6 (1.2 GB source,
+# 256 partitions ~ 5 MB each) but 1376 s at cg_4e6 (4.6 GB source,
+# same 256 partitions ~ 18 MB each, 23.6/24 GiB heap peak) — 4.9x per
+# 4x.  8 MB/partition keeps cg_1e6 at its measured-good 256 and lifts
+# cg_4e6 to 1024 (r12, VERDICT r11 #2: apply the stated law in code,
+# not just in the ladder's env knob).
+VERIFY_PARTITION_SOURCE_BYTES = 8 << 20
+
+# stats-based partition counts above this are either junk estimates
+# (post-join size products) or a scale where the session should be
+# configured explicitly; the law caps out rather than exploding the
+# shuffle
+VERIFY_PARTITIONS_CAP = 65536
+
+
+# definition-side source-bytes cap for DIMENSION-BROADCAST mode in the
+# wildcard path: below it the freq tables / exploded definition rows /
+# definition arrays all broadcast (a cgMLST defs table is ~P*L cells:
+# 1e4 profiles x 1e3 loci ~ 40-100 MB parquet), so the N*L isolate
+# long form NEVER shuffles on (pos, allele) — the one exchange class
+# that filled the disk at cg_4e6 (r12, VERDICT r11 #2 follow-through).
+DIM_BROADCAST_MAX_BYTES = 512 << 20
+
+# isolate-side floor below which dimension-broadcast mode stays OFF:
+# at small scale the default shuffle plans are already right (and
+# pinned by tests/test_plan_quality.py); the mode targets the regime
+# where the long-form exchanges dominate.
+DIM_MODE_MIN_DENSE_BYTES = 1 << 30
+
+# isolate-side cap for the k-pass broadcast-argmin: each pass
+# broadcasts one N-row minima frame (~40 B/row hashed), so past ~32 GB
+# of source (N in the high 1e7s at cgMLST width) fall back to the
+# window sort + partition law.
+ARGMIN_PASS_MAX_DENSE_BYTES = 32 << 30
+
+# cost packing for the k-pass argmin: pack = cost * 2^POS_PACK_BITS
+# + pos keeps (cost, pos) ordering in one long — requires
+# total_loci < 2^POS_PACK_BITS (any real scheme: cgMLST is ~2e3 loci)
+POS_PACK_BITS = 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst size-only stats for a frame — one py4j read, NO job.
+    Returns None when unusable (non-positive or >1 PiB: size-only
+    join estimates multiply and go astronomically junk)."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    if size <= 0 or size > (1 << 50):
+        return None
+    return size
+
+
+def _candidate_scaled_partitions(dense: DataFrame) -> int | None:
+    """Partition count for the wildcard path's heavy exchanges (the
+    k>1 cost window sort over N*L rows and the verify joins), scaled
+    with the isolate side — the partition LAW from the r11 cg ladder:
+    task heap/GC grows with N at a pinned partition count, so size
+    partitions for the candidate count, not the array volume.
+
+    Uses Catalyst's size-only plan stats (file bytes for parquet
+    sources — one py4j read, NO job, stays lazy).  Returns None (leave
+    the plan's default exchanges untouched) when the estimate is
+    unusable (non-positive, or >1 PiB: size-only join estimates
+    multiply and go astronomically junk) or when the computed count
+    does not exceed the session's pre-coalesce partition floor — AQE
+    can coalesce DOWN but never split UP, so the law only ever RAISES
+    the count."""
+    size = _plan_size_bytes(dense)
+    if size is None:
+        return None
+    sess = dense.sparkSession
+    floor = 0
+    for key in (
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        "spark.sql.shuffle.partitions",
+    ):
+        try:
+            floor = max(floor, int(sess.conf.get(key)))
+        except (TypeError, ValueError):
+            pass
+    need = -(-size // VERIFY_PARTITION_SOURCE_BYTES)
+    if need <= max(floor, 1):
+        return None
+    return min(1 << (need - 1).bit_length(), VERIFY_PARTITIONS_CAP)
+
+
 def assign_scheme_fields(
     isolate_profiles: DataFrame,
     scheme_profiles: DataFrame,
@@ -407,6 +499,25 @@ def _assign_wildcard_pruned(
     candidates = N*P and stage 4 still beats the unpruned path's
     L-times-larger intermediate by a factor of total_loci.
 
+    AT-SCALE PLAN SHAPE (r12, VERDICT r11 #2) — two stats-only gates,
+    no jobs, small-scale plans unchanged:
+
+    - DIMENSION-BROADCAST mode (isolate side >= 1 GB of source AND
+      definition side <= 512 MB — every real scheme; a cgMLST defs
+      table is ~P*L cells ~ 40-100 MB): the freq tables, exploded
+      definition rows and definition arrays broadcast, so the N*L
+      isolate long form NEVER exchanges on (pos, allele) and the
+      verify never exchanges on st; with k>1 the cost window sort is
+      replaced by a k-PASS BROADCAST-ARGMIN (per-pass partial-
+      aggregated min over packed (cost, pos) longs — N rows per pass
+      cross the wire instead of the N*L sort; the r11 window form's
+      two long-form exchanges wrote ~80 GB of shuffle at cg_4e6 and
+      filled the disk).
+    - PARTITION LAW (``_candidate_scaled_partitions``): whatever
+      exchanges remain scale their partition count with the isolate
+      side's source bytes instead of a pinned session constant (the
+      r11 ladder's GC superlinearity: 4.9x per 4x isolates at 256).
+
     ``n_positions=None`` (r11 default via ``assign_scheme_fields``)
     auto-selects 1 or 3 from the definition side's wildcard floor —
     see ``_auto_prune_positions``."""
@@ -419,6 +530,24 @@ def _assign_wildcard_pruned(
     if n_positions is None:
         n_positions = _auto_prune_positions(sch, total_loci)
     k_sel = max(1, min(n_positions, total_loci))
+    # r12 scale gates (VERDICT r11 #2) — two stats reads, no job:
+    # - partition LAW: None = session defaults already satisfy it;
+    # - DIMENSION-BROADCAST mode: at-scale isolate side + broadcastable
+    #   definition side -> the freq tables, exploded definition rows
+    #   and definition arrays all broadcast, so the N*L long form
+    #   never shuffles on (pos, allele) and the verify never exchanges
+    #   on st (the two exchange classes that filled a 63 GB disk at
+    #   cg_4e6).  Small scale keeps the pinned default plans.
+    n_ver = _candidate_scaled_partitions(dense)
+    dense_bytes = _plan_size_bytes(dense)
+    defs_bytes = _plan_size_bytes(scheme_profiles)
+    dim_mode = (
+        dense_bytes is not None
+        and defs_bytes is not None
+        and dense_bytes >= DIM_MODE_MIN_DENSE_BYTES
+        and defs_bytes <= DIM_BROADCAST_MAX_BYTES
+    )
+    fb = F.broadcast if dim_mode else (lambda df: df)
     sch_exact = sch.filter(F.col("def_allele") != WILDCARD)
     sch_wild = sch.filter(F.col("def_allele") == WILDCARD)
     exact_freq = sch_exact.groupBy(
@@ -428,7 +557,7 @@ def _assign_wildcard_pruned(
         F.count(F.lit(1)).alias("n_wild")
     )
     cost = (
-        iso.join(exact_freq, on=["pos", "allele"], how="left")
+        iso.join(fb(exact_freq), on=["pos", "allele"], how="left")
         .join(F.broadcast(wild_freq), on="pos", how="left")
         .select(
             "profile_key",
@@ -457,7 +586,70 @@ def _assign_wildcard_pruned(
                 F.col("b.allele").alias("allele"),
             )
         )
+    elif (
+        dim_mode
+        and dense_bytes <= ARGMIN_PASS_MAX_DENSE_BYTES
+        and total_loci < (1 << POS_PACK_BITS)
+    ):
+        # k-PASS BROADCAST-ARGMIN (r12): the window form sorts the
+        # FULL N*L cost frame through one exchange (cg_4e6: ~40 GB of
+        # shuffle spill on top of the freq join's).  With the freq
+        # join map-side (dim_mode), each pass is instead a
+        # partial-aggregated min over the in-stage cost rows — only N
+        # rows ever cross the wire per pass — and passes 2..k keep
+        # "rows strictly above the previous minimum" via a broadcast
+        # of the previous pass's per-isolate minima.  (cost, pos)
+        # packs into one long (pos is unique per isolate, so packs
+        # are distinct and ties can't occur); min_by carries the
+        # allele so nothing joins back to the long form.
+        pack = (
+            F.col("cost").cast("long") * F.lit(1 << POS_PACK_BITS)
+            + F.col("pos")
+        )
+        # each pass re-derives the in-stage explode+freq-probe (k
+        # scans total) — that is the cheap part; what must NOT happen
+        # is (a) caching the N*L packed rows (a MEMORY_AND_DISK local
+        # checkpoint of 1e9 deserialized rows OOM'd a 24 GB heap) or
+        # (b) letting the pass lineage NEST (the un-checkpointed form
+        # re-ran pass i inside pass i+1's broadcast — O(k^2) scans,
+        # 796 s at cg_1e6).  Only the N-ROW minima checkpoint (lazy;
+        # storage freed when the frames are garbage collected).
+        packed = cost.select(
+            "profile_key", "pos", "allele", pack.alias("_pk")
+        )
+        legs = []
+        prev = None
+        for _ in range(k_sel):
+            stage = packed
+            if prev is not None:
+                stage = stage.join(
+                    F.broadcast(prev), on="profile_key"
+                ).filter(F.col("_pk") > F.col("_prev"))
+            m = stage.groupBy("profile_key").agg(
+                F.min("_pk").alias("_prev"),
+                F.min_by(F.struct("pos", "allele"), F.col("_pk")).alias(
+                    "_b"
+                ),
+            ).localCheckpoint(eager=False)
+            legs.append(
+                m.select(
+                    "profile_key",
+                    F.col("_b.pos").alias("pos"),
+                    F.col("_b.allele").alias("allele"),
+                )
+            )
+            prev = m.select("profile_key", "_prev")
+        best = legs[0]
+        for leg in legs[1:]:
+            best = best.unionByName(leg)
     else:
+        # the window sorts the FULL N*L cost frame per isolate — the
+        # biggest exchange in the whole path; scale its partition
+        # count with the isolate side (r12 partition law, VERDICT r11
+        # #2) instead of sorting 4x the rows through the same pinned
+        # count (cg_1e6 -> cg_4e6 measured 4.9x per 4x at 256)
+        if n_ver is not None:
+            cost = cost.repartition(n_ver, "profile_key")
         w = Window.partitionBy("profile_key").orderBy("cost", "pos")
         best = (
             cost.withColumn("_rn", F.row_number().over(w))
@@ -466,14 +658,16 @@ def _assign_wildcard_pruned(
         )
     cand = (
         best.join(
-            sch_exact.select(
-                "st", "pos", F.col("def_allele").alias("allele")
+            fb(
+                sch_exact.select(
+                    "st", "pos", F.col("def_allele").alias("allele")
+                )
             ),
             on=["pos", "allele"],
         )
         .select("profile_key", "st")
         .unionByName(
-            best.join(sch_wild.select("st", "pos"), on="pos").select(
+            best.join(fb(sch_wild.select("st", "pos")), on="pos").select(
                 "profile_key", "st"
             )
         )
@@ -508,16 +702,37 @@ def _assign_wildcard_pruned(
     # side instead (cand: two longs/row) makes the isolate-side build
     # ~N*24B/partitions and streams the wide arrays, so task heap is
     # essentially flat in N; the definition-side join builds on the
-    # defs (P*L*20B total — the genuinely small side).
-    return (
-        cand.hint("shuffle_hash")
-        .join(dense.select("profile_key", "profile"), on="profile_key")
-        .join(
-            scheme_profiles.select(
-                "st", F.col("profile").alias("def_profile")
-            ).hint("shuffle_hash"),
-            on="st",
+    # defs (P*L*20B total — the genuinely small side).  PARTITION
+    # COUNT follows the same law (r12, VERDICT r11 #2): the streamed
+    # array bytes per task are ~N*L*20B/partitions, so the verify
+    # exchanges scale with the isolate side too (matching repartitions
+    # on both inputs keep it to one exchange per side, same as the
+    # ENSURE_REQUIREMENTS exchanges they replace).
+    iso_side = dense.select("profile_key", "profile")
+    def_side = scheme_profiles.select(
+        "st", F.col("profile").alias("def_profile")
+    )
+    ver = cand
+    if n_ver is not None:
+        ver = ver.repartition(n_ver, "profile_key")
+        iso_side = iso_side.repartition(n_ver, "profile_key")
+    joined = ver.hint("shuffle_hash").join(iso_side, on="profile_key")
+    if dim_mode:
+        # the definition arrays are the broadcastable dimension
+        # (P*L cells under DIM_BROADCAST_MAX_BYTES), so the
+        # array-carrying candidate rows never exchange on st at all —
+        # the isolate arrays ship exactly once (the profile_key
+        # exchange above)
+        return (
+            joined.join(F.broadcast(def_side), on="st")
+            .filter(full_match == total_loci)
+            .select("profile_key", "st")
         )
+    if n_ver is not None:
+        joined = joined.repartition(n_ver, "st")
+        def_side = def_side.repartition(n_ver, "st")
+    return (
+        joined.join(def_side.hint("shuffle_hash"), on="st")
         .filter(full_match == total_loci)
         .select("profile_key", "st")
     )

@@ -516,3 +516,123 @@ def test_multi_designation_pruned_equals_unpruned_randomized(spark):
                 prune_candidates=True, **kw,
             ).collect()
             assert {tuple(r) for r in pruned} == {tuple(r) for r in base}
+
+
+def test_candidate_scaled_partitions_law(spark, designations, scheme, tmp_path, monkeypatch):
+    """r12 (VERDICT r11 #2): the wildcard path's heavy exchanges scale
+    their partition count with the isolate side.  Small sources stay
+    on the session defaults (helper returns None, plan unchanged);
+    when the source bytes exceed the per-partition budget the cost
+    window and verify joins run at the scaled power-of-two count and
+    the output rows are identical."""
+    import bigsdb_spark.operators.profiles as P
+
+    prof = build_profiles(designations, "isolate_id", "locus", "allele_id")
+    # write to parquet so Catalyst's size-only stats are file bytes
+    path = str(tmp_path / "dense.parquet")
+    prof.write.parquet(path)
+    dense = spark.read.parquet(path)
+
+    # tiny source: law stays out of the way
+    assert P._candidate_scaled_partitions(dense) is None
+
+    # shrink the per-partition budget so the fixture-sized source
+    # triggers the law deterministically
+    monkeypatch.setattr(P, "VERIFY_PARTITION_SOURCE_BYTES", 16)
+    n_ver = P._candidate_scaled_partitions(dense)
+    floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert n_ver is not None and n_ver > floor
+    assert n_ver & (n_ver - 1) == 0  # power of two
+
+    base = assign_scheme_fields(
+        prof, scheme, allow_missing_loci=True, total_loci=7,
+        prune_candidates=True, prune_positions=3,
+    )
+    scaled = assign_scheme_fields(
+        dense, scheme, allow_missing_loci=True, total_loci=7,
+        prune_candidates=True, prune_positions=3,
+    )
+    plan = scaled._jdf.queryExecution().executedPlan().toString()
+    # the user repartitions replace the ENSURE_REQUIREMENTS exchanges
+    # at the scaled count (REPARTITION_BY_COL is AQE-coalesce-exempt)
+    assert f"hashpartitioning(profile_key#" in plan and f", {n_ver})" in plan
+    assert {tuple(r) for r in scaled.collect()} == {
+        tuple(r) for r in base.collect()
+    }
+    assert scaled.count() > 0
+
+
+def test_dim_broadcast_mode_equals_default(spark, designations, scheme, monkeypatch):
+    """r12 (VERDICT r11 #2): dimension-broadcast mode (broadcast freq
+    tables / definition rows / definition arrays + the k-pass
+    broadcast-argmin replacing the cost window) must return exactly
+    the default plan's rows, for k=1 and k=3, on the fixture and on a
+    randomized corpus."""
+    import random as _random
+
+    import bigsdb_spark.operators.profiles as P
+
+    prof = build_profiles(designations, "isolate_id", "locus", "allele_id")
+    base = {
+        tuple(r)
+        for r in assign_scheme_fields(
+            prof, scheme, allow_missing_loci=True, total_loci=7,
+            prune_candidates=True, prune_positions=3,
+        ).collect()
+    }
+    # force the mode on tiny frames
+    monkeypatch.setattr(P, "DIM_MODE_MIN_DENSE_BYTES", 1)
+    for k_sel in (1, 2, 3):
+        got = {
+            tuple(r)
+            for r in assign_scheme_fields(
+                prof, scheme, allow_missing_loci=True, total_loci=7,
+                prune_candidates=True, prune_positions=k_sel,
+            ).collect()
+        }
+        assert got == base, f"k={k_sel}"
+
+    rng = _random.Random(1234)
+    vocab = 6
+    defs = []
+    for st in range(40):
+        defs.append(
+            (
+                str(st),
+                [
+                    "N" if rng.random() < 0.15
+                    else str(rng.randint(1, vocab))
+                    for _ in range(5)
+                ],
+            )
+        )
+    isos = []
+    for i in range(120):
+        src_ = defs[rng.randrange(len(defs))][1]
+        v = [
+            str(rng.randint(1, vocab)) if (a == "N" or rng.random() < 0.2)
+            else a
+            for a in src_
+        ]
+        isos.append((i, v))
+    sch = spark.createDataFrame(defs, "st string, profile array<string>")
+    dense = spark.createDataFrame(
+        isos, "profile_key int, profile array<string>"
+    )
+    base2 = {
+        tuple(r)
+        for r in assign_scheme_fields(
+            dense, sch, allow_missing_loci=True, total_loci=5,
+            prune_candidates=False,
+        ).collect()
+    }
+    assert len(base2) > 0
+    for k_sel in (1, 2, 3, 5):
+        got = {
+            tuple(r)
+            for r in assign_scheme_fields(
+                dense, sch, allow_missing_loci=True, total_loci=5,
+                prune_candidates=True, prune_positions=k_sel,
+            ).collect()
+        }
+        assert got == base2, f"k={k_sel}"
