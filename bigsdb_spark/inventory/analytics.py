@@ -408,35 +408,34 @@ def a5_pivot(spark, sf_dir):
         )
     )
     # oracle's defsrc+defs0 (min allele per (dk, pos), then the
-    # ordered 4-vector of complete orders) fused into ONE groupBy:
-    # the per-(dk, pos) min runs inside the per-dk projection
-    # (array_min over the position's collected alleles — lexicographic
-    # on string, same as min(VARCHAR)), so the 600k-row (dk, pos)
-    # sort-aggregate shuffle disappears; "complete" = all 4 positions
-    # present = no null min (r12, VERDICT r11 #1)
-    def _pos_eq(p: int):
-        # single-arg lambda via factory on purpose: pyspark HOFs pass
-        # (element, index) to two-arg callables, so a ``lambda e, p=p``
-        # capture would silently bind p to the element index
-        return lambda e: e["pos"] == F.lit(p)
-
-    def _min_at(p: int):
-        return F.array_min(
-            F.transform(F.filter("_pa", _pos_eq(p)), lambda e: e["allele"])
-        )
-
+    # ordered 4-vector of complete orders) fused into ONE groupBy with
+    # FOUR conditional min aggregates — min(when(pos = p, allele)) is
+    # min(VARCHAR) per position, partial-aggregated map-side and fully
+    # codegen'd.  The r12 interim form collected the (pos, allele)
+    # structs per dk and ran array_min/filter/transform over them:
+    # higher-order functions stay INTERPRETED (no whole-stage codegen)
+    # and that expression tree's cost proved JIT-state-dependent under
+    # the bench's reset protocol (see profiles._multi_intersect).
+    # "complete" = all 4 positions present = no null min.
+    pos_col = F.col("l_linenumber") - 1
     defs0 = (
         li.groupBy(F.col("l_orderkey").alias("dk"))
         .agg(
-            F.collect_list(
-                F.struct(
-                    (F.col("l_linenumber") - 1).alias("pos"),
-                    allele10.alias("allele"),
-                )
-            ).alias("_pa")
+            *[
+                F.min(F.when(pos_col == p, allele10)).alias(f"_a{p}")
+                for p in range(4)
+            ]
         )
-        .select("dk", F.array(*[_min_at(p) for p in range(4)]).alias("profile"))
-        .filter(~F.exists("profile", lambda a: a.isNull()))
+        .filter(
+            F.col("_a0").isNotNull()
+            & F.col("_a1").isNotNull()
+            & F.col("_a2").isNotNull()
+            & F.col("_a3").isNotNull()
+        )
+        .select(
+            "dk",
+            F.array(*[F.col(f"_a{p}") for p in range(4)]).alias("profile"),
+        )
     )
     defs1 = defs0.select(
         "dk",

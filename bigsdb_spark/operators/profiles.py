@@ -26,11 +26,9 @@ on (locus, allele_id) so only genuinely-matching designation pairs meet
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType
+from pyspark.sql.types import StructField, StructType
 
 WILDCARD = "N"
 ABSENT = "0"
@@ -880,12 +878,12 @@ def assign_scheme_fields_multi(
     )
 
 
-# loci cap for the fused positional-intersection multi plan: its
-# per-position posting-set terms are UNROLLED (L expression terms, each
-# an O(designations-per-isolate) scan -> O(L^2) per-isolate work with a
-# tiny constant), the fastest shape by far for MLST-class schemes but
-# plan-bloating and quadratic at cgMLST widths — and cgMLST posting
-# arrays would be huge anyway; those take the long-form staging.
+# loci cap for the fused positional-intersection multi plan: the
+# bitmap scan does O(L) numpy ops of n_defs/64 words per isolate —
+# the fastest shape by far for MLST-class schemes, but at cgMLST
+# widths (L ~ 1e3, P ~ 1e4 defs) the per-isolate loop and the posting
+# table both grow past what the one-pass scan should carry; those
+# take the long-form staging.
 INTERSECT_UNROLL_MAX_LOCI = 64
 
 
@@ -945,8 +943,8 @@ def _assign_multi_pruned(
             broadcast_defs = n_sch_rows <= BROADCAST_DEFS_MAX_ROWS
     if broadcast_defs and total_loci <= INTERSECT_UNROLL_MAX_LOCI:
         return _multi_intersect(
-            iso_long, sch, sch_exact, sch_wild, total_loci,
-            allow_missing_loci,
+            iso_long, defs, total_loci, allow_missing_loci,
+            wild_is_literal=sch_wild is None,
         )
     k_sel = max(1, min(n_positions, total_loci))
     return _multi_pruned_shuffle(
@@ -957,111 +955,180 @@ def _assign_multi_pruned(
 
 def _multi_intersect(
     iso_long: DataFrame,
-    sch: DataFrame,
-    sch_exact: DataFrame,
-    sch_wild: DataFrame | None,
+    defs: DataFrame,
     total_loci: int,
     allow_missing_loci: bool,
+    wild_is_literal: bool,
 ) -> DataFrame:
     """The single-shuffle positional-intersection multi plan (r12,
     VERDICT r11 #1: the r11 leg spent ~5 s at sf0.1 on ~15 sequential
-    tiny-data exchanges; the first r12 rewrite still materialized a
-    35M-row candidate set at sf0.1).  Requires driver-small
-    definitions (broadcast mode) and total_loci <=
-    INTERSECT_UNROLL_MAX_LOCI.
+    tiny-data exchanges; a candidate-join form materialized 35M rows
+    at sf0.1).  Requires driver-small definitions (broadcast mode) and
+    total_loci <= INTERSECT_UNROLL_MAX_LOCI.
 
     Key fact: a definition holds exactly ONE allele per position, so
     the per-(pos, allele) ST posting lists at a position are DISJOINT
     across alleles, and the membership test (matches at EVERY
     position) is exactly
 
-        st  in  INTERSECT over p of ( CONCAT over the isolate's
-        alleles a at p of postings[p][a]  ++  wild_sts[p] )
+        st  in  INTERSECT over p of ( UNION over the isolate's
+        alleles a at p of postings[p][a]  ∪  wild_sts[p] )
 
     — the intersection IS the full verify.  No candidate row set, no
-    membership re-check, no rarest-k pruning needed (at sf0.1 the
-    candidate-join form materialized 35M (isolate, st) rows to keep
-    12k; this computes the same 12k inside one projection).
+    membership re-check, no rarest-k pruning needed.
 
-    Plan: ONE exchange (the per-isolate designation groupBy, forced to
-    the session's shuffle-partition count because AQE would coalesce
-    the ~MB-scale shuffle onto a few cores while the downstream
-    intersection work is CPU-bound); the posting lookup is an
-    in-stage broadcast hash join back onto the exploded set, the
-    second per-isolate aggregate reuses the same partitioning (no
-    exchange), and the per-position posting-set terms are unrolled
-    expressions.
+    Implementation (r12 optimization round): the definition table
+    collects to the driver ONCE (it is dimension-small by this mode's
+    contract — same data Spark itself would collect to build a
+    broadcast relation) and becomes per-(pos, allele) ST posting
+    BITMAPS (n_defs bits each) in a SparkContext broadcast.  The
+    isolate long form takes its one hash exchange on profile_key
+    (pinned to the session shuffle-partition count — AQE's byte-based
+    coalesce starved the CPU-bound scan onto 4 of 32 cores) and a
+    single ``mapInPandas`` pass per partition ORs each position's
+    posting bitmaps and ANDs across positions at numpy speed.
 
-    'N' handling mirrors the caller's split: allow-missing treats a
-    definition 'N' as match-anything (its STs ride ``wild_sts[p]``,
-    appended at every position whether or not the isolate designated
-    it — sql/isolatedb.sql:1534-1535), while the plain ELSE branch
-    passes ``sch_wild=None`` and 'N' stays an ordinary allele value
-    inside the posting table."""
-    st_arr = ArrayType(sch.schema["st"].dataType)
-    empty = F.array().cast(st_arr)
-    # ELSE branch: 'N' is an ordinary allele -> posting rows include it
-    lookup_src = sch_exact if sch_wild is not None else sch
-    postings = lookup_src.groupBy(
-        "pos", F.col("def_allele").alias("allele")
-    ).agg(F.collect_list("st").alias("_sts"))
+    Why not pure SQL expressions: the first r12 form computed the
+    intersection with unrolled higher-order-function terms
+    (filter/transform/flatten + array_intersect).  HOFs never enter
+    whole-stage codegen, and the interpreted expression tree's cost
+    proved JIT-state-dependent — the same sf0.1 stage measured 60 to
+    1035 CPU-seconds run to run (Spark REST stage metrics, r12
+    session), dragging the whole bench battery with it (code-cache
+    pollution).  The bitmap scan is ~3 CPU-s at the same shape and
+    does not degrade (guide §4.2: batch-vectorized native code over
+    interpreted row-at-a-time expression evaluation).
+
+    'N' handling: ``wild_is_literal=False`` (the allow-missing IF
+    branch) keeps definition-'N' rows OUT of the posting table and ORs
+    their STs into every position's bitmap (sql/isolatedb.sql:
+    1534-1535 appends 'N' to the isolate's set at every position);
+    ``wild_is_literal=True`` (the plain ELSE branch) makes 'N' an
+    ordinary posting entry that matches only a literal 'N'
+    designation.  ``allow_missing_loci=False`` additionally keeps the
+    completeness gate: distinct designated-position count ==
+    total_loci (sql/isolatedb.sql:1546-1547), counted over ALL
+    designation rows exactly as ``_multi_grp`` did."""
+    import numpy as np
+
+    spark = iso_long.sparkSession
+    st_type = defs.schema["st"].dataType
+    key_type = iso_long.schema["profile_key"].dataType
+    # dimension-small by contract (the same rows a broadcast build
+    # would collect); one job at construction time — the eager-probe
+    # note on the public API covers this path too
+    def_rows = (
+        defs.select("st", "profile")
+        .filter(F.size("profile") == total_loci)
+        .collect()
+    )
+    n_defs = len(def_rows)
+    n_words = max(1, (n_defs + 63) // 64)
+    st_vals = [r["st"] for r in def_rows]
+    post_rows: list = [np.zeros(n_words, dtype=np.uint64)]  # [0] = empty
+    post_idx: dict = {}
+    wild_mat = np.zeros((max(total_loci, 1), n_words), dtype=np.uint64)
+    for i, r in enumerate(def_rows):
+        word, bit = divmod(i, 64)
+        for p, a in enumerate(r["profile"]):
+            if not wild_is_literal and a == WILDCARD:
+                wild_mat[p, word] |= np.uint64(1 << bit)
+                continue
+            j = post_idx.get((p, a))
+            if j is None:
+                j = post_idx[(p, a)] = len(post_rows)
+                post_rows.append(np.zeros(n_words, dtype=np.uint64))
+            post_rows[j][word] |= np.uint64(1 << bit)
+    bc = spark.sparkContext.broadcast(
+        (
+            np.stack(post_rows),
+            post_idx,
+            wild_mat,
+            st_vals,
+            total_loci,
+            allow_missing_loci,
+        )
+    )
+
+    def _scan(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        post_mat, lookup, wild, sts, loci, allow_missing = bc.value
+        st_np = np.asarray(sts, dtype=object)
+        # batches can split an isolate's rows: fold the partition into
+        # one frame first (bounded by rows-per-partition, which the
+        # pinned exchange keeps at ~|designations| / shuffle partitions)
+        parts = list(pdfs)
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
+        if pdf.empty:
+            return
+        pdf = pdf.reset_index(drop=True)
+        # posting-row index per designation (0 = no posting -> empty)
+        pdf["_ridx"] = np.fromiter(
+            (
+                lookup.get((p, a), 0)
+                for p, a in zip(pdf["pos"].tolist(), pdf["allele"].tolist())
+            ),
+            dtype=np.int64,
+            count=len(pdf),
+        )
+        keys_out: list = []
+        sts_out: list = []
+        for key, g in pdf.groupby("profile_key", sort=False):
+            gpos = g["pos"].to_numpy()
+            gridx = g["_ridx"].to_numpy()
+            if not allow_missing and np.unique(gpos).size != loci:
+                continue  # completeness gate (ELSE branch)
+            acc = None
+            for p in range(loci):
+                rows = gridx[gpos == p]
+                rows = rows[rows > 0]
+                if rows.size:
+                    bits = np.bitwise_or(
+                        np.bitwise_or.reduce(post_mat[rows], axis=0),
+                        wild[p],
+                    )
+                else:
+                    bits = wild[p]
+                if acc is None:
+                    acc = bits.copy()
+                else:
+                    np.bitwise_and(acc, bits, out=acc)
+                if not acc.any():
+                    break
+            else:
+                if acc is None:
+                    continue  # degenerate loci == 0
+                hit = np.flatnonzero(
+                    np.unpackbits(
+                        acc.view(np.uint8), bitorder="little"
+                    )[: len(sts)]
+                )
+                if hit.size:
+                    # distinct by st VALUE (duplicate-ST definition
+                    # rows collapse, same as array_intersect /
+                    # array_distinct in the expression form)
+                    vals = pd.unique(st_np[hit])
+                    keys_out.extend([key] * len(vals))
+                    sts_out.extend(vals.tolist())
+        yield pd.DataFrame({"profile_key": keys_out, "st": sts_out})
+
     try:
         n_shuffle = int(
-            iso_long.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.get("spark.sql.shuffle.partitions")
         )
         iso_long = iso_long.repartition(n_shuffle, "profile_key")
     except (TypeError, ValueError):
         pass  # e.g. "auto" under some AQE configs: let AQE size it
-    grp = _multi_grp(iso_long, total_loci, allow_missing_loci)
-    ex = grp.select("profile_key", F.explode("_ds").alias("_d")).select(
-        "profile_key",
-        F.col("_d.pos").alias("pos"),
-        F.col("_d.allele").alias("allele"),
+    out_schema = StructType(
+        [StructField("profile_key", key_type), StructField("st", st_type)]
     )
-    lk = ex.join(F.broadcast(postings), on=["pos", "allele"], how="left")
-    agg2 = lk.groupBy("profile_key").agg(
-        F.collect_list(F.struct("pos", "_sts")).alias("_ps")
+    return iso_long.select("profile_key", "pos", "allele").mapInPandas(
+        _scan, schema=out_schema
     )
-    if sch_wild is not None:
-        wild_map = (
-            sch_wild.groupBy("pos")
-            .agg(F.collect_list("st").alias("_w"))
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("pos", "_w"))
-                ).alias("_wm")
-            )
-        )
-        agg2 = agg2.crossJoin(F.broadcast(wild_map))
-
-    def _eq_pos(p: int):
-        # single-arg lambda ON PURPOSE: pyspark HOF helpers pass
-        # (element, index) to two-arg callables, so the tempting
-        # ``lambda e, p=p: ...`` capture silently binds p to the
-        # element INDEX, not the captured constant
-        return lambda e: e["pos"] == F.lit(p)
-
-    def sts_p(p: int):
-        found = F.flatten(
-            F.transform(
-                F.filter("_ps", _eq_pos(p)),
-                lambda e: F.coalesce(e["_sts"], empty),
-            )
-        )
-        if sch_wild is None:
-            return found
-        return F.concat(
-            found, F.coalesce(F.element_at("_wm", F.lit(p)), empty)
-        )
-
-    matched = reduce(
-        F.array_intersect, [sts_p(p) for p in range(total_loci)]
-    )
-    if total_loci == 1:
-        # no intersection ever ran; dedupe the (out-of-domain)
-        # duplicate-ST definition case the way count==L paths do
-        matched = F.array_distinct(matched)
-    return agg2.select("profile_key", F.explode(matched).alias("st"))
 
 
 def _multi_pruned_shuffle(
