@@ -45,6 +45,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 MISSING = ("N", "0")
 
@@ -117,6 +124,91 @@ def _pad_profiles(profiles: list, width: int, chars: int):
     return mat, lens
 
 
+def _encode_codes(mat, vocab: dict):
+    """String allele matrix -> int32 code matrix under a SHARED
+    growing vocabulary; missing markers ('N'/'0', incl. padding) map
+    to -1.  pd.factorize does the string hashing at C speed; only the
+    few distinct values take the Python dict path (r12 optimization:
+    the unicode-matrix broadcast comparisons this replaces measured
+    3.6M pair-distances/s; the int-code bucketed kernel in
+    ``_block_dist`` measures 20M/s on the same shape)."""
+    import numpy as np
+    import pandas as pd
+
+    codes_local, uniq = pd.factorize(mat.ravel())
+    lut = np.empty(max(len(uniq), 1), dtype=np.int32)
+    for k, v in enumerate(uniq):
+        lut[k] = -1 if v in MISSING else vocab.setdefault(v, len(vocab))
+    return lut[codes_local].reshape(mat.shape).astype(np.int32, copy=False)
+
+
+def _pos_groups(col):
+    """Non-missing row indices grouped by code for one position column
+    (codes are small ints; one argsort + unique, no per-code scans)."""
+    import numpy as np
+
+    order = np.argsort(col, kind="stable")
+    sc = col[order]
+    start = int(np.searchsorted(sc, 0))
+    if start == sc.size:
+        return {}
+    uniq, first = np.unique(sc[start:], return_index=True)
+    bounds = np.append(first, sc.size - start)
+    return {
+        int(c): order[start + bounds[k]: start + bounds[k + 1]]
+        for k, c in enumerate(uniq)
+    }
+
+
+def _block_dist(pm, plen, bm, blen, bgroups, bmiss_cnt, w2):
+    """Pairwise (diffs, missing_in_either) between int-code matrices —
+    the bucketed sparse-matches kernel.
+
+    matches[i,j] accumulates per (position, code) OUTER BLOCKS (a code
+    matches only its own posting rows — the same disjointness that
+    makes inverted indexes work), so cost is O(matching pairs), not
+    O(n*q*w) elementwise unicode comparisons; missing_in_either
+    decomposes into rank-1 per-row missing counts minus the (sparse)
+    both-missing overlap.  Equivalence with the elementwise form is
+    exact (integer counts; pinned by tests)."""
+    import numpy as np
+
+    n, q = pm.shape[0], bm.shape[0]
+    wb = bm.shape[1]
+    matches = np.zeros((n, q), dtype=np.int32)
+    both_miss = np.zeros((n, q), dtype=np.int32)
+    pmiss_cnt = (pm == -1).sum(axis=1, dtype=np.int32)
+    bmiss = bmiss_cnt
+    if w2 > wb:
+        # chunk is wider: batch rows are all-missing past wb
+        bmiss = bmiss + np.int32(w2 - wb)
+    for p in range(w2):
+        cp = pm[:, p]
+        mi = np.flatnonzero(cp == -1)
+        if p >= wb:
+            if mi.size:
+                both_miss[mi, :] += 1
+            continue
+        gb = bgroups[p]
+        if gb:
+            gp = _pos_groups(cp)
+            small, large = (gp, gb) if len(gp) <= len(gb) else (gb, gp)
+            for c in small:
+                other = large.get(c)
+                if other is not None:
+                    if small is gp:
+                        matches[np.ix_(small[c], other)] += 1
+                    else:
+                        matches[np.ix_(other, small[c])] += 1
+        mj = np.flatnonzero(bm[:, p] == -1)
+        if mi.size and mj.size:
+            both_miss[np.ix_(mi, mj)] += 1
+    miss_or = pmiss_cnt[:, None] + bmiss[None, :] - both_miss
+    d = w2 - miss_or - matches
+    mie = miss_or - (w2 - np.maximum(plen[:, None], blen[None, :]))
+    return d, mie
+
+
 def nearest_coded(
     batch_rows: dict,
     coded: DataFrame,
@@ -127,16 +219,26 @@ def nearest_coded(
 
     ``batch_rows``: {profile_key: profile} — small; rides to every task
     as padded numpy matrices in the UDF closure.
-    ``coded``: (ins_idx, profile) DataFrame — all previously coded,
-    scanned distributed.  Each partition computes vectorized pairwise
-    diff / missing counts against the whole batch (fixed-width numpy
-    string matrices, coded side in <=2048-row blocks to bound the
-    boolean temporaries) and emits ONE candidate row per batch profile
-    — a per-partition partial argmin — so the driver merge sees only
+    ``coded``: (profile_key, profile) DataFrame — all previously coded,
+    scanned distributed.  Because ``assign_lincodes`` streams ids in
+    GLOBAL SORTED ORDER, insertion order IS ascending key order, so the
+    tie-break "earliest coded" is "smallest key" and the coded set
+    needs no ins_idx column at all — the r12 optimization round
+    removed the per-batch ``createDataFrame(enumerate(coded_ids))`` +
+    broadcast join that shipped the ENTIRE O(coded) id list from the
+    driver every batch (that driver/broadcast term, not the distance
+    math, dominated the quadratic cost at the 1e5 tier).
+
+    Each partition computes vectorized pairwise diff / missing counts
+    against the whole batch with the int-code bucketed kernel
+    (``_block_dist``; coded side in <=2048-row chunks to bound the
+    temporaries) and emits ONE candidate row per batch profile — a
+    per-partition partial argmin — so the driver merge sees only
     n_partitions x |batch| rows.  An expression-level
     zip_with/aggregate fold here stays INTERPRETED (higher-order
     functions don't enter whole-stage codegen) and measured ~2e5
-    pairs/s; this Arrow pass does the same scan at numpy speed.
+    pairs/s; the unicode-matrix broadcast form it replaced measured
+    3.6M pair-distances/s/core, the bucketed kernel 20M/s.
 
     Distance semantics (reference lincodes.pl:249-252): diffs count
     slots where both sides are non-missing ('N'/'0') and differ;
@@ -147,7 +249,7 @@ def nearest_coded(
     its strict '<' argmin — 100.0 is the same "never the closest",
     without the division).
 
-    Returns dict rows (profile_key, ins_idx, diffs, distance).
+    Returns dict rows (profile_key, nearest_key, diffs, distance).
     """
     import numpy as np
     import pandas as pd
@@ -158,15 +260,21 @@ def nearest_coded(
         (len(a) for p in bprofiles for a in p if a is not None), default=1
     )
     width = max(locus_count, max((len(p) for p in bprofiles), default=0))
-    bmat, blen = _pad_profiles(bprofiles, width, bchars)
-    bmiss = (bmat == "N") | (bmat == "0")
+    bmat_str, blen = _pad_profiles(bprofiles, width, bchars)
     q = len(keys)
 
     def _scan(pdfs):
         best_dist = np.full(q, np.inf)
-        best_ins = np.full(q, np.iinfo(np.int64).max, dtype=np.int64)
+        best_key = np.full(q, None, dtype=object)
         best_diffs = np.zeros(q, dtype=np.int64)
         seen = False
+        # batch side encoded + grouped ONCE per task; each chunk only
+        # encodes itself under the shared growing vocabulary
+        vocab: dict = {}
+        bmat = _encode_codes(bmat_str, vocab)
+        bgroups = [_pos_groups(bmat[:, p]) for p in range(width)]
+        bmiss_cnt = (bmat == -1).sum(axis=1, dtype=np.int32)
+        cols = np.arange(q)
         for pdf in pdfs:
             for lo in range(0, len(pdf), 2048):
                 chunk = pdf.iloc[lo : lo + 2048]
@@ -182,67 +290,70 @@ def nearest_coded(
                     ),
                 )
                 w2 = max(width, max(len(p) for p in profs))
-                pmat, plen = _pad_profiles(profs, w2, chars)
-                if w2 > width:
-                    bm = np.full((q, w2), "N", dtype=pmat.dtype)
-                    bm[:, :width] = bmat
-                    bms = (bm == "N") | (bm == "0")
-                else:
-                    bm, bms = bmat, bmiss
-                miss = (
-                    (pmat == "N") | (pmat == "0")
-                )[:, None, :] | bms[None, :, :]
-                d = ((pmat[:, None, :] != bm[None, :, :]) & ~miss).sum(
-                    axis=2
-                )
-                mie = miss.sum(axis=2) - (
-                    w2 - np.maximum(plen[:, None], blen[None, :])
+                pmat_str, plen = _pad_profiles(profs, w2, chars)
+                pmat = _encode_codes(pmat_str, vocab)
+                d, mie = _block_dist(
+                    pmat, plen, bmat, blen, bgroups, bmiss_cnt, w2
                 )
                 denom = locus_count - mie
                 dist = np.where(
                     denom > 0, 100.0 * d / np.where(denom > 0, denom, 1), 100.0
                 )
-                ins = chunk["ins_idx"].to_numpy(dtype=np.int64)
-                # chunk argmin per batch column, ties -> lowest ins_idx
-                # (partition row order is NOT ins order: the coded
-                # frame comes from a join)
+                kk = chunk["profile_key"].to_numpy()
+                # chunk argmin per batch column, ties -> smallest key
+                # (= earliest coded; chunk row order is arbitrary).
+                # Rank the chunk's keys once so the masked argmin works
+                # for ANY orderable key dtype (string ids included).
+                order = np.argsort(kk, kind="stable")
+                rank = np.empty(len(kk), dtype=np.int64)
+                rank[order] = np.arange(len(kk))
                 colmin = dist.min(axis=0)
-                ins_masked = np.where(
-                    dist == colmin, ins[:, None], np.iinfo(np.int64).max
+                rank_masked = np.where(
+                    dist == colmin, rank[:, None], np.iinfo(np.int64).max
                 )
-                jrow = ins_masked.argmin(axis=0)
-                cols = np.arange(q)
-                c_ins = ins_masked[jrow, cols]
+                jrow = rank_masked.argmin(axis=0)
+                c_key = kk[jrow]
                 c_d = d[jrow, cols]
-                better = (colmin < best_dist) | (
-                    (colmin == best_dist) & (c_ins < best_ins)
-                )
+                better = colmin < best_dist
+                eq = colmin == best_dist
+                if eq.any():
+                    key_lt = np.zeros(q, dtype=bool)
+                    # best_key is non-None wherever best_dist < inf
+                    key_lt[eq] = c_key[eq] < best_key[eq]
+                    better |= eq & key_lt
                 best_dist = np.where(better, colmin, best_dist)
-                best_ins = np.where(better, c_ins, best_ins)
+                best_key = np.where(better, c_key, best_key)
                 best_diffs = np.where(better, c_d, best_diffs)
         if seen:
             yield pd.DataFrame(
                 {
                     "qi": np.arange(q, dtype=np.int32),
-                    "ins_idx": best_ins,
+                    "nearest_key": best_key,
                     "diffs": best_diffs,
                     "distance": best_dist,
                 }
             )
 
-    partial = coded.mapInPandas(
-        _scan, schema="qi int, ins_idx long, diffs long, distance double"
-    ).collect()
+    key_type = coded.schema["profile_key"].dataType
+    out_schema = StructType(
+        [
+            StructField("qi", IntegerType()),
+            StructField("nearest_key", key_type),
+            StructField("diffs", LongType()),
+            StructField("distance", DoubleType()),
+        ]
+    )
+    partial = coded.mapInPandas(_scan, schema=out_schema).collect()
     best: dict[int, tuple] = {}
     for r in partial:
-        cand = (r["distance"], r["ins_idx"], r["diffs"])
+        cand = (r["distance"], r["nearest_key"], r["diffs"])
         cur = best.get(r["qi"])
         if cur is None or (cand[0], cand[1]) < (cur[0], cur[1]):
             best[r["qi"]] = cand
     return [
         {
             "profile_key": keys[qi],
-            "ins_idx": int(b[1]),
+            "nearest_key": b[1],
             "diffs": int(b[2]),
             "distance": float(b[0]),
         }
@@ -349,26 +460,35 @@ def assign_lincodes(
 
     import numpy as np
 
+    key_to_idx: dict = {}
     for batch_ids in _id_batches():
-        lst = spark.createDataFrame([(i,) for i in batch_ids], ["profile_key"])
+        # ids stream in global sorted order, so this batch is exactly
+        # the key range [batch_ids[0], batch_ids[-1]] and everything
+        # coded so far is exactly key < batch_ids[0]: both sides come
+        # from RANGE FILTERS on the cached profile frame.  The r11
+        # form uploaded the batch ids AND the full O(coded) id
+        # enumeration from the driver every batch (createDataFrame +
+        # broadcast join) — that per-batch driver/broadcast term, not
+        # the distance math, dominated the quadratic cost at the 1e5
+        # tier (r12 optimization round).
         batch_rows = {
             r[0]: r[1]
-            for r in prof.join(F.broadcast(lst), on="profile_key").collect()
+            for r in prof.filter(
+                (F.col("profile_key") >= F.lit(batch_ids[0]))
+                & (F.col("profile_key") <= F.lit(batch_ids[-1]))
+            ).collect()
         }
         # Spark-side scan vs all profiles coded BEFORE this batch
         pre_nearest: dict = {}
         if codes:
-            coded_src = prof.join(
-                F.broadcast(
-                    spark.createDataFrame(
-                        list(enumerate(coded_ids)), ["ins_idx", "profile_key"]
-                    )
-                ),
-                on="profile_key",
-            ).select("ins_idx", "profile")
+            coded_src = prof.filter(
+                F.col("profile_key") < F.lit(batch_ids[0])
+            )
             for r in nearest_coded(batch_rows, coded_src, locus_count):
                 pre_nearest[r["profile_key"]] = (
-                    int(r["ins_idx"]), int(r["diffs"]), float(r["distance"])
+                    key_to_idx[r["nearest_key"]],
+                    int(r["diffs"]),
+                    float(r["distance"]),
                 )
         # sequential resolution inside the (bounded) batch, vectorized:
         # each profile compares against the batch members coded before
@@ -382,24 +502,24 @@ def assign_lincodes(
             locus_count,
             max((len(v) for v in batch_rows.values()), default=0),
         )
-        # dtype width = longest allele string in the batch (a fixed
-        # width would silently truncate long allele identifiers)
-        chars = max(
-            (len(a) for v in batch_rows.values() for a in v if a is not None),
-            default=1,
-        )
-        sdt = f"<U{max(chars, 1)}"
-        bmat = np.full((len(batch_ids), width), "N", dtype=sdt)
+        # int codes under a per-batch vocabulary: the elementwise
+        # unicode comparisons were the in-batch cost at large batch
+        # sizes (r12 — same kernel reasoning as nearest_coded)
+        _vocab: dict = {}
+        bmat = np.full((len(batch_ids), width), -1, dtype=np.int32)
         blen = np.zeros(len(batch_ids), dtype=np.int64)
         base_idx = len(codes)
         k = 0  # batch members coded so far
         for key in batch_ids:
             cur = batch_rows[key]
-            arr = np.full(width, "N", dtype=sdt)
-            arr[: len(cur)] = ["N" if a is None else a for a in cur]
-            amiss = (arr == "N") | (arr == "0")
+            arr = np.full(width, -1, dtype=np.int32)
+            for _i, a in enumerate(cur):
+                if a is not None and a not in MISSING:
+                    arr[_i] = _vocab.setdefault(a, len(_vocab))
+            amiss = arr == -1
             if not codes:
                 codes.append(note_code([0] * n_comp))
+                key_to_idx[key] = len(coded_ids)
                 coded_ids.append(key)
                 bmat[k], blen[k] = arr, len(cur)
                 k += 1
@@ -407,7 +527,7 @@ def assign_lincodes(
             best = pre_nearest.get(key)  # (ins_idx, diffs, distance)
             if k:
                 sub, sublen = bmat[:k], blen[:k]
-                miss = (sub == "N") | (sub == "0") | amiss
+                miss = (sub == -1) | amiss
                 d = ((sub != arr) & ~miss).sum(axis=1)
                 mie = miss.sum(axis=1) - (
                     width - np.maximum(sublen, len(cur))
@@ -426,6 +546,7 @@ def assign_lincodes(
                     best = cand
             nearest_idx, diffs, distance = best
             codes.append(note_code(new_code(nearest_idx, diffs, distance)))
+            key_to_idx[key] = len(coded_ids)
             coded_ids.append(key)
             bmat[k], blen[k] = arr, len(cur)
             k += 1
