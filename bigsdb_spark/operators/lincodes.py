@@ -375,23 +375,6 @@ def assign_lincodes(
     scheme order (largest first, e.g. [4, 2, 1, 0])."""
     n_comp = len(thresholds)
 
-    # stream ordered id BATCHES through toLocalIterator — the driver
-    # holds one partition of keys at a time, never the full O(n) id
-    # list (sorted output arrives in partition order = global order)
-    def _id_batches():
-        batch: list = []
-        for r in (
-            profiles.select(F.col(id_col).alias("k"))
-            .orderBy("k")
-            .toLocalIterator()
-        ):
-            batch.append(r[0])
-            if len(batch) == batch_size:
-                yield batch
-                batch = []
-        if batch:
-            yield batch
-
     if profiles.isEmpty():
         return spark.createDataFrame(
             [], schema=f"{id_col} string, lincode array<int>"
@@ -410,7 +393,38 @@ def assign_lincodes(
     prof = profiles.select(
         F.col(id_col).alias("profile_key"), F.col(profile_col).alias("profile")
     ).cache()
-    prof.count()
+    n_rows = prof.count()
+    # the per-batch scan reads the whole cached frame: spread it over
+    # the session's cores (a small-file parquet read often arrives in
+    # ~8 partitions, leaving 3/4 of local[32] idle in every scan —
+    # measured 4x scan parallelism at the 100k ladder tier).  Scale-
+    # adaptive: never more partitions than ~2048-row slices, never
+    # fewer than the source had (r12 optimization round).
+    target_parts = min(
+        spark.sparkContext.defaultParallelism, max(1, n_rows // 2048)
+    )
+    if target_parts > prof.rdd.getNumPartitions():
+        repart = prof.repartition(target_parts).cache()
+        repart.count()
+        prof.unpersist()
+        prof = repart
+
+    # stream ordered (key, profile) BATCHES through toLocalIterator —
+    # ONE sort job for the whole run; the driver holds one partition
+    # of rows at a time, never the full corpus (sorted output arrives
+    # in partition order = global order).  The r11 form ran a
+    # filter+collect Spark job per batch to fetch the same rows, at
+    # ~0.9 s/batch of planning + job latency (r12: measured with
+    # tools/d5_floor_probe.py, removed).
+    def _row_batches():
+        batch: list = []
+        for r in prof.orderBy("profile_key").toLocalIterator():
+            batch.append((r[0], r[1]))
+            if len(batch) == batch_size:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
 
     codes: list[list[int]] = []
     coded_ids: list = []
@@ -460,24 +474,27 @@ def assign_lincodes(
 
     import numpy as np
 
+    # opt-in per-batch phase timing (stderr), for floor attribution on
+    # ladder runs: SPARK_GRAFT_D5_DEBUG=1
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _dbg = _os.environ.get("SPARK_GRAFT_D5_DEBUG") == "1"
+    _t_iter = _time.time()
+
     key_to_idx: dict = {}
-    for batch_ids in _id_batches():
-        # ids stream in global sorted order, so this batch is exactly
-        # the key range [batch_ids[0], batch_ids[-1]] and everything
-        # coded so far is exactly key < batch_ids[0]: both sides come
-        # from RANGE FILTERS on the cached profile frame.  The r11
-        # form uploaded the batch ids AND the full O(coded) id
-        # enumeration from the driver every batch (createDataFrame +
-        # broadcast join) — that per-batch driver/broadcast term, not
-        # the distance math, dominated the quadratic cost at the 1e5
-        # tier (r12 optimization round).
-        batch_rows = {
-            r[0]: r[1]
-            for r in prof.filter(
-                (F.col("profile_key") >= F.lit(batch_ids[0]))
-                & (F.col("profile_key") <= F.lit(batch_ids[-1]))
-            ).collect()
-        }
+    for rows_batch in _row_batches():
+        _t_fetch = _time.time()
+        # rows stream in global sorted order, so everything coded so
+        # far is exactly key < batch_ids[0]: the scan side is a RANGE
+        # FILTER on the cached profile frame.  The r11 form uploaded
+        # the batch ids AND the full O(coded) id enumeration from the
+        # driver every batch (createDataFrame + broadcast join) — that
+        # per-batch driver/broadcast term, not the distance math,
+        # dominated the quadratic cost at the 1e5 tier (r12).
+        batch_ids = [k for k, _ in rows_batch]
+        batch_rows = dict(rows_batch)
         # Spark-side scan vs all profiles coded BEFORE this batch
         pre_nearest: dict = {}
         if codes:
@@ -490,6 +507,7 @@ def assign_lincodes(
                     int(r["diffs"]),
                     float(r["distance"]),
                 )
+        _t_scan = _time.time()
         # sequential resolution inside the (bounded) batch, vectorized:
         # each profile compares against the batch members coded before
         # it in ONE numpy pass (the old per-pair python loop was
@@ -550,6 +568,17 @@ def assign_lincodes(
             coded_ids.append(key)
             bmat[k], blen[k] = arr, len(cur)
             k += 1
+        if _dbg:
+            _now = _time.time()
+            print(
+                f"d5_batch coded={len(codes) - len(batch_ids)} "
+                f"fetch={_t_fetch - _t_iter:.2f} "
+                f"scan={_t_scan - _t_fetch:.2f} "
+                f"inbatch={_now - _t_scan:.2f}",
+                file=_sys.stderr,
+                flush=True,
+            )
+        _t_iter = _time.time()
 
     out = [(coded_ids[i], codes[i]) for i in range(len(coded_ids))]
     prof.unpersist()
