@@ -252,7 +252,6 @@ def nearest_coded(
     Returns dict rows (profile_key, nearest_key, diffs, distance).
     """
     import numpy as np
-    import pandas as pd
 
     keys = list(batch_rows)
     bprofiles = [batch_rows[k] for k in keys]
@@ -263,35 +262,80 @@ def nearest_coded(
     bmat_str, blen = _pad_profiles(bprofiles, width, bchars)
     q = len(keys)
 
-    def _scan(pdfs):
+    def _scan(batches):
+        # mapInArrow, not mapInPandas: the pandas conversion of a
+        # list<string> column materializes a Python str PER ALLELE
+        # (measured ~12.5k rows/s/task at 32 loci — it would dominate
+        # every batch at the 1e6 tier).  Arrow-side dictionary_encode
+        # turns the flat allele values into int32 indices in C; only
+        # the ~V DISTINCT strings ever reach Python, where they map
+        # through the task's growing vocab (guide §4 — keep the
+        # boundary columnar, hand whole batches to native code).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         best_dist = np.full(q, np.inf)
         best_key = np.full(q, None, dtype=object)
         best_diffs = np.zeros(q, dtype=np.int64)
         seen = False
+        key_arrow = None
         # batch side encoded + grouped ONCE per task; each chunk only
-        # encodes itself under the shared growing vocabulary
+        # encodes its distinct values under the shared growing vocab
         vocab: dict = {}
         bmat = _encode_codes(bmat_str, vocab)
         bgroups = [_pos_groups(bmat[:, p]) for p in range(width)]
         bmiss_cnt = (bmat == -1).sum(axis=1, dtype=np.int32)
         cols = np.arange(q)
-        for pdf in pdfs:
-            for lo in range(0, len(pdf), 2048):
-                chunk = pdf.iloc[lo : lo + 2048]
-                profs = chunk["profile"].tolist()
-                if not profs:
+        for rb in batches:
+            ki = rb.schema.get_field_index("profile_key")
+            pi = rb.schema.get_field_index("profile")
+            if key_arrow is None:
+                key_arrow = rb.schema.field(ki).type
+            for lo in range(0, rb.num_rows, 2048):
+                chunk = rb.slice(lo, 2048)
+                n = chunk.num_rows
+                if n == 0:
                     continue
                 seen = True
-                chars = max(
-                    bchars,
-                    max(
-                        (len(a) for p in profs for a in p if a is not None),
-                        default=1,
-                    ),
+                plist = chunk.column(pi)
+                lens = (
+                    pc.list_value_length(plist)
+                    .fill_null(0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
                 )
-                w2 = max(width, max(len(p) for p in profs))
-                pmat_str, plen = _pad_profiles(profs, w2, chars)
-                pmat = _encode_codes(pmat_str, vocab)
+                flat = pc.list_flatten(plist)
+                denc = pc.dictionary_encode(flat)
+                dvals = denc.dictionary.to_pylist()
+                lut = np.empty(max(len(dvals), 1), dtype=np.int32)
+                for k2, v in enumerate(dvals):
+                    lut[k2] = (
+                        -1
+                        if v in MISSING
+                        else vocab.setdefault(v, len(vocab))
+                    )
+                idx = denc.indices
+                if idx.null_count:
+                    idx_np = idx.fill_null(0).to_numpy(
+                        zero_copy_only=False
+                    )
+                    codes_flat = lut[idx_np]
+                    codes_flat[
+                        pc.is_null(idx).to_numpy(zero_copy_only=False)
+                    ] = -1
+                else:
+                    codes_flat = lut[
+                        idx.to_numpy(zero_copy_only=False)
+                    ]
+                w2 = int(max(width, lens.max() if n else 0))
+                pmat = np.full((n, w2), -1, dtype=np.int32)
+                starts = np.cumsum(lens) - lens
+                row_idx = np.repeat(np.arange(n), lens)
+                col_idx = np.arange(int(lens.sum())) - np.repeat(
+                    starts, lens
+                )
+                pmat[row_idx, col_idx] = codes_flat
+                plen = lens
                 d, mie = _block_dist(
                     pmat, plen, bmat, blen, bgroups, bmiss_cnt, w2
                 )
@@ -299,20 +343,26 @@ def nearest_coded(
                 dist = np.where(
                     denom > 0, 100.0 * d / np.where(denom > 0, denom, 1), 100.0
                 )
-                kk = chunk["profile_key"].to_numpy()
+                kk = chunk.column(ki)
                 # chunk argmin per batch column, ties -> smallest key
                 # (= earliest coded; chunk row order is arbitrary).
-                # Rank the chunk's keys once so the masked argmin works
-                # for ANY orderable key dtype (string ids included).
-                order = np.argsort(kk, kind="stable")
-                rank = np.empty(len(kk), dtype=np.int64)
-                rank[order] = np.arange(len(kk))
+                # Rank the chunk's keys (arrow-side sort — no Python
+                # key objects) so the masked argmin works for ANY
+                # orderable key dtype (string ids included).
+                order = pc.sort_indices(kk).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                rank = np.empty(n, dtype=np.int64)
+                rank[order] = np.arange(n)
                 colmin = dist.min(axis=0)
                 rank_masked = np.where(
                     dist == colmin, rank[:, None], np.iinfo(np.int64).max
                 )
                 jrow = rank_masked.argmin(axis=0)
-                c_key = kk[jrow]
+                # only the q winners' keys materialize in Python
+                c_key = np.array(
+                    kk.take(pa.array(jrow)).to_pylist(), dtype=object
+                )
                 c_d = d[jrow, cols]
                 better = colmin < best_dist
                 eq = colmin == best_dist
@@ -325,13 +375,14 @@ def nearest_coded(
                 best_key = np.where(better, c_key, best_key)
                 best_diffs = np.where(better, c_d, best_diffs)
         if seen:
-            yield pd.DataFrame(
-                {
-                    "qi": np.arange(q, dtype=np.int32),
-                    "nearest_key": best_key,
-                    "diffs": best_diffs,
-                    "distance": best_dist,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.arange(q, dtype=np.int32), type=pa.int32()),
+                    pa.array(best_key.tolist(), type=key_arrow),
+                    pa.array(best_diffs, type=pa.int64()),
+                    pa.array(best_dist, type=pa.float64()),
+                ],
+                names=["qi", "nearest_key", "diffs", "distance"],
             )
 
     key_type = coded.schema["profile_key"].dataType
@@ -343,7 +394,7 @@ def nearest_coded(
             StructField("distance", DoubleType()),
         ]
     )
-    partial = coded.mapInPandas(_scan, schema=out_schema).collect()
+    partial = coded.mapInArrow(_scan, schema=out_schema).collect()
     best: dict[int, tuple] = {}
     for r in partial:
         cand = (r["distance"], r["nearest_key"], r["diffs"])

@@ -60,8 +60,9 @@ def _d5_scan_frame(spark, sf_dir):
     lo = len(keys) // 2  # "second batch": first half already coded
     if hasattr(lc, "_encode_codes"):  # r12 form: key-range filter
         coded_src = prof.filter(F.col("profile_key") < F.lit(keys[lo]))
-        schema = (
-            "qi int, nearest_key string, diffs long, distance double"
+        return coded_src.mapInArrow(
+            lambda it: it,
+            schema="qi int, nearest_key string, diffs long, distance double",
         )
     else:  # r11 form: driver id enumeration + broadcast join
         coded_src = prof.join(
