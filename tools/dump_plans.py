@@ -84,15 +84,23 @@ def main() -> None:
     from bigsdb_spark.inventory import QUERIES
     from bigsdb_spark.session import get_spark
 
+    import bench
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("dump_plans")
     spark.sparkContext.setLogLevel("ERROR")
+    if names == ["ALL"]:
+        names = sorted(set(QUERIES) | set(bench.EXTRA))
     for name in names:
-        if name == "d5_scan":
-            frame = _d5_scan_frame(spark, sf_dir)
-        else:
-            frame = QUERIES[name](spark, sf_dir)
-        txt = _formatted(frame)
+        try:
+            if name == "d5_scan":
+                frame = _d5_scan_frame(spark, sf_dir)
+            else:
+                fn = QUERIES.get(name) or bench.EXTRA[name]
+                frame = fn(spark, sf_dir)
+            txt = _formatted(frame)
+        except Exception as exc:  # noqa: BLE001 - record the failure
+            txt = f"EXPLAIN FAILED: {exc}"
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as fh:
             fh.write(txt)
