@@ -473,41 +473,69 @@ def ivf_pq_topk(
     )
 
 
+def _round_half_up_np(q: np.ndarray) -> np.ndarray:
+    """Spark ``round(col)`` on doubles is HALF_UP on the shortest
+    decimal repr, which equals round-half-away-from-zero on the binary
+    value (the 0.5 boundary is exactly representable, and a shortest
+    repr can never cross it).  ``floor(|q|) + (frac >= 0.5)`` computes
+    that exactly: the naive ``floor(|q| + 0.5)`` can round ACROSS an
+    integer when |q| sits 1 ulp below an odd multiple of 0.5 (the
+    float add ties to even), flipping the code by one."""
+    a = np.abs(q)
+    af = np.floor(a)
+    return (np.sign(q) * (af + (a - af >= 0.5))).astype(np.int32)
+
+
 def sq_encode(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Int8 scalar quantization — the simple compression tier between
     raw float32 and PQ (4x smaller, near-lossless ranking): per-vector
     symmetric scale = max|x|/127, codes = round(x/scale) in [-127,127].
+    Returns (id, scale, codes).
 
-    Unlike PQ's Arrow encoder this is PURE expressions (transform +
-    aggregate), so encoding rides whole-stage codegen inside any scan
-    that already reads the vector.  Returns (id, scale, codes)."""
-    absmax = F.aggregate(
-        F.col(vec_col),
-        F.lit(0.0),
-        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
-    )
-    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
-    # bind scale to a lambda VARIABLE via the one-element wrapper
-    # transform (the word_shingles idiom): a transform lambda closing
-    # over the O(d) aggregate expression would re-evaluate it per array
-    # ELEMENT after projection collapse — O(d^2) per row
-    codes = F.element_at(
-        F.transform(
-            F.array(scale),
-            lambda s: F.transform(
-                F.col(vec_col),
-                lambda x: F.round(x.cast("double") / s).cast("int"),
-            ),
-        ),
-        1,
-    )
-    return emb.select(
-        F.col(id_col),
-        scale.alias("scale"),
-        codes.alias("codes"),
-    )
+    One vectorized Arrow pass, like ``pq_encode`` (r12 optimization
+    round).  The original form was pure HOF expressions (aggregate +
+    nested transform) on the theory that it rides whole-stage codegen
+    inside any scan — but higher-order functions NEVER enter codegen
+    (the r12 a5 finding): they run on the interpreted eval path, whose
+    JIT warm-up is session-state-dependent.  Measured at sf0.1 under
+    the bench reset protocol: the HOF form read 5.5 -> 0.8 s over ten
+    reps in one fresh JVM, was instantly warm in another, and sat at
+    ~4 s for EVERY rep of one full bench run (vs 0.47-0.6 s in the
+    runs around it); the Arrow kernel reads a flat ~0.6-0.9 s from
+    rep 1 of a cold JVM with bit-identical output (incl. adversarial
+    exact-.5 quotients; equivalence pinned in test_pq.py)."""
+    import pyarrow as pa
+
+    id_type = dict(emb.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, scale double, codes array<int>"
+
+    def _enc(batches):
+        from bigsdb_spark.operators.similarity import (
+            _arrow_int_lists,
+            _arrow_mat,
+        )
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            x = _arrow_mat(rb.column(1), rb.num_rows)
+            absmax = np.abs(x).max(axis=1) if x.shape[1] else np.zeros(
+                rb.num_rows
+            )
+            scale = np.where(absmax > 0, absmax / 127.0, 1.0)
+            codes = _round_half_up_np(x / scale[:, None])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    pa.array(scale, type=pa.float64()),
+                    _arrow_int_lists(codes),
+                ],
+                names=[id_col, "scale", "codes"],
+            )
+
+    return emb.select(id_col, vec_col).mapInArrow(_enc, schema=out_schema)
 
 
 def sq_topk(
@@ -517,27 +545,57 @@ def sq_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Top-k by approximate dot product over int8 codes: the query
-    quantizes driver-side, its codes inline as a literal, and the
-    integer dot folds per row (zip_with + aggregate) scaled back by
-    scale_q * scale_v — a joinless codegen scan like pq_topk, but with
-    per-dimension resolution instead of per-block codebooks."""
-    import numpy as np
+    quantizes driver-side, one Arrow pass computes the integer dot as
+    a (batch x d) @ (d,) numpy matvec scaled back by scale_q *
+    scale_v, and the top-k itself stays in Spark
+    (TakeOrderedAndProject) — joinless, like pq_topk.
+
+    Same HOF -> Arrow-kernel conversion (and the same measured
+    rationale) as ``sq_encode`` above; the zip_with + aggregate fold
+    was the other half of the interpreted expression chain.  Codes
+    rows must be null-free and query-length (the expression form
+    yielded a null dot for mismatched rows; the kernel raises — both
+    are out-of-contract for ``sq_encode`` output)."""
+    import pyarrow as pa
 
     q = np.asarray(query, dtype=np.float64)
     q_scale = float(np.abs(q).max() / 127.0) if np.abs(q).max() > 0 else 1.0
-    q_codes = F.array(
-        *[F.lit(int(round(v / q_scale))) for v in q]
+    # driver-side query quantization, unchanged from the expression
+    # form (Python round: half-even — the query-side contract since r6)
+    qc = np.asarray(
+        [int(round(v / q_scale)) for v in q], dtype=np.int64
     )
-    int_dot = F.aggregate(
-        F.zip_with("codes", q_codes, lambda a, b: (a * b).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    score = (int_dot.cast("double") * F.col("scale") * F.lit(q_scale)).alias(
-        "dot"
-    )
+    id_type = dict(encoded.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, dot double"
+
+    def _dot(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            codes_col = rb.column(2)
+            if codes_col.null_count:
+                raise ValueError("sq_topk: null codes rows")
+            vl = codes_col.value_lengths().to_numpy(zero_copy_only=False)
+            if len(vl) and (vl.min() != len(qc) or vl.max() != len(qc)):
+                raise ValueError(
+                    f"sq_topk: codes length {int(vl.min())}-{int(vl.max())}"
+                    f" != query length {len(qc)}"
+                )
+            flat = codes_col.flatten().to_numpy(zero_copy_only=False)
+            mat = flat.astype(np.int64).reshape(rb.num_rows, -1)
+            int_dot = mat @ qc
+            scale = rb.column(1).to_numpy(zero_copy_only=False)
+            # same fp order as the expression form:
+            # (double(int_dot) * scale) * q_scale
+            dot = (int_dot.astype(np.float64) * scale) * q_scale
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), pa.array(dot, type=pa.float64())],
+                names=[id_col, "dot"],
+            )
+
     return (
-        encoded.select(id_col, score)
+        encoded.select(id_col, "scale", "codes")
+        .mapInArrow(_dot, schema=out_schema)
         .orderBy(F.desc("dot"), id_col)
         .limit(top_k)
     )

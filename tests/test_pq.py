@@ -258,6 +258,95 @@ def test_sq_topk_pure_scan(spark):
     plan = sq_topk(enc, [0.1, 0.2], top_k=1)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+    # r12: the scan is an Arrow kernel, not row-at-a-time Python
+    assert "BatchEvalPython" not in plan
+
+
+def test_sq_kernel_matches_expression_form(spark):
+    """r12 regression pin: sq_encode/sq_topk moved from interpreted
+    HOF expressions (aggregate + transform + zip_with — never enter
+    whole-stage codegen; JIT-warm-up-fragile, measured 0.5 -> 5.5 s
+    session-dependent swings at sf0.1) to one vectorized Arrow pass.
+    The kernel must stay BIT-IDENTICAL to the expression form, which
+    is inlined here as the reference — including Spark round()'s
+    HALF_UP on exact-.5 quotients, where naive floor(|q|+0.5) flips a
+    code when the float add ties across the integer."""
+    from bigsdb_spark.operators.pq import sq_encode, sq_topk
+
+    def ref_encode(emb, id_col="vec_id", vec_col="embedding"):
+        absmax = F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+        )
+        scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+        codes = F.element_at(
+            F.transform(
+                F.array(scale),
+                lambda s: F.transform(
+                    F.col(vec_col),
+                    lambda x: F.round(x.cast("double") / s).cast("int"),
+                ),
+            ),
+            1,
+        )
+        return emb.select(
+            F.col(id_col), scale.alias("scale"), codes.alias("codes")
+        )
+
+    def ref_topk(encoded, query, top_k=10, id_col="vec_id"):
+        q = np.asarray(query, dtype=np.float64)
+        q_scale = (
+            float(np.abs(q).max() / 127.0) if np.abs(q).max() > 0 else 1.0
+        )
+        q_codes = F.array(*[F.lit(int(round(v / q_scale))) for v in q])
+        int_dot = F.aggregate(
+            F.zip_with("codes", q_codes, lambda a, b: (a * b).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        score = (
+            int_dot.cast("double") * F.col("scale") * F.lit(q_scale)
+        ).alias("dot")
+        return (
+            encoded.select(id_col, score)
+            .orderBy(F.desc("dot"), id_col)
+            .limit(top_k)
+        )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    # adversarial rows: exact-.5 quotients (|x|/scale lands on k.5),
+    # all-zero and denormal-small vectors (scale floor), mixed signs
+    d = len(emb.first()["embedding"])
+    adv_rows = [
+        (100001, [2.54, -2.54, 1.27, -1.27, 0.635, -0.635, 127.0, -127.0]
+         + [0.0] * (d - 8)),
+        (100002, [0.0] * d),
+        (100003, [1e-300] * d),
+        (100004, [-5.08, 5.08, 2.54, -0.3175, 0.3175, 63.5, -63.5, 0.0]
+         + [1.0] * (d - 8)),
+    ]
+    adv = spark.createDataFrame(
+        adv_rows, "vec_id long, embedding array<double>"
+    )
+    both = emb.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).unionByName(adv)
+
+    got = sq_encode(both).orderBy("vec_id").collect()
+    want = ref_encode(both).orderBy("vec_id").collect()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["vec_id"] == w["vec_id"]
+        assert g["scale"] == w["scale"]  # bit equality, no tolerance
+        assert g["codes"] == w["codes"]
+
+    query = [((h * 37 + 11) % 2001 - 1000) / 1000.0 for h in range(d)]
+    got_t = sq_topk(sq_encode(both), query, top_k=10).collect()
+    want_t = ref_topk(ref_encode(both), query, top_k=10).collect()
+    assert [(r["vec_id"], r["dot"]) for r in got_t] == [
+        (r["vec_id"], r["dot"]) for r in want_t
+    ]
 
 
 def test_training_sample_is_order_independent(spark):
