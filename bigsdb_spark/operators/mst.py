@@ -9,23 +9,78 @@ leaves the cluster.
 Algorithm (public knowledge — Borůvka 1926): every component picks
 its lightest outgoing edge, the picked edges merge components, repeat
 — O(log V) rounds.  Each round is (a) two hash joins to tag edge
-endpoints with their component, (b) one groupBy-min per component,
-(c) a label-propagation merge of the picked component graph (reusing
-``clustering.single_linkage``, itself the pointer-halving distributed
-path).  Edge picks follow the total order (w, u, v) — with a strict
-total order on edges, Borůvka provably never creates a cycle even
-with repeated weights, and the resulting MST edge SET is unique, which
-is what the tests pin against an independent Kruskal oracle.
+endpoints with their component, (b) one map-side-partial groupBy-min
+per component, (c) a pointer-doubling contraction of the pick
+pseudoforest (below).  Edge picks follow the total order (w, u, v) —
+with a strict total order on edges, Borůvka provably never creates a
+cycle even with repeated weights, and the resulting MST edge SET is
+unique, which is what the tests pin against an independent Kruskal
+oracle.
+
+Merge step (r12 optimization round): the per-round component merge
+used to delegate to ``clustering.single_linkage`` — a general
+connected-components loop with its own per-round checkpoints and
+convergence jobs, nested inside the Borůvka loop.  Measured at the d7
+gate shape (~150 nodes / 11k edges, sf0.01): **313 driver jobs,
+12.5–19.5 s** — pure sequential tiny-job scheduling floor, the same
+pathology class as the round's a5-multi headline fix.  But the picked
+graph is not a general graph: every live component has OUT-DEGREE
+EXACTLY 1 (its own minimum outgoing edge), i.e. the pick map
+``p(c) = partner component of c's chosen edge`` is a functional
+graph, and under a strict edge total order every weak component of it
+contains exactly ONE cycle, of length 2: on any functional-graph
+cycle, let e* be the cycle's minimum pick; e*'s far endpoint also has
+e* incident and live, so ITS minimum pick weighs <= w(e*), and the
+strict total order forces it to BE e* — a mutual pair.  Re-rooting
+each mutual pair at its smaller component id turns p into a forest,
+and pointer doubling (p := p∘p) reaches every root in O(log depth)
+rounds of one self-join each.  The merge labels are internal
+(only the MST edge set leaves this function), so the root convention
+does not need single_linkage's min-member-id semantics.
 """
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from bigsdb_spark.operators.clustering import checkpoint_no_stats, single_linkage
+from bigsdb_spark.operators.clustering import (
+    _free_local_checkpoint,
+    checkpoint_no_stats,
+)
 
 __all__ = ["boruvka_mst", "kruskal_mst_py"]
+
+
+# merge-frame broadcast threshold (rows).  The merge self-joins and
+# the relabel join run over C-row frames (C = live components, known
+# EXACTLY from the empty-check count) whose checkpoints deliberately
+# carry no stats — so Catalyst can never pick the broadcast strategy
+# itself and always plans a shuffle join, which under AQE costs extra
+# per-round driver jobs (one per shuffle stage) on top of the shuffle.
+# Two long columns ≈ 16 bytes/row -> the 4e6 default is ~64 MB framed,
+# well inside executor memory and the 8 GB broadcast cap; raise/lower
+# per deployment via the env knob.  Above the threshold the joins stay
+# shuffle-based (correct at any scale, C only shrinks round to round).
+BROADCAST_COMPONENT_ROWS = int(
+    os.environ.get("SPARK_GRAFT_MST_BROADCAST_ROWS", "4000000")
+)
+
+
+def _rdd_count(df: DataFrame) -> int:
+    """Row count of an already-materialized (checkpointed) frame as ONE
+    driver job: a plain .count() plans a two-stage partial/final
+    aggregate that AQE runs as two jobs; counting the physical plan's
+    RDD is a single job over the cached checkpoint blocks with no
+    Python-side row traffic (the count returns as a py4j scalar).  In
+    a loop whose cost is the per-job scheduling floor, every
+    convergence/empty check pays this twice per round otherwise."""
+    try:
+        return int(df._jdf.queryExecution().toRdd().count())
+    except Exception:  # py4j interface drift: fall back to the 2-job form
+        return df.count()
 
 
 def boruvka_mst(
@@ -57,62 +112,121 @@ def boruvka_mst(
     # COPIES the optimized plan's estimated sizeInBytes, and Catalyst's
     # size estimator multiplies child sizes at every join — an
     # iterative loop that checkpoints join outputs therefore grows the
-    # stats BigInt EXPONENTIALLY in rounds (nested doubly so: each
-    # round here runs single_linkage's own loop).  The r10 d7 gate fold
-    # hit it for real: an 18-minute single-core BigInteger.multiply
-    # grind on a 150-node graph.  Dropping stats at every round
-    # boundary keeps planning O(1) per round.
+    # stats BigInt EXPONENTIALLY in rounds.  The r10 d7 gate fold hit
+    # it for real: an 18-minute single-core BigInteger.multiply grind
+    # on a 150-node graph.  Dropping stats at every round boundary
+    # keeps planning O(1) per round.
     canon = checkpoint_no_stats(canon)
     comp = nodes.select(F.col(nodes.columns[0]).alias("id")).withColumn(
         "comp", F.col("id")
+    )
+    comp_is_ours = False  # don't unpersist the caller's nodes frame
+    # V is loop-invariant: one up-front count decides the edge-tagging
+    # join strategy for every round (comp's checkpoints carry no stats,
+    # so Catalyst would otherwise shuffle the edge set by u AND by v
+    # every round even on a 150-node graph)
+    n_nodes = comp.count()
+    bcast_tag = (
+        F.broadcast
+        if n_nodes <= BROADCAST_COMPONENT_ROWS
+        else (lambda df: df)
     )
     mst = None
     for _ in range(max_rounds):
         cu = comp.select(F.col("id").alias("u"), F.col("comp").alias("cu"))
         cv = comp.select(F.col("id").alias("v"), F.col("comp").alias("cv"))
-        live = checkpoint_no_stats(
-            canon.join(cu, "u")
-            .join(cv, "v")
+        live = (
+            canon.join(bcast_tag(cu), "u")
+            .join(bcast_tag(cv), "v")
             .filter(F.col("cu") != F.col("cv"))
-        )  # feeds two directed views below
-        if live.limit(1).count() == 0:
-            break
-        # each component's lightest outgoing edge under the (w, u, v)
-        # total order — min over a comparable struct, both directions
-        pick = F.struct("w", "u", "v").alias("e")
-        directed = live.select(F.col("cu").alias("c"), pick).unionAll(
-            live.select(F.col("cv").alias("c"), pick)
         )
-        chosen = checkpoint_no_stats(
-            directed.groupBy("c")
+        # each live component's lightest outgoing edge under the strict
+        # (w, u, v) total order, in ONE pass: explode each edge into
+        # both directed views and take a map-side-partial min per
+        # component.  The struct's trailing cu/cv fields cannot change
+        # the argmin — (w, u, v) is already unique per canon edge — and
+        # carrying them here is what lets the merge below skip the old
+        # live⋈chosen join that re-derived the component pair.  live is
+        # consumed exactly once, so it no longer needs its own
+        # checkpoint (the old form read it twice via unionAll).
+        pick = F.struct("w", "u", "v", "cu", "cv").alias("e")
+        pmap = checkpoint_no_stats(
+            live.select(F.explode(F.array("cu", "cv")).alias("c"), pick)
+            .groupBy("c")
             .agg(F.min("e").alias("e"))
-            .select("e.u", "e.v", "e.w")
-            .distinct()  # both endpoints of an edge may have picked it
         )
+        # one full-scan count of the materialized checkpoint: a single
+        # job, unlike limit(1).count()'s incremental executeTake jobs
+        # or .count()'s two-stage aggregate
+        n_live = _rdd_count(pmap)
+        if n_live == 0:
+            _free_local_checkpoint(pmap)
+            break
+        # C is known exactly: hint the C-row merge joins to broadcast
+        # when they fit (see BROADCAST_COMPONENT_ROWS)
+        bcast = (
+            F.broadcast
+            if n_live <= BROADCAST_COMPONENT_ROWS
+            else (lambda df: df)
+        )
+        # the picked edges themselves.  Lazy — each round's chosen
+        # recomputes from its own pmap checkpoint when the final mst is
+        # consumed, so no per-round materialization; the duplicates
+        # (both endpoints of a mutual pair picked the same (w, u, v))
+        # are collapsed by the single distinct at the END — a picked
+        # edge's endpoints merge this round, so it can never be live
+        # (or picked) again, and one final exchange dedups everything
+        # instead of one per round.
+        chosen = pmap.select("e.u", "e.v", "e.w")
         mst = chosen if mst is None else mst.unionAll(chosen)
-        # merge: connected components of the picked COMPONENT graph,
-        # then route every vertex through its old component's new label
-        cpairs = (
-            live.join(
-                chosen.select(
-                    F.col("u").alias("_pu"), F.col("v").alias("_pv"), F.col("w").alias("_pw")
-                ),
-                (F.col("u") == F.col("_pu"))
-                & (F.col("v") == F.col("_pv"))
-                & (F.col("w") == F.col("_pw")),
-                "inner",
+        # ---- merge: contract the pick pseudoforest (see module doc).
+        # p(c) = partner component; re-root the unique mutual pair of
+        # each weak component at its smaller id, then pointer-double.
+        pm = pmap.select(
+            "c",
+            F.when(F.col("e.cu") == F.col("c"), F.col("e.cv"))
+            .otherwise(F.col("e.cu"))
+            .alias("p"),
+        )
+        a, b = pm.alias("a"), pm.alias("b")
+        rooted = a.join(bcast(b), F.col("a.p") == F.col("b.c")).select(
+            F.col("a.c").alias("c"),
+            F.when(
+                (F.col("b.p") == F.col("a.c"))
+                & (F.col("a.c") < F.col("a.p")),
+                F.col("a.c"),
             )
-            .select(F.col("cu").alias("id1"), F.col("cv").alias("id2"))
-            .distinct()
+            .otherwise(F.col("a.p"))
+            .alias("p"),
         )
-        old_comps = comp.select(F.col("comp").alias("id")).distinct()
-        relabel = single_linkage(cpairs, old_comps).select(
-            F.col("id").alias("comp"), F.col("group_id").alias("_new")
+        p = checkpoint_no_stats(rooted)
+        for _ in range(max_rounds):
+            a, b = p.alias("a"), p.alias("b")
+            nxt = checkpoint_no_stats(
+                a.join(bcast(b), F.col("a.p") == F.col("b.c")).select(
+                    F.col("a.c").alias("c"),
+                    F.col("b.p").alias("p"),
+                    (F.col("b.p") != F.col("a.p")).alias("_moved"),
+                )
+            )
+            moved = _rdd_count(nxt.filter(F.col("_moved")))
+            _free_local_checkpoint(p)
+            p = nxt
+            if moved == 0:
+                break
+        relabel = p.select(
+            F.col("c").alias("comp"), F.col("p").alias("_new")
         )
-        comp = checkpoint_no_stats(
-            comp.join(relabel, "comp")
-            .select("id", F.col("_new").alias("comp"))
+        new_comp = checkpoint_no_stats(
+            comp.join(bcast(relabel), "comp", "left").select(
+                "id", F.coalesce("_new", "comp").alias("comp")
+            )
         )
+        _free_local_checkpoint(p)
+        if comp_is_ours:
+            _free_local_checkpoint(comp)
+        comp = new_comp
+        comp_is_ours = True
     if mst is None:
         return canon.limit(0)
     return mst.select("u", "v", "w").distinct()

@@ -69,3 +69,34 @@ def _component_count(n, edge_list):
         if ru != rv:
             parent[ru] = rv
     return len({find(i) for i in range(n)})
+
+
+def test_mst_deep_chain_pseudoforest(spark):
+    # r12 merge rewrite: a path graph with strictly increasing weights
+    # makes every component's pick point LEFT, so round 1's pick map is
+    # a single depth-n chain rooted at the mutual (0, 1) pair — the
+    # worst case for the pointer-doubling contraction (many jumps, one
+    # weak component).
+    n = 64
+    edge_list = [(i, i + 1, i + 1) for i in range(n - 1)]
+    got = _run(spark, n, edge_list)
+    assert got == {(i, i + 1, i + 1) for i in range(n - 1)}
+
+
+def test_mst_shuffle_join_fallback(spark, monkeypatch):
+    # r12 broadcast knob: above SPARK_GRAFT_MST_BROADCAST_ROWS the
+    # merge/tag joins must stay shuffle-based and still produce the
+    # identical edge set.  Force the fallback by zeroing the threshold.
+    import random
+
+    from bigsdb_spark.operators import mst as mst_mod
+
+    monkeypatch.setattr(mst_mod, "BROADCAST_COMPONENT_ROWS", 0)
+    rng = random.Random(7)
+    n = 25
+    edge_list = []
+    for _ in range(90):
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            edge_list.append((u, v, rng.randrange(1, 5)))
+    _run(spark, n, edge_list)
