@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from bigsdb_spark.operators.spread import spread_scan
+
 _WS = r"\s+"
 
 
@@ -45,8 +47,13 @@ def normalized_text(col):
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Document fingerprint = md5 of the normalized text."""
-    return df.select(
+    """Document fingerprint = md5 of the normalized text.
+
+    The input is spread first (guide §2.5): normalize+md5 is the CPU
+    term, and a single-row-group corpus file would otherwise run it
+    all in one task (see operators/spread.py; no-op on parallel scans).
+    """
+    return spread_scan(df).select(
         F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("fp")
     )
 
@@ -139,7 +146,10 @@ def word_shingles(
             ),
         ).otherwise(F.array().cast("array<string>")),
     )
-    out = df.select(
+    # spread an unsplittable single-split scan before the tokenize +
+    # shingle explode — the pipeline's CPU term (guide §2.5; no-op on
+    # already-parallel scans, see operators/spread.py)
+    out = spread_scan(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.element_at(per_doc, 1)).alias("shingle"),
     )
@@ -241,8 +251,11 @@ def minhash_signatures_fused(
         ),
         1,
     )
+    # same §2.5 guard as word_shingles: the fused signature is ALL
+    # map-side CPU, so a one-split scan serializes the whole stage
     return (
-        df.select(F.col(id_col).alias("doc"), sig_struct.alias("_sig"))
+        spread_scan(df)
+        .select(F.col(id_col).alias("doc"), sig_struct.alias("_sig"))
         .select("doc", "_sig.*")
         .filter(F.col("h0").isNotNull())
     )
