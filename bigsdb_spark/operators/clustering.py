@@ -22,9 +22,47 @@ plain aggregations over the pair-distance DataFrame.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+
+def _rdd_count(df: DataFrame) -> int:
+    """Row count of an already-materialized (checkpointed) frame as ONE
+    driver job: a plain .count() plans a two-stage partial/final
+    aggregate that AQE runs as two jobs; counting the physical plan's
+    RDD is a single job over the cached checkpoint blocks with no
+    Python-side row traffic (the count returns as a py4j scalar).  In
+    a loop whose cost is the per-job scheduling floor, every
+    convergence/empty check pays this twice per round otherwise.
+    (Moved here from mst.py in r13 so clustering's own loop can use it;
+    mst.py re-imports it.)  Genuine job failures (Py4JJavaError)
+    propagate — only interface drift falls back to the 2-job count
+    (ADVICE r12)."""
+    from py4j.protocol import Py4JError, Py4JJavaError
+
+    try:
+        return int(df._jdf.queryExecution().toRdd().count())
+    except Py4JJavaError:
+        raise  # a real job failure, not interface drift — surface it
+    except (AttributeError, TypeError, Py4JError):
+        return df.count()
+
+
+# symmetric-edge row count at or below which connected components run
+# as ONE single-task vectorized union-find pass (numpy min-label
+# hooking + pointer doubling inside one mapInArrow task) instead of
+# the iterative join loop.  2e6 rows of two longs is ~32 MB in the
+# task — trivially within any executor — while the loop it replaces
+# costs ~2 driver jobs per propagation round (measured r13: the d4
+# gate query spent 56 driver jobs, mostly here).  Above the threshold
+# the loop runs unchanged (the at-scale path; its ladder was measured
+# at 4e6 nodes in r6).  Env-tunable per deployment.
+CC_LOCAL_EDGE_ROWS = int(
+    os.environ.get("SPARK_GRAFT_CC_LOCAL_ROWS", "2000000")
+)
 
 
 def _free_local_checkpoint(df: DataFrame) -> None:
@@ -161,11 +199,81 @@ def checkpoint_no_stats(
     return out
 
 
+def _cc_single_task(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Connected components of a SMALL symmetric edge frame in one
+    vectorized task: min-label hooking + full pointer compression per
+    pass (Shiloach–Vishkin shape), numpy throughout.  Labels equal the
+    component's smallest member id — the same fixed point as the
+    iterative loop, so output is identical by construction (pinned in
+    tests over random graphs and chains).  Caller guarantees the edge
+    frame fits one task (see CC_LOCAL_EDGE_ROWS)."""
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    id_type = dict(edges.dtypes)["id1"]
+
+    def _uf(batches):
+        import numpy as np
+
+        a_parts, b_parts = [], []
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            a_parts.append(rb.column(0).to_numpy(zero_copy_only=False))
+            b_parts.append(rb.column(1).to_numpy(zero_copy_only=False))
+        if not a_parts:
+            return
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        ids = np.unique(np.concatenate([a, b]))
+        ia = np.searchsorted(ids, a)
+        ib = np.searchsorted(ids, b)
+        # labels are INDICES into the sorted id array, so min index ==
+        # min id and the final map ids[lab] is the min-member label
+        lab = np.arange(len(ids))
+        while True:
+            before = lab.copy()
+            m = np.minimum(lab[ia], lab[ib])
+            # hook each endpoint's current label down to the edge min
+            np.minimum.at(lab, ia, m)
+            np.minimum.at(lab, ib, m)
+            # full path compression: lab converges to per-pass roots
+            while True:
+                nl = lab[lab]
+                if np.array_equal(nl, lab):
+                    break
+                lab = nl
+            if np.array_equal(lab, before):
+                break
+        block = 1 << 18
+        roots = ids[lab]
+        for s in range(0, len(ids), block):
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids[s : s + block]),
+                 pa.array(roots[s : s + block])],
+                names=["id", "group_id"],
+            )
+
+    _uf.__annotations__ = {
+        "batches": Iterator[pa.RecordBatch],
+        "return": Iterator[pa.RecordBatch],
+    }
+    lab = edges.repartition(1).mapInArrow(
+        _uf, schema=f"id {id_type}, group_id {id_type}"
+    )
+    all_nodes = nodes.select(F.col(nodes.columns[0]).alias("id"))
+    return all_nodes.join(lab, on="id", how="left").select(
+        "id", F.coalesce("group_id", F.col("id")).alias("group_id")
+    )
+
+
 def single_linkage(
     pairs: DataFrame,
     nodes: DataFrame,
     max_iter: int = 50,
     round_stats: list | None = None,
+    local_edge_rows: int | None = None,
 ) -> DataFrame:
     """Connected components by iterative smallest-id label propagation.
 
@@ -196,9 +304,22 @@ def single_linkage(
         # self-join once per iteration; stats dropped so an upstream
         # join-inflated estimate can't seed the per-round product
     )
+    # ONE single-job count decides both dispatches below (r13; the
+    # .count() form cost two jobs under AQE)
+    n_edges = _rdd_count(edges)
+    # r13 (the d7/a5 job-floor recipe applied to the CC loop itself):
+    # a small edge set pays ~2 driver jobs per propagation round in
+    # the loop below — the d4 gate query measured 56 driver jobs /
+    # 2.6 s at sf0.1 with the data term near zero.  Run it instead as
+    # ONE vectorized union-find task; identical output (min-member
+    # labels) pinned in tests.  The probe path (round_stats) and
+    # anything above the threshold keep the distributed loop.
+    limit = CC_LOCAL_EDGE_ROWS if local_edge_rows is None else local_edge_rows
+    if round_stats is None and n_edges <= limit:
+        return _cc_single_task(edges, nodes)
     # right-size the iteration: a small graph on 32 shuffle partitions
     # pays ~32x task overhead per round for nothing
-    if edges.count() < 1_000_000:
+    if n_edges < 1_000_000:
         small = checkpoint_no_stats(
             edges.repartition(8, "id2"), storage_level=ckpt_level
         )

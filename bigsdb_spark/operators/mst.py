@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame
 
 from bigsdb_spark.operators.clustering import (
     _free_local_checkpoint,
+    _rdd_count,
     checkpoint_no_stats,
 )
 
@@ -67,20 +68,6 @@ __all__ = ["boruvka_mst", "kruskal_mst_py"]
 BROADCAST_COMPONENT_ROWS = int(
     os.environ.get("SPARK_GRAFT_MST_BROADCAST_ROWS", "4000000")
 )
-
-
-def _rdd_count(df: DataFrame) -> int:
-    """Row count of an already-materialized (checkpointed) frame as ONE
-    driver job: a plain .count() plans a two-stage partial/final
-    aggregate that AQE runs as two jobs; counting the physical plan's
-    RDD is a single job over the cached checkpoint blocks with no
-    Python-side row traffic (the count returns as a py4j scalar).  In
-    a loop whose cost is the per-job scheduling floor, every
-    convergence/empty check pays this twice per round otherwise."""
-    try:
-        return int(df._jdf.queryExecution().toRdd().count())
-    except Exception:  # py4j interface drift: fall back to the 2-job form
-        return df.count()
 
 
 def boruvka_mst(

@@ -296,6 +296,64 @@ def test_lincode_port_agreement_randomized(spark):
         assert got["90"] == got["03"] and got["91"] == got["17"]
 
 
+def test_cc_single_task_matches_loop(spark):
+    """r13: the small-graph single-task union-find fast path (default
+    below CC_LOCAL_EDGE_ROWS) returns exactly the distributed loop's
+    labels — smallest member id per component, singletons label
+    themselves — on chains (worst case for propagation), random blobs,
+    the empty edge set, and string ids.  local_edge_rows=0 forces the
+    loop for the comparison."""
+    import random
+
+    from bigsdb_spark.operators.clustering import single_linkage
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = rng.randint(5, 40)
+        edges = [
+            (rng.randint(1, n), rng.randint(1, n))
+            for _ in range(rng.randint(0, 2 * n))
+        ]
+        chain_base = n + 1
+        edges += [(chain_base + i, chain_base + i + 1) for i in range(12)]
+        pairs = spark.createDataFrame(edges or [(1, 1)], "id1 int, id2 int")
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(1, chain_base + 14)], "id int"
+        )
+        fast = {
+            (r["id"], r["group_id"])
+            for r in single_linkage(pairs, nodes).collect()
+        }
+        loop = {
+            (r["id"], r["group_id"])
+            for r in single_linkage(
+                pairs, nodes, local_edge_rows=0
+            ).collect()
+        }
+        assert fast == loop, f"trial {trial}: edges={edges}"
+    # empty edge set: every node is its own singleton
+    empty = spark.createDataFrame([], "id1 int, id2 int")
+    nodes = spark.createDataFrame([(i,) for i in (3, 7)], "id int")
+    got = {
+        (r["id"], r["group_id"])
+        for r in single_linkage(empty, nodes).collect()
+    }
+    assert got == {(3, 3), (7, 7)}
+    # string ids go through the numpy object-dtype path
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id1 string, id2 string"
+    )
+    nodes = spark.createDataFrame([(c,) for c in "abcxyz"], "id string")
+    fast = {
+        (r["id"], r["group_id"])
+        for r in single_linkage(pairs, nodes).collect()
+    }
+    assert fast == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("x", "x"), ("y", "x"), ("z", "z"),
+    }
+
+
 def test_star_cc_matches_label_propagation_on_fixtures(spark):
     """large-star/small-star contraction returns exactly the
     single_linkage labels: smallest member id per component,
