@@ -1243,32 +1243,133 @@ def bucketed_ann_pairs(
     (measured at sf0.1: fold 3.9 s vs unrolled 10.5 s). Filters still
     reach the scan — repartition is not a pushdown barrier.
 
-    Zero-norm vectors are dropped before the join: their cosine is
+    Zero-norm vectors are dropped before pairing: their cosine is
     0/0 = NaN, and Spark SQL orders NaN above every double, so without
     the filter ``NaN >= min_cosine`` would silently admit every pair
     touching a zero vector. Dropping them makes the three serving
     forms (plain / _gemm / _sq) agree on degenerate input — in the
     GEMM form numpy's ``NaN >= x`` is False, which excludes exactly
-    the same pairs (equality pinned in tests)."""
-    par = emb.sparkSession.sparkContext.defaultParallelism
+    the same pairs (equality pinned in tests).
+
+    r13 (VERDICT r12 #1 — the a5/sq interpreted-HOF recipe applied to
+    the cosine fold): the within-bucket scoring is now ONE Arrow pass
+    per bucket with a BIT-IDENTICAL column-accumulation kernel instead
+    of a self-join evaluating the interpreted ``zip_with``+``aggregate``
+    fold per joined row.  Bit identity, term by term: the pairwise dot
+    accumulates ``acc += x[:, c] * y[:, c]`` column-by-column (each
+    scalar sees the same multiply-then-add sequence as the left-to-
+    right fold from 0.0; no FMA fusion, no reordering — numpy GEMM
+    would reorder), norms accumulate the same way before one IEEE
+    ``sqrt``, and the division is one IEEE op — so the RAW cosine
+    double is bit-equal to the expression form's.  The 6-dp rounding
+    and the threshold filter stay in the JVM (``F.round`` on the raw
+    double), so the emitted values and the pair set are identical by
+    construction; the kernel only pre-screens at
+    ``min_cosine - 1e-6`` (sound: round(x, 6) moves x by < 5.1e-7).
+    Plan: the two shuffles + interpreted per-pair fold become one
+    groupBy(bucket) exchange + MapInArrow (same occupancy contract as
+    the _gemm form: one bucket materializes in one task, ``dims``
+    scales with the corpus)."""
+    import numpy as np
+
     withb = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("e"),
-        _norm(F.col(vec_col)).alias("n"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
-    ).filter(F.col("n") > 0)
-    a = withb.select(
-        F.col("id").alias("id1"), F.col("e").alias("e1"), F.col("n").alias("n1"), "bucket"
-    ).repartition(par)
-    b = withb.select(
-        F.col("id").alias("id2"), F.col("e").alias("e2"), F.col("n").alias("n2"), "bucket"
     )
-    pairs = a.join(b, on="bucket").filter(F.col("id1") < F.col("id2"))
-    return (
-        with_cosine(pairs)
-        .filter(F.col("cosine") >= min_cosine)
-        .select("bucket", "id1", "id2", "cosine")
+    types = dict(withb.dtypes)
+    id_type, bucket_type = types["id"], types["bucket"]
+    screen = min_cosine - 1e-6
+
+    def _bucket_pairs_exact(batches):
+        import pyarrow as pa
+
+        b_ids, b_vecs = [], []
+        m = 0
+        bkt = None
+        for rb in batches:
+            nb = rb.num_rows
+            if nb == 0:
+                continue
+            m += nb
+            bkt = rb.column("bucket")[0]  # Arrow scalar keeps its type
+            b_ids.append(rb.column("id").to_numpy(zero_copy_only=False))
+            b_vecs.append(_arrow_mat(rb.column("e"), nb))
+        if m < 2:
+            return
+        ids = np.concatenate(b_ids)
+        x = np.vstack(b_vecs)
+        d = x.shape[1]
+        # norm via the SAME left-to-right fold as _norm: column-wise
+        # accumulation then one IEEE sqrt per row
+        acc_n = np.zeros(m)
+        for c in range(d):
+            acc_n += x[:, c] * x[:, c]
+        n = np.sqrt(acc_n)
+        live = n > 0  # the join form's norm > 0 pre-filter
+        ids, x, n = ids[live], x[live], n[live]
+        m = len(ids)
+        if m < 2:
+            return
+        # sort rows by id so row order == id order: the upper-triangle
+        # block walk below then enumerates every unordered pair exactly
+        # once and the gi < gj check is exact (unsorted rows would lose
+        # pairs whose larger id lives in an earlier block)
+        order = np.argsort(ids, kind="stable")
+        ids, x, n = ids[order], x[order], n[order]
+        o1, o2, oc = [], [], []
+        block = 1024
+        for s in range(0, m, block):
+            xs, ns_, is_ = x[s : s + block], n[s : s + block], ids[s : s + block]
+            for t in range(s, m, block):
+                xt, nt, it = x[t : t + block], n[t : t + block], ids[t : t + block]
+                # bit-identical pairwise dot: one outer product per
+                # column, accumulated in column order
+                acc = np.zeros((len(xs), len(xt)))
+                for c in range(d):
+                    acc += np.outer(xs[:, c], xt[:, c])
+                cb = acc / np.outer(ns_, nt)
+                ib, jb = np.nonzero(cb >= screen)
+                gi, gj = is_[ib], it[jb]
+                keep = gi < gj
+                o1.append(gi[keep])
+                o2.append(gj[keep])
+                oc.append(cb[ib, jb][keep])
+        if not o1:
+            return
+        id1 = np.concatenate(o1)
+        if len(id1) == 0:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.repeat(bkt, len(id1)),
+                pa.array(id1),
+                pa.array(np.concatenate(o2)),
+                pa.array(np.concatenate(oc)),
+            ],
+            names=["bucket", "id1", "id2", "cosine"],
+        )
+
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    _bucket_pairs_exact.__annotations__ = {
+        "batches": Iterator[pa.RecordBatch],
+        "return": Iterator[pa.RecordBatch],
+    }
+    cand = withb.groupBy("bucket").applyInArrow(
+        _bucket_pairs_exact,
+        schema=(
+            f"bucket {bucket_type}, id1 {id_type}, "
+            f"id2 {id_type}, cosine double"
+        ),
     )
+    # rounding + threshold in the JVM over the bit-identical raw value:
+    # exactly the expression form's F.round / filter
+    return cand.select(
+        "bucket", "id1", "id2", F.round("cosine", 6).alias("cosine")
+    ).filter(F.col("cosine") >= min_cosine)
 
 
 def bucketed_ann_pairs_gemm(
