@@ -63,14 +63,23 @@ def a11_daily(spark, sf_dir):
         .select(F.lit("daily").alias("kind"), "day", "event_type", "n",
                 "total_value")
     )
+    # r13 (VERDICT r12 #4): the probe/state subtrees are consumed by
+    # BOTH as-of legs, and the salted leg alone references each THREE
+    # more times (hot-key counts, the semi/anti splits, the bounds
+    # union) — re-deriving them per reference re-ran the scan + the
+    # state groupBy exchange once per occurrence (54 shuffle exchanges
+    # in the r12 plan).  Materialize each ONCE (eager localCheckpoint:
+    # purchase-state is one row per (user, ts); probes are three
+    # narrow columns) and let every leg read the checkpoint blocks.
+    # Values are unchanged — same expressions, computed once.
     state = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("state_value"))
-    )
+    ).localCheckpoint(eager=True)
     probes = e.filter(F.col("event_type").isin("click", "view")).select(
         "user_id", "ts", "event_type"
-    )
+    ).localCheckpoint(eager=True)
     def asof_leg(matched, tag):
         return (
             matched.groupBy(

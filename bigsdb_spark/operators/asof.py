@@ -196,7 +196,12 @@ def asof_join_salted(
         return c.cast("double")
 
     # -- hot-key detection: one cheap count per key on each side -------
-    lc = left.filter(F.col(left_ts).isNotNull()).groupBy(*keys).count()
+    # lc counts ALL left rows, null-ts included: hot_threshold is a
+    # task-sizing heuristic (output is identical for any hot set), and
+    # counting every left key makes left keys a SUBSET of totals keys,
+    # which lets an empty cold totals slice prove the cold anti-join
+    # side empty (skipped outright below).
+    lc = left.groupBy(*keys).count()
     rc = right.filter(F.col(right_ts).isNotNull()).groupBy(*keys).count()
     totals = (
         lc.withColumnRenamed("count", "__cl")
@@ -208,6 +213,13 @@ def asof_join_salted(
                 + F.coalesce(F.col("__cr"), F.lit(0))
             ).alias("__tot"),
         )
+        # one row per key — the smallest frame in the operator.
+        # Materialize it ONCE (r13): hot is re-derived per broadcast
+        # reference (three joins + the carry grid), and the dispatch /
+        # cold-existence probes become take(1)s over checkpoint blocks
+        # instead of re-running both per-key counts and their
+        # full-outer join per reference.
+        .localCheckpoint(eager=True)
     )
     hot = totals.filter(F.col("__tot") > hot_threshold).select(*keys)
     if not hot.take(1):
@@ -216,11 +228,19 @@ def asof_join_salted(
         )
     hot_b = F.broadcast(hot)
 
-    cold_out = asof_join(
-        left.join(hot_b, keys, "left_anti"),
-        right.join(hot_b, keys, "left_anti"),
-        on, left_ts, right_ts, direction, tolerance, suffix,
-    )
+    # left keys ⊆ totals keys (lc counts null-ts rows too), so an empty
+    # cold totals slice proves the cold side contributes NO output rows
+    # (cold_out is a left join; cold right-only keys emit nothing) —
+    # skip its whole subtree (two anti-joins + union + window sort)
+    # instead of running it to produce zero rows.  The hot_threshold=0
+    # "everything hot" configuration paid for a full cold plan before.
+    cold_out = None
+    if totals.filter(F.col("__tot") <= hot_threshold).take(1):
+        cold_out = asof_join(
+            left.join(hot_b, keys, "left_anti"),
+            right.join(hot_b, keys, "left_anti"),
+            on, left_ts, right_ts, direction, tolerance, suffix,
+        )
 
     # -- hot slice: range-bucket each key's timeline -------------------
     l_hot = left.join(hot_b, keys, "left_semi")
@@ -234,6 +254,9 @@ def asof_join_salted(
         )
         .groupBy(*keys)
         .agg(F.min("__tv").alias("__lo"), F.max("__tv").alias("__hi"))
+        # one row per hot key; read twice (both bucket taggers) — same
+        # materialize-once rationale as the hot set above
+        .localCheckpoint(eager=True)
     )
     bounds_b = F.broadcast(bounds)
 
@@ -321,4 +344,6 @@ def asof_join_salted(
         [*keys, "__bkt"],
         left_ts, right_ts, direction, tolerance, suffix,
     ).drop("__bkt")
+    if cold_out is None:
+        return hot_out
     return cold_out.unionByName(hot_out)
