@@ -41,6 +41,7 @@ does not need single_linkage's min-member-id semantics.
 
 from __future__ import annotations
 
+import math
 import os
 
 import pyspark.sql.functions as F
@@ -61,19 +62,95 @@ __all__ = ["boruvka_mst", "kruskal_mst_py"]
 # carry no stats — so Catalyst can never pick the broadcast strategy
 # itself and always plans a shuffle join, which under AQE costs extra
 # per-round driver jobs (one per shuffle stage) on top of the shuffle.
-# Two long columns ≈ 16 bytes/row -> the 4e6 default is ~64 MB framed,
-# well inside executor memory and the 8 GB broadcast cap; raise/lower
-# per deployment via the env knob.  Above the threshold the joins stay
-# shuffle-based (correct at any scale, C only shrinks round to round).
+# Two long columns ≈ 16 bytes/row, but the DRIVER-side build of the
+# hinted broadcast is a LongHashedRelation with several-x overhead
+# (ADVICE r12): budget ~10x the raw bytes.  The 1e6 default (~160 MB
+# built) fits a 2 GB driver; raise the env knob only alongside
+# spark.driver.memory (a 4e6-row hint wants >= 4 GB driver).  Above
+# the threshold the joins stay shuffle-based (correct at any scale,
+# C only shrinks round to round).
 BROADCAST_COMPONENT_ROWS = int(
-    os.environ.get("SPARK_GRAFT_MST_BROADCAST_ROWS", "4000000")
+    os.environ.get("SPARK_GRAFT_MST_BROADCAST_ROWS", "1000000")
 )
+
+# canonical-edge count at or below which the whole MST runs as ONE
+# task (r13, VERDICT r12 #5 — the d7/d4 job-floor recipe): the
+# distributed loop costs ~2 driver jobs per materialization across
+# O(log V) Borůvka rounds x O(log C) doubling passes (~90 jobs at the
+# 150-node d7 gate shape) while the data term is near zero.  A sorted
+# union-find over 2e5 edges is tens of milliseconds of single-task
+# CPU; above the knob the loop runs unchanged (correct at any scale).
+MST_LOCAL_EDGE_ROWS = int(
+    os.environ.get("SPARK_GRAFT_MST_LOCAL_ROWS", "200000")
+)
+
+
+def _mst_single_task(canon: DataFrame) -> DataFrame:
+    """Kruskal over a SMALL canonical edge frame in one task — the
+    same strict (w, u, v) total order as the Borůvka loop, whose MST
+    edge set is provably identical (strict total order -> the MST is
+    unique; tests pin both against kruskal_mst_py).  Caller guarantees
+    the frame fits one task (see MST_LOCAL_EDGE_ROWS)."""
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    out_schema = ", ".join(f"{c} {t}" for c, t in canon.dtypes)
+
+    def _kruskal(batches):
+        types = None
+        rows = []
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            types = [rb.schema.field(i).type for i in range(3)]
+            rows.extend(
+                zip(
+                    rb.column(2).to_pylist(),
+                    rb.column(0).to_pylist(),
+                    rb.column(1).to_pylist(),
+                )
+            )
+        if not rows:
+            return
+        rows.sort()  # (w, u, v) — the loop's strict total order
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        us, vs, ws = [], [], []
+        for w, u, v in rows:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+                us.append(u)
+                vs.append(v)
+                ws.append(w)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(us, type=types[0]),
+                pa.array(vs, type=types[1]),
+                pa.array(ws, type=types[2]),
+            ],
+            names=["u", "v", "w"],
+        )
+
+    _kruskal.__annotations__ = {
+        "batches": Iterator[pa.RecordBatch],
+        "return": Iterator[pa.RecordBatch],
+    }
+    return canon.repartition(1).mapInArrow(_kruskal, schema=out_schema)
 
 
 def boruvka_mst(
     edges: DataFrame,
     nodes: DataFrame,
     max_rounds: int = 40,
+    local_edge_rows: int | None = None,
 ) -> DataFrame:
     """MST edge set of an undirected weighted graph.
 
@@ -82,6 +159,9 @@ def boruvka_mst(
     of every vertex (isolated vertices simply never contribute edges).
     Returns (u, v, w) with u < v — |components' spanning forest| rows
     (V - C edges for C connected components).
+
+    ``local_edge_rows`` overrides MST_LOCAL_EDGE_ROWS (tests force the
+    distributed loop with 0).
     """
     canon = (
         edges.select(
@@ -104,6 +184,9 @@ def boruvka_mst(
     # on a 150-node graph.  Dropping stats at every round boundary
     # keeps planning O(1) per round.
     canon = checkpoint_no_stats(canon)
+    limit = MST_LOCAL_EDGE_ROWS if local_edge_rows is None else local_edge_rows
+    if _rdd_count(canon) <= limit:
+        return _mst_single_task(canon)
     comp = nodes.select(F.col(nodes.columns[0]).alias("id")).withColumn(
         "comp", F.col("id")
     )
@@ -187,7 +270,17 @@ def boruvka_mst(
             .alias("p"),
         )
         p = checkpoint_no_stats(rooted)
-        for _ in range(max_rounds):
+        # the re-rooted forest's depth is < n_live and doubling halves
+        # the remaining depth every pass, so ceil(log2(n_live)) + 1
+        # passes ALWAYS suffice — bound the inner loop independently
+        # of the caller-facing max_rounds (ADVICE r12: a small
+        # max_rounds silently exited here with a non-converged,
+        # inconsistent relabeling, which can emit non-MST edges in
+        # later rounds) and fail loudly on early exit rather than
+        # proceed with inconsistent labels.
+        inner_rounds = max(1, math.ceil(math.log2(max(2, n_live)))) + 1
+        moved = 0
+        for _ in range(inner_rounds):
             a, b = p.alias("a"), p.alias("b")
             nxt = checkpoint_no_stats(
                 a.join(bcast(b), F.col("a.p") == F.col("b.c")).select(
@@ -201,6 +294,12 @@ def boruvka_mst(
             p = nxt
             if moved == 0:
                 break
+        if moved != 0:
+            raise RuntimeError(
+                "boruvka_mst: pointer doubling did not converge in "
+                f"{inner_rounds} rounds over {n_live} live components "
+                "— the pick re-root invariant is broken"
+            )
         relabel = p.select(
             F.col("c").alias("comp"), F.col("p").alias("_new")
         )

@@ -12,11 +12,19 @@ from bigsdb_spark.operators.mst import boruvka_mst, kruskal_mst_py
 def _run(spark, n, edge_list):
     nodes = spark.createDataFrame([(i,) for i in range(n)], "id int")
     edges = spark.createDataFrame(edge_list, "u int, v int, w int")
+    want = kruskal_mst_py(edge_list)
+    # r13: small graphs auto-route to the single-task Kruskal path —
+    # check it AND the distributed Borůvka loop (forced with
+    # local_edge_rows=0) against the independent oracle
     got = {
         (r["u"], r["v"], r["w"]) for r in boruvka_mst(edges, nodes).collect()
     }
-    want = kruskal_mst_py(edge_list)
     assert got == want
+    got_loop = {
+        (r["u"], r["v"], r["w"])
+        for r in boruvka_mst(edges, nodes, local_edge_rows=0).collect()
+    }
+    assert got_loop == want
     return got
 
 
@@ -81,6 +89,27 @@ def test_mst_deep_chain_pseudoforest(spark):
     edge_list = [(i, i + 1, i + 1) for i in range(n - 1)]
     got = _run(spark, n, edge_list)
     assert got == {(i, i + 1, i + 1) for i in range(n - 1)}
+
+
+def test_mst_small_max_rounds_converges_or_raises(spark):
+    # ADVICE r12 (mst.py): the inner pointer-doubling loop used to be
+    # bounded by the caller-facing max_rounds and silently continued
+    # with a non-converged contraction — a path graph with increasing
+    # weights picks ALL edges in round 1 (a depth-n chain needing
+    # ceil(log2 n) doubling passes), so max_rounds=5 on n=64 plus a
+    # heavy chord produced non-MST (cycle) edges.  The bound is now
+    # ceil(log2(n_live)) + 1, independent of max_rounds.
+    n = 64
+    edge_list = [(i, i + 1, i + 1) for i in range(n - 1)] + [(0, 63, 1000)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id int")
+    edges = spark.createDataFrame(edge_list, "u int, v int, w int")
+    got = {
+        (r["u"], r["v"], r["w"])
+        for r in boruvka_mst(
+            edges, nodes, max_rounds=5, local_edge_rows=0
+        ).collect()
+    }
+    assert got == kruskal_mst_py(edge_list)
 
 
 def test_mst_shuffle_join_fallback(spark, monkeypatch):
