@@ -886,6 +886,18 @@ def assign_scheme_fields_multi(
 # take the long-form staging.
 INTERSECT_UNROLL_MAX_LOCI = 64
 
+# byte cap for the driver-built posting bitmap (r13, VERDICT r12 #3):
+# the matrix is (distinct (pos, allele) pairs + 1) x n_defs/8 bytes,
+# so a row-guarded input (<= BROADCAST_DEFS_MAX_ROWS definitions) can
+# still blow it up via allele diversity (2M defs x high-cardinality
+# alleles is multi-GB on the driver before the broadcast even
+# starts).  The build loop aborts the moment its running estimate
+# crosses the cap and the dispatcher takes the laddered shuffle plan
+# instead.  Size SPARK_GRAFT_INTERSECT_BITMAP_MAX_BYTES (read per
+# call) to roughly 1/4 of driver memory: np.stack transiently doubles
+# the matrix and the broadcast pickles one more copy.
+INTERSECT_BITMAP_DEFAULT_MAX_BYTES = 512 * 1024 * 1024
+
 
 def _multi_grp(
     iso_long: DataFrame, total_loci: int, allow_missing_loci: bool
@@ -942,10 +954,17 @@ def _assign_multi_pruned(
         if broadcast_defs is None:
             broadcast_defs = n_sch_rows <= BROADCAST_DEFS_MAX_ROWS
     if broadcast_defs and total_loci <= INTERSECT_UNROLL_MAX_LOCI:
-        return _multi_intersect(
+        out = _multi_intersect(
             iso_long, defs, total_loci, allow_missing_loci,
             wild_is_literal=sch_wild is None,
         )
+        if out is not None:
+            return out
+        # posting bitmap over the byte budget (allele diversity, not
+        # row count) — take the laddered plan; probe for k if the
+        # intersect-eligible branch skipped it above
+        if n_positions is None:
+            n_positions, _ = _probe_defs(sch, total_loci)
     k_sel = max(1, min(n_positions, total_loci))
     return _multi_pruned_shuffle(
         iso_long, defs, sch_exact, sch_wild, total_loci,
@@ -959,7 +978,7 @@ def _multi_intersect(
     total_loci: int,
     allow_missing_loci: bool,
     wild_is_literal: bool,
-) -> DataFrame:
+) -> DataFrame | None:
     """The single-shuffle positional-intersection multi plan (r12,
     VERDICT r11 #1: the r11 leg spent ~5 s at sf0.1 on ~15 sequential
     tiny-data exchanges; a candidate-join form materialized 35M rows
@@ -1009,11 +1028,19 @@ def _multi_intersect(
     completeness gate: distinct designated-position count ==
     total_loci (sql/isolatedb.sql:1546-1547), counted over ALL
     designation rows exactly as ``_multi_grp`` did."""
+    import os
+
     import numpy as np
 
     spark = iso_long.sparkSession
     st_type = defs.schema["st"].dataType
     key_type = iso_long.schema["profile_key"].dataType
+    max_bytes = int(
+        os.environ.get(
+            "SPARK_GRAFT_INTERSECT_BITMAP_MAX_BYTES",
+            INTERSECT_BITMAP_DEFAULT_MAX_BYTES,
+        )
+    )
     # dimension-small by contract (the same rows a broadcast build
     # would collect); one job at construction time — the eager-probe
     # note on the public API covers this path too
@@ -1036,6 +1063,16 @@ def _multi_intersect(
                 continue
             j = post_idx.get((p, a))
             if j is None:
+                # byte guard (VERDICT r12 #3): abort the build the
+                # moment the posting matrix would cross the cap — the
+                # dispatcher falls back to _multi_pruned_shuffle.
+                # Checked only when a NEW (pos, allele) row appears,
+                # so the good case pays one comparison per distinct
+                # pair and the bad case stops at the cap, not after
+                # allocating a multi-GB driver matrix.
+                if (len(post_rows) + 1) * n_words * 8 + wild_mat.nbytes \
+                        > max_bytes:
+                    return None
                 j = post_idx[(p, a)] = len(post_rows)
                 post_rows.append(np.zeros(n_words, dtype=np.uint64))
             post_rows[j][word] |= np.uint64(1 << bit)

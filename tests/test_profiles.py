@@ -518,6 +518,44 @@ def test_multi_designation_pruned_equals_unpruned_randomized(spark):
             assert {tuple(r) for r in pruned} == {tuple(r) for r in base}
 
 
+def test_multi_intersect_bitmap_byte_guard(spark, monkeypatch):
+    """r13 (VERDICT r12 #3): the intersect plan's driver-built posting
+    bitmap is BYTE-guarded, not just row-guarded — when the matrix
+    estimate crosses SPARK_GRAFT_INTERSECT_BITMAP_MAX_BYTES the build
+    aborts and the dispatcher falls back to the laddered shuffle plan
+    with identical output (and no mapInPandas node in the plan)."""
+    from bigsdb_spark.operators.profiles import assign_scheme_fields_multi
+
+    desig = spark.createDataFrame(
+        [
+            (1, 0, "1"), (1, 1, "3"), (1, 2, "4"), (1, 2, "9"),
+            (2, 0, "1"), (2, 1, "3"), (2, 2, "4"),
+        ],
+        "profile_key int, pos int, allele string",
+    )
+    sch = spark.createDataFrame(
+        [("a", ["1", "3", "4"]), ("b", ["1", "3", "9"])],
+        "st string, profile array<string>",
+    )
+
+    def build():
+        return assign_scheme_fields_multi(
+            desig, sch, total_loci=3, allow_missing_loci=False,
+            prune_candidates=True, broadcast_defs=True,
+        )
+
+    base = build()
+    assert "mapInPandas" in base._jdf.queryExecution().analyzed().toString()
+    expect = {(r.profile_key, r.st) for r in base.collect()}
+    assert expect == {(1, "a"), (1, "b"), (2, "a")}
+
+    monkeypatch.setenv("SPARK_GRAFT_INTERSECT_BITMAP_MAX_BYTES", "16")
+    guarded = build()
+    plan = guarded._jdf.queryExecution().analyzed().toString()
+    assert "mapInPandas" not in plan  # fell back to the shuffle plan
+    assert {(r.profile_key, r.st) for r in guarded.collect()} == expect
+
+
 def test_candidate_scaled_partitions_law(spark, designations, scheme, tmp_path, monkeypatch):
     """r12 (VERDICT r11 #2): the wildcard path's heavy exchanges scale
     their partition count with the isolate side.  Small sources stay
