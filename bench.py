@@ -445,6 +445,16 @@ def main() -> None:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass
+    # r13 (VERDICT r12 #7): a tiny loadavg line directly ABOVE the
+    # final compact line, so window contamination is visible in the
+    # last ~100 chars of any truncated artifact tail (the full detail
+    # line above can be arbitrarily long and gets cut first)
+    print(
+        json.dumps(
+            {"loadavg_start": load_start,
+             "loadavg_end": [round(x, 2) for x in os.getloadavg()]}
+        )
+    )
     print(
         json.dumps(
             {

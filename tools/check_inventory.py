@@ -52,8 +52,13 @@ def rows_key(cols, rows):
 
 
 def main():
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:]) or None
+    # r13 (VERDICT r12 #7): contamination telemetry up front — ambient
+    # load explains slow per-check seconds without forensic recovery
+    print("loadavg_start", [round(x, 2) for x in os.getloadavg()])
     spark = get_spark("check_inventory")
     con = duckdb.connect()
     for t in TABLES:
@@ -104,6 +109,7 @@ def main():
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
         sys.exit(1)
+    print("loadavg_end", [round(x, 2) for x in os.getloadavg()])
     print(f"all {len([n for n in QUERIES if not only or n in only])} checks passed")
 
 
