@@ -31,6 +31,7 @@ from bigsdb_spark.views import publish_embargoed
 TODAY = dt.date(2026, 8, 14)
 
 
+@pytest.mark.slow
 def test_annotation_candidates_staleness(spark):
     ss = spark.createDataFrame(
         [(1, 2_500_000), (2, 900_000), (3, 2_500_000), (4, 2_500_000), (5, 2_500_000)],

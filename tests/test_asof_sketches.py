@@ -213,6 +213,7 @@ def skewed_asof_frames(spark):
     return l_df, r_df
 
 
+@pytest.mark.slow
 def test_asof_salted_equals_plain(spark, skewed_asof_frames):
     """r9: asof_join_salted returns EXACTLY asof_join's rows on a
     skewed input — both directions, with and without tolerance, hot
@@ -236,6 +237,7 @@ def test_asof_salted_equals_plain(spark, skewed_asof_frames):
             assert salted == plain, (d, tol)
 
 
+@pytest.mark.slow
 def test_asof_salted_timestamp_keys(spark):
     """r9: timestamp ts columns cannot cast to double, so the salted
     path's range bucketing goes through the epoch image (_ts_double);
@@ -364,6 +366,7 @@ def test_sketch_rollup_on_events_table(spark):
     exact_total = ev.select("user_id").distinct().count()
     assert abs(total.distinct_est - exact_total) <= max(1, 0.02 * exact_total)
 
+@pytest.mark.slow
 def test_streaming_distinct_sketches_stream_equals_batch(spark, tmp_path):
     """r7: the streaming sketch rollup emits the same mergeable rows as
     the batch twin — per-(window, key) estimates equal the exact
@@ -666,6 +669,7 @@ def test_dashboard_sketch_rollups_accuracy(spark):
             assert abs(true_rank - p) <= 0.04
 
 
+@pytest.mark.slow
 def test_streaming_quantile_sketches_stream_equals_batch(spark, tmp_path):
     """r8: the streaming KLL rollup emits the same mergeable rows as
     the batch twin — per-window quantiles are exact (n <= k per

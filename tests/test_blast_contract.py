@@ -106,6 +106,7 @@ def test_partial_tier_excludes_exactly_matched_loci(parsed):
     assert got.filter("locus = 'adk'").count() == 1
 
 
+@pytest.mark.slow
 def test_external_tool_to_parser_end_to_end(spark, tmp_path):
     """Full adapter chain with a real subprocess: a fake blastn
     executable (emits recorded outfmt-6 lines for any stdin, the shape

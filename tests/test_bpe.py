@@ -4,6 +4,8 @@ counting, and partitioning invariance."""
 
 from __future__ import annotations
 
+import pytest
+
 from bigsdb_spark.operators.bpe import (
     END,
     bpe_token_count,
@@ -50,6 +52,7 @@ def test_segment_word_replays_training_merges():
     assert segment_word("hug", ranks) == ["hug" + END]
 
 
+@pytest.mark.slow
 def test_spark_train_apply_and_count(spark):
     texts = [
         (0, "low low low lower lower"),

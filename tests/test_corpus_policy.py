@@ -320,6 +320,7 @@ def test_repeated_spans_cross_document(spark):
     assert clean[3] == doc3 and clean[4] == selfrep  # untouched
 
 
+@pytest.mark.slow
 def test_dsir_importance_resampling(spark):
     """DSIR (Xie et al. 2023): the fitted bucket log-ratios match an
     independent pure-Python computation, per-doc scores are the sum of

@@ -119,11 +119,13 @@ def vectors(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+@pytest.mark.slow
 def test_cosine_topk(spark, vectors):
     top = cosine_topk_pairs(vectors, "vec_id", "embedding", k=1).collect()
     assert (top[0].id1, top[0].id2) == (1, 2)
 
 
+@pytest.mark.slow
 def test_nearest_neighbor(spark, vectors):
     q = vectors.filter(F.col("vec_id") == 1)
     c = vectors.filter(F.col("vec_id") != 1)
@@ -142,6 +144,7 @@ def test_non_latin_documents_are_not_mutual_duplicates(spark):
     assert len(got) == 1 and got[0].n_docs == 2  # only the true pair 1&3
 
 
+@pytest.mark.slow
 def test_np_topk_supports_string_ids(spark):
     from bigsdb_spark.operators.similarity import (
         cosine_topk_pairs,
@@ -187,6 +190,7 @@ def test_ngram_jaccard_keeps_shingleless_candidate(spark, docs):
     assert got[0].jaccard == 0.0 and got[0].n_common == 0 and got[0].n2 == 0
 
 
+@pytest.mark.slow
 def test_np_topk_deterministic_under_ties(spark):
     """Many exact-duplicate vectors tie at cosine 1.0 across block-pair
     tasks; the np path must keep boundary ties and resolve them by

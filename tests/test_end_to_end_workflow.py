@@ -75,6 +75,7 @@ def world(spark):
     return isolates, designations, scheme
 
 
+@pytest.mark.slow
 def test_full_pipeline(spark, world, tmp_path):
     isolates, designations, scheme = world
     view = make_view(isolates, UserContext())  # S1

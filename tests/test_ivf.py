@@ -23,6 +23,7 @@ def clustered_vectors(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+@pytest.mark.slow
 def test_numpy_topk_equals_expression(spark, clustered_vectors):
     """The BLAS fast path must return exactly the expression fold's
     result (same rounding, same tiebreaks)."""
@@ -35,6 +36,7 @@ def test_numpy_topk_equals_expression(spark, clustered_vectors):
     ]
 
 
+@pytest.mark.slow
 def test_ivf_structure_and_recall(spark, clustered_vectors):
     ann = ivf_kmeans_ann(
         clustered_vectors, "vec_id", "embedding", n_centroids=3, top_k=3
@@ -55,6 +57,7 @@ def test_ivf_structure_and_recall(spark, clustered_vectors):
     assert found >= 1
 
 
+@pytest.mark.slow
 def test_ivf_multiprobe_recall_monotone_and_exact_at_full_probe(
     spark, clustered_vectors
 ):
@@ -110,6 +113,7 @@ def test_ivf_multiprobe_recall_monotone_and_exact_at_full_probe(
     assert len(probe1 & brute_set) <= len(probe_all & brute_set)
 
 
+@pytest.mark.slow
 def test_ivf_gemm_matches_join_form(spark, clustered_vectors):
     """r7: the per-cell GEMM scorer (ivf_kmeans_ann_gemm) returns the
     join form's exact result — same (qid, nn_id, centroid) set at
@@ -141,6 +145,7 @@ def test_ivf_gemm_matches_join_form(spark, clustered_vectors):
         assert not any(999 in (r.qid, r.nn_id) for r in join_rows + gemm_rows)
 
 
+@pytest.mark.slow
 def test_ivf_injected_centroids_serving_path(spark, clustered_vectors):
     """r7: both IVF forms accept precomputed centroids (serve from a
     saved index; the only workable path when n_centroids scales with

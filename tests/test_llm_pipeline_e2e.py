@@ -46,6 +46,7 @@ def corpus(spark):
     return docs.unionByName(exact_dups).unionByName(near_dups).cache()
 
 
+@pytest.mark.slow
 def test_training_corpus_pipeline_composes(spark, corpus):
     n_input = corpus.count()
 
@@ -124,6 +125,7 @@ def test_training_corpus_pipeline_composes(spark, corpus):
     assert n_final <= n_gated
 
 
+@pytest.mark.slow
 def test_corpus_assembly_tail_composes(spark, corpus, tmp_path):
     """The assembly tail downstream of cleaning: LM quality filter ->
     token accounting -> packing into fixed-length examples ->

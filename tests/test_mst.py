@@ -4,6 +4,7 @@ algorithms produce the SAME unique MST edge set, so the test compares
 sets exactly — including under repeated weights and disconnected
 graphs."""
 
+import pytest
 import random
 
 from bigsdb_spark.operators.mst import boruvka_mst, kruskal_mst_py
@@ -33,6 +34,7 @@ def test_mst_small_chain(spark):
     assert got == {(0, 1, 5), (1, 2, 3), (2, 3, 4)}
 
 
+@pytest.mark.slow
 def test_mst_random_graphs_with_ties(spark):
     rng = random.Random(42)
     for trial in range(3):

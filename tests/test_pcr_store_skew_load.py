@@ -3,6 +3,8 @@ and the wide profile export (GrapeTree shape)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigsdb_spark.operators.pcr import insilico_pcr
@@ -14,6 +16,7 @@ from bigsdb_spark.registry import FieldDef, TableDef
 from bigsdb_spark.sources.batchload import batch_load_csv
 
 
+@pytest.mark.slow
 def test_insilico_pcr(spark):
     #          1         2         3
     # 123456789012345678901234567890123456
@@ -33,6 +36,7 @@ def test_insilico_pcr(spark):
     assert insilico_pcr(contigs, pairs, max_product=10).count() == 0
 
 
+@pytest.mark.slow
 def test_insilico_pcr_reverse_strand(spark):
     """ipcress also reports amplicons where the pair binds the - strand:
     on the + strand that reads reverse primer ... revcomp(forward)."""

@@ -401,6 +401,7 @@ def test_pack_documents_single_exchange(spark):
     assert plan.count("Exchange") == 1
 
 
+@pytest.mark.slow
 def test_ivf_pq_probed_scan_prunes_partitions(spark, tmp_path):
     """VERDICT r3 #2: ivf_pq_topk claims a 1/n_cells read when the
     codes table is written partitioned by cell — prove it.  Write the

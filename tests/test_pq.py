@@ -2,6 +2,7 @@
 reconstruction when data IS the codebook, and recall vs brute force on
 driver testdata embeddings."""
 
+import pytest
 import numpy as np
 import pyspark.sql.functions as F
 
@@ -146,6 +147,7 @@ def test_ivf_pq_refine_restores_exact_order(spark):
     bare.unpersist()
 
 
+@pytest.mark.slow
 def test_ivf_pq_residual_beats_raw_on_clustered(spark):
     """r9: residual PQ (codes over x - cell_centroid, faiss-classic)
     must rank clustered data better than raw-vector PQ with the same
@@ -262,6 +264,7 @@ def test_sq_topk_pure_scan(spark):
     assert "BatchEvalPython" not in plan
 
 
+@pytest.mark.slow
 def test_sq_kernel_matches_expression_form(spark):
     """r12 regression pin: sq_encode/sq_topk moved from interpreted
     HOF expressions (aggregate + transform + zip_with — never enter
@@ -394,6 +397,7 @@ def test_training_sample_cutoff_path_matches_global_topk(spark):
 
     assert np.array_equal(got, np.array([r[0] for r in want_rows]))
 
+@pytest.mark.slow
 def test_ivf_pq_residual_lut_broadcast_dispatch(spark, monkeypatch):
     """r10 (ADVICE r9): residual ADC past RESIDUAL_ADC_MAX_LITERALS
     total literals must NOT fold a Catalyst CASE chain (plan/codegen
@@ -440,6 +444,7 @@ def test_ivf_pq_residual_lut_broadcast_dispatch(spark, monkeypatch):
     assert len(lit_adc) == 10 and len(lit_ref) == 10
     enc.unpersist()
 
+@pytest.mark.slow
 def test_ivf_pq_m32k256_residual_memory_tier(spark):
     """r10 (VERDICT r9 task 2): the m=32/k=256 residual + exact-refine
     layout is the shipped memory-tier quality config (recall@10 0.938

@@ -237,6 +237,7 @@ def test_pairs_memo_keys_on_session_object_not_id(monkeypatch):
     assert len(ity._pairs_memo) == 1  # dead session's entry evicted
 
 
+@pytest.mark.slow
 def test_wildcard_assignment_pruned_equals_unpruned(spark, designations, scheme):
     """r10 (VERDICT r9 task 1): the rarest-position candidate-pruned
     wildcard path (prune_candidates=True — the Spark-first form of the
@@ -460,6 +461,7 @@ def test_multi_designation_membership_semantics(spark):
         }
 
 
+@pytest.mark.slow
 def test_multi_designation_pruned_equals_unpruned_randomized(spark):
     """Randomized paralog corpus (1-5 pct loci with 2 designations,
     'N'-carrying definitions, noise isolates): the pruned membership
@@ -545,17 +547,18 @@ def test_multi_intersect_bitmap_byte_guard(spark, monkeypatch):
         )
 
     base = build()
-    assert "mapInPandas" in base._jdf.queryExecution().analyzed().toString()
+    assert "MapInPandas" in base._jdf.queryExecution().analyzed().toString()
     expect = {(r.profile_key, r.st) for r in base.collect()}
     assert expect == {(1, "a"), (1, "b"), (2, "a")}
 
     monkeypatch.setenv("SPARK_GRAFT_INTERSECT_BITMAP_MAX_BYTES", "16")
     guarded = build()
     plan = guarded._jdf.queryExecution().analyzed().toString()
-    assert "mapInPandas" not in plan  # fell back to the shuffle plan
+    assert "MapInPandas" not in plan  # fell back to the shuffle plan
     assert {(r.profile_key, r.st) for r in guarded.collect()} == expect
 
 
+@pytest.mark.slow
 def test_candidate_scaled_partitions_law(spark, designations, scheme, tmp_path, monkeypatch):
     """r12 (VERDICT r11 #2): the wildcard path's heavy exchanges scale
     their partition count with the isolate side.  Small sources stay
@@ -600,6 +603,7 @@ def test_candidate_scaled_partitions_law(spark, designations, scheme, tmp_path, 
     assert scaled.count() > 0
 
 
+@pytest.mark.slow
 def test_dim_broadcast_mode_equals_default(spark, designations, scheme, monkeypatch):
     """r12 (VERDICT r11 #2): dimension-broadcast mode (broadcast freq
     tables / definition rows / definition arrays + the k-pass

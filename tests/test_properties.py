@@ -29,6 +29,7 @@ def mk_df(spark):
 
 @settings(max_examples=12, deadline=None)
 @given(values=VALUES, term=st.text(alphabet="abcX", min_size=1, max_size=3))
+@pytest.mark.slow
 def test_not_is_complement_over_all_rows(mk_df, values, term):
     """BIGSdb NOT partitions the table: match(v) and NOT(v) together
     cover every row exactly once (NULLs land in NOT) — unlike SQL 3VL
@@ -72,6 +73,7 @@ DNA = st.text(alphabet="ACGT", min_size=1, max_size=40)
 
 @settings(max_examples=10, deadline=None)
 @given(seq=DNA)
+@pytest.mark.slow
 def test_reverse_complement_involution(spark, seq):
     from bigsdb_spark.functions.sequence import reverse_complement
 
@@ -87,6 +89,7 @@ def test_reverse_complement_involution(spark, seq):
     seq=st.text(alphabet="ACGT", min_size=10, max_size=30),
     positions=st.sets(st.integers(min_value=0, max_value=9), max_size=3),
 )
+@pytest.mark.slow
 def test_banded_align_agrees_with_sequence_diffs(spark, seq, positions):
     """Cross-validation of two independent implementations on
     same-length substitution-only pairs. The aligner minimizes edit
@@ -131,6 +134,7 @@ PII_TEXT = st.text(
 
 @settings(max_examples=10, deadline=None)
 @given(texts=st.lists(PII_TEXT, min_size=1, max_size=8))
+@pytest.mark.slow
 def test_redact_pii_idempotent_and_clean(spark, texts):
     """Redaction is idempotent (a second pass changes nothing) and the
     redacted text never counts residual PII — whatever adversarial
@@ -199,6 +203,7 @@ def test_decontaminate_partitions_corpus(spark):
         st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=6
     )
 )
+@pytest.mark.slow
 def test_repetition_fractions_bounded(spark, texts):
     """Both repetition fractions live in [0, 1] for arbitrary token
     streams (repeated words, empty docs, single tokens)."""

@@ -502,6 +502,7 @@ def test_rest_profiles_routes(spark):
         route_profile_record(profs, 1, "99", ["adk"], "/db/test", pk_col="ST")
 
 
+@pytest.mark.slow
 def test_rest_designation_and_group_routes(spark):
     from bigsdb_spark.plans.rest import (
         route_allele_designations,
@@ -670,6 +671,7 @@ def test_rest_users_and_curators(spark):
     }
 
 
+@pytest.mark.slow
 def test_rest_projects(spark):
     import pytest
     from bigsdb_spark.plans.rest import (
@@ -751,6 +753,7 @@ def test_rest_project_dataset(spark):
     assert recs[11]["adk"] == "7"
 
 
+@pytest.mark.slow
 def test_curation_queue_digests(spark):
     import datetime as dt
 

@@ -3,6 +3,8 @@ flags, external pipe), access-control views, and export sinks."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigsdb_spark.operators.seqmatch import (
@@ -98,6 +100,7 @@ def test_view_factory_roles(spark):
     assert sorted(r.id for r in admin.collect()) == [1, 2, 4, 5]
 
 
+@pytest.mark.slow
 def test_sinks_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(1, "ACGT"), (2, "TTTT")], "id int, seq string")
     tsv = str(tmp_path / "out_tsv")
@@ -221,6 +224,7 @@ def test_kmer_partial_match_tiers(spark):
     assert aligned.alignment == 20  # alignment spans the allele length
 
 
+@pytest.mark.slow
 def test_partial_autotag_and_new_allele_discovery(spark):
     """F11 beyond-exact: near-match tagging (AutoTag) and new-allele
     discovery (ScanNew) via seed-and-extend."""

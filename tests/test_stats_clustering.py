@@ -4,6 +4,8 @@ LIN-code assignment order/prefix rules."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigsdb_spark.operators.clustering import burst_slv_dlv, single_linkage
@@ -255,6 +257,7 @@ def test_lincode_independent_port_matches_operator(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_lincode_port_agreement_randomized(spark):
     """Randomized cross-validation of the d5 oracle claim: seeded
     random profile corpora (ragged lengths, missing-allele density,
@@ -296,6 +299,7 @@ def test_lincode_port_agreement_randomized(spark):
         assert got["90"] == got["03"] and got["91"] == got["17"]
 
 
+@pytest.mark.slow
 def test_cc_single_task_matches_loop(spark):
     """r13: the small-graph single-task union-find fast path (default
     below CC_LOCAL_EDGE_ROWS) returns exactly the distributed loop's
@@ -380,6 +384,7 @@ def test_star_cc_matches_label_propagation_on_fixtures(spark):
     assert (4, 4) in got and (11, 11) in got  # singletons
 
 
+@pytest.mark.slow
 def test_star_cc_matches_label_propagation_on_random_graphs(spark):
     """Seeded-random graphs (one Spark job each): star contraction and
     label propagation must agree on every component label — including

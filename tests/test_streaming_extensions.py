@@ -3,6 +3,8 @@ and the wide crosstab pivot."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigsdb_spark.operators.breakdown import crosstab_wide
@@ -29,6 +31,7 @@ def _write_events(spark, path):
     return df
 
 
+@pytest.mark.slow
 def test_streaming_dedup(spark, tmp_path):
     src = str(tmp_path / "src")
     _write_events(spark, src)
@@ -118,6 +121,7 @@ def test_streaming_sliding_counts_match_batch_twin(spark, tmp_path):
     assert len(first_click_ws) >= 4
 
 
+@pytest.mark.slow
 def test_streaming_profile_cache_matches_batch_pivot(spark, tmp_path):
     """The streamed scheme cache converges to the batch A5 pivot:
     same profile vector and md5, last write wins per locus."""
@@ -164,6 +168,7 @@ def test_streaming_profile_cache_matches_batch_pivot(spark, tmp_path):
     assert got[2]["profile_md5"] == batch[2]
 
 
+@pytest.mark.slow
 def test_streaming_profile_cache_late_event_cannot_overwrite(spark, tmp_path):
     """A late designation arriving in a LATER micro-batch (inside the
     watermark) must not overwrite a newer one: the per-slot timestamp
@@ -229,6 +234,7 @@ def test_streaming_profile_cache_string_ids(spark, tmp_path):
     assert list(rows[0]["profile"]) == ["1"] and not rows[0]["complete"]
 
 
+@pytest.mark.slow
 def test_streaming_profile_cache_mid_batch_kill_replays_identically(
     spark, tmp_path
 ):
@@ -358,6 +364,7 @@ def test_stateful_counts_final_state_is_order_independent(spark, tmp_path):
     assert got["view"] == (4, 12.0)   # 0+2+4+6
 
 
+@pytest.mark.slow
 def test_streaming_analysis_cache_trigger_parity(spark, tmp_path):
     """The streamed analysis cache replays the reference trigger:
     each upsert replaces the (isolate, analysis) slice; the final
@@ -416,6 +423,7 @@ def test_streaming_analysis_cache_trigger_parity(spark, tmp_path):
     assert (1, "$.fields[*].K_locus", "KL106") not in got
 
 
+@pytest.mark.slow
 def test_streaming_corpus_ingest_dedups_across_batches(spark, tmp_path):
     """A document admitted in batch 1 (or a near-copy of it) can never
     re-enter in batch 2: the persisted index advances with the corpus."""
@@ -465,6 +473,7 @@ def test_streaming_corpus_ingest_dedups_across_batches(spark, tmp_path):
     assert set(got) >= {1, 2}
 
 
+@pytest.mark.slow
 def test_streaming_autotag_matches_batch(spark, tmp_path):
     """Stream-tagged contigs equal the batch scan over the same data
     (the transformation is shared, so this pins the plumbing)."""
@@ -497,6 +506,7 @@ def test_streaming_autotag_matches_batch(spark, tmp_path):
     assert got == want and len(want) == 2
 
 
+@pytest.mark.slow
 def test_streaming_discovery_advances_across_batches(spark, tmp_path):
     """An allele discovered in batch 1 counts as existing by batch 2:
     the same variant re-seen later is not re-discovered, and
@@ -546,6 +556,7 @@ def test_streaming_discovery_advances_across_batches(spark, tmp_path):
     assert ids == [2, 3]  # max+1 advanced across batches
 
 
+@pytest.mark.slow
 def test_corpus_ingest_replay_after_index_commit_keeps_docs(spark, tmp_path):
     """Regression (ADVICE r3, medium): a crash between the index
     commit and the streaming checkpoint commit re-delivers the batch;
@@ -594,6 +605,7 @@ def test_corpus_ingest_replay_after_index_commit_keeps_docs(spark, tmp_path):
     assert after == before  # not silently emptied
 
 
+@pytest.mark.slow
 def test_corpus_ingest_detects_checkpoint_reset(spark, tmp_path):
     """Regression (ADVICE r4, medium): deleting/relocating the
     checkpoint while keeping the index restarts batch ids at 0, and
@@ -682,6 +694,7 @@ def test_corpus_ingest_rejects_legacy_and_foreign_index(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_analysis_cache_survives_crashed_commit(spark, tmp_path):
     """Regression lineage (ADVICE r3 -> round-5 SnapshotLog): a crash
     at ANY step of the cache swap must leave the previous snapshot
@@ -758,6 +771,7 @@ def test_analysis_cache_survives_crashed_commit(spark, tmp_path):
     assert got == {(1, "258"), (2, "11")}
 
 
+@pytest.mark.slow
 def test_concurrent_ingest_and_discovery_streams_do_not_interact(spark, tmp_path):
     """VERDICT r4 task 5: the ingest/index persistence protocols were
     tested single-writer; two interleaved availableNow streams (corpus

@@ -123,6 +123,7 @@ def test_headerless_fasta_and_type_check(spark, store, alleles):
     assert rec["seqs"][0]["seq_id"] == "seq"  # Submissions.pm:406
 
 
+@pytest.mark.slow
 def test_create_profile_submission(spark, store, alleles):
     ex_profiles = spark.createDataFrame(
         [("17", ["1", "1"])], "st string, profile array<string>"

@@ -1,6 +1,7 @@
 """Submission validation (operators/submissions.py) vs
 SubmissionHandler.pm:476-560 (alleles) and :597-680 (profiles)."""
 
+import pytest
 import pyspark.sql.functions as F
 
 from bigsdb_spark.operators.submissions import check_new_alleles, check_new_profiles
@@ -178,6 +179,7 @@ SEQ = st.text(alphabet="ACGTacgt -.", min_size=0, max_size=30)
 @settings(max_examples=8, deadline=None)
 @given(seqs=st.lists(st.tuples(st.sampled_from(["a", "b", "c", ""]), SEQ),
                      min_size=1, max_size=8))
+@pytest.mark.slow
 def test_check_new_alleles_properties(spark, seqs):
     """Invariants over random submissions: one output row per input
     row, status==pending iff errors empty, cleaned sequence has no

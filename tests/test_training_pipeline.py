@@ -102,6 +102,7 @@ TEXTS = [
 ]
 
 
+@pytest.mark.slow
 def test_dedup_against_index(spark):
     corpus = spark.createDataFrame(
         [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
