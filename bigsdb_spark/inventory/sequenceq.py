@@ -109,6 +109,13 @@ def f10_partial(spark, sf_dir):
     mismatches, whose longest exact run is >= ceil(57/4) = 15 >= k=10. The
     gapped/banded tier (seqmatch.banded_align) is pytest-covered —
     alignment scoring is not expressible in one SQL pass.
+
+    r13: the alleles frame is materialized ONCE (eager localCheckpoint,
+    ~2.6k rows x 60 chars at sf0.1 — guide §2.4 via the a11 recipe):
+    the plan otherwise re-scans documents and re-evaluates the regex
+    dna_expr FOUR times (query/allele k-mer explodes + the two scoring
+    rejoins), which was most of the query's wall time (probe:
+    alleles_build 0.28 s per copy, f10 full 1.28-1.6 s).
     """
     docs = tbl(spark, sf_dir, "documents")
     d = docs.select(
@@ -118,7 +125,7 @@ def f10_partial(spark, sf_dir):
         F.lit("locus1").alias("locus"),
         F.col("doc_id").cast("string").alias("allele_id"),
         F.substring("seq", 1, 60).alias("sequence"),
-    )
+    ).localCheckpoint(eager=True)
     mut = F.concat(
         F.substring("sequence", 1, 4),
         F.translate(F.substring("sequence", 5, 1), "ACGT", "CGTA"),
